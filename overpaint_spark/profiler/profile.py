@@ -1,0 +1,195 @@
+"""Single-pass table profiler — the engine's core operator.
+
+Reference behavior (``/root/reference/src/listTables.tsx``) issues one
+full-table query **per column**: ``SELECT MIN(c)::text, MAX(c)::text`` per
+numeric/temporal column (:236-251), ``COUNT(*) FILTER (WHERE c IS TRUE/
+FALSE)`` per boolean column (:310-325), and ``SELECT COUNT(*)`` per table
+in exact mode (:478-485) — an N+1 anti-pattern (SURVEY §4).
+
+Here every statistic for a table folds into **one** ``df.agg(...)`` —
+a single Spark job, one scan, all aggregates computed in the same
+whole-stage-codegen pass with map-side partial aggregation. At 100 TB this
+is the difference between scanning each table once and scanning it a
+dozen times. Estimated row counts never launch a job at all (Parquet
+footer metadata, :mod:`overpaint_spark.sources.catalog`).
+
+NULL semantics parity: boolean histograms use ``count_if(c)`` /
+``count_if(NOT c)`` so NULLs land in neither bucket (three-valued logic of
+``IS TRUE``/``IS FALSE``, listTables.tsx:314-315); ``count(*) -
+count_if(c)`` would be wrong.
+
+Per-item error isolation parity (:248-250, :322-324, :486-488): a failure
+profiling one table records null stats for it and never aborts the run.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overpaint_spark.functions import typeclass
+from overpaint_spark.sources.catalog import TableHandle, discover_tables, footer_row_count, load_table
+
+
+@dataclass
+class ColumnProfile:
+    """One column's profile — mirrors ``ColumnInfo`` (listTables.tsx:13-20)."""
+
+    name: str
+    data_type: T.DataType
+    min_value: Any = None
+    max_value: Any = None
+    true_count: int | None = None
+    false_count: int | None = None
+
+    @property
+    def human_type(self) -> str:
+        return typeclass.human_type(self.data_type)
+
+
+@dataclass
+class TableProfile:
+    """One table's profile — mirrors ``TableView`` (listTables.tsx:22-29)."""
+
+    schema: str
+    name: str
+    columns: list[ColumnProfile] = field(default_factory=list)
+    estimated_rows: int | None = None
+    exact_rows: int | None = None
+    error: str | None = None  # per-table failure sentinel (:486-488)
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.schema}.{self.name}"
+
+    @property
+    def column_count(self) -> int:
+        return len(self.columns)
+
+
+def stat_exprs(schema: T.StructType, exact: bool = False) -> list:
+    """Build the flat aggregate-expression list for one table.
+
+    Aliases are positional (``mn_0``/``mx_0``/``tc_3``/``fc_3``) keyed by
+    column ordinal so collection is unambiguous even with weird names.
+    MIN/MAX are cast to string transport later, not here — values stay
+    typed so temporal formatting can dispatch on real datetimes
+    (SURVEY §2 E7 "keep values typed and skip parsing", the preferred path).
+    """
+    exprs = []
+    for i, f_ in enumerate(schema.fields):
+        c = F.col(f_.name)
+        if typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
+            exprs.append(F.min(c).alias(f"mn_{i}"))
+            exprs.append(F.max(c).alias(f"mx_{i}"))
+        elif typeclass.is_boolean(f_.dataType):
+            # count_if == COUNT(*) FILTER (WHERE c IS TRUE) — NULL-safe
+            exprs.append(F.count_if(c).alias(f"tc_{i}"))
+            exprs.append(F.count_if(~c).alias(f"fc_{i}"))
+    if exact:
+        exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    return exprs
+
+
+def profile_table(
+    spark: SparkSession,
+    handle: TableHandle,
+    exact: bool = False,
+) -> TableProfile:
+    """Profile one table in a single aggregate job (plus a metadata read)."""
+    prof = TableProfile(schema=handle.schema, name=handle.name)
+    try:
+        df = load_table(spark, handle)
+    except Exception as exc:  # unreadable table → error sentinel, keep going
+        prof.error = str(exc)
+        return prof
+    prof.columns = [ColumnProfile(f_.name, f_.dataType) for f_ in df.schema.fields]
+    try:
+        prof.estimated_rows = footer_row_count(handle.path)
+    except Exception:
+        prof.estimated_rows = None
+
+    exprs = stat_exprs(df.schema, exact=exact)
+    if not exprs:
+        return prof
+    try:
+        row = df.agg(*exprs).collect()[0].asDict()
+    except Exception as exc:
+        # per-table isolation: stats stay None; exact mode renders `error`
+        prof.error = str(exc)
+        return prof
+    for i, col in enumerate(prof.columns):
+        if typeclass.is_numeric(col.data_type) or typeclass.is_temporal(col.data_type):
+            col.min_value = row.get(f"mn_{i}")
+            col.max_value = row.get(f"mx_{i}")
+        elif typeclass.is_boolean(col.data_type):
+            tc, fc = row.get(f"tc_{i}"), row.get(f"fc_{i}")
+            col.true_count = int(tc) if tc is not None else None
+            col.false_count = int(fc) if fc is not None else None
+    if exact:
+        n = row.get("n_rows")
+        prof.exact_rows = int(n) if n is not None else None
+    return prof
+
+
+def profile_data_root(
+    spark: SparkSession,
+    data_root: str,
+    exact: bool = False,
+) -> list[TableProfile]:
+    """Profile every table under a data root, ordered by name (F1)."""
+    return [profile_table(spark, h, exact=exact) for h in discover_tables(data_root)]
+
+
+# ---------------------------------------------------------------------------
+# Relational (long-format) projections of the profile — these power the
+# declared-query manifest so the DuckDB oracle can hash-check each stat.
+# ---------------------------------------------------------------------------
+
+def profile_minmax_df(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    want,
+    out_type: str,
+) -> DataFrame:
+    """Long-format (table, column, min, max) over columns where ``want(dt)``.
+
+    One aggregate job per table (all columns at once), unioned. ``out_type``
+    unifies the value columns ("double" for numerics, "timestamp" for
+    temporals) so the union is well-typed.
+    """
+    parts = []
+    for tname in sorted(tables):
+        df = tables[tname]
+        cols = [f_.name for f_ in df.schema.fields if want(f_.dataType)]
+        if not cols:
+            continue
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).cast(out_type).alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast(out_type).alias(f"mx_{c}"))
+        wide = df.agg(*aggs)
+        # unpivot the single wide row to long form, JVM-side (stack)
+        stack_args = ", ".join(f"'{c}', `mn_{c}`, `mx_{c}`" for c in cols)
+        long = wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) as (column_name, min_value, max_value)"
+        ).select(
+            F.lit(tname).alias("table_name"),
+            "column_name",
+            "min_value",
+            "max_value",
+        )
+        parts.append(long)
+    if not parts:
+        return spark.createDataFrame(
+            [], f"table_name string, column_name string, min_value {out_type}, max_value {out_type}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,133 @@
+"""Table discovery + metadata-only statistics over a Parquet data root.
+
+Reference parity (``/root/reference/src/listTables.tsx``):
+
+- ``fetchEstimatedTables`` (:329-348) joins pg_class⋈pg_namespace and reads
+  the planner estimate ``GREATEST(reltuples::bigint, 0)``. Here the
+  "catalog" is a directory of ``<table>.parquet`` files (or the Spark
+  catalog) and the estimate is the *exact* sum of row-group ``num_rows``
+  from the Parquet footers — metadata-only, no Spark job, no data scan.
+- the system-schema exclusion (:226, :265, :300, :344 — ``table_schema NOT
+  IN ('pg_catalog','information_schema')``) maps to skipping hidden/
+  non-parquet entries; the ``relkind = 'r'`` filter (:343) maps to
+  "ordinary data files only".
+
+At 100 TB a "table" is a directory of many files; ``footer_row_count``
+therefore walks directories and sums per-file footer counts, which is
+O(#files) metadata reads and zero data IO — the same cost profile as the
+reference's single catalog query.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SYSTEM_PREFIXES = (".", "_")  # analog of pg_catalog/information_schema
+
+
+@dataclass(frozen=True)
+class TableHandle:
+    """A discovered table: schema-qualified name + physical path."""
+
+    schema: str
+    name: str
+    path: str
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.schema}.{self.name}"
+
+
+def discover_tables(data_root: str, schema: str = "public") -> list[TableHandle]:
+    """Enumerate tables under ``data_root`` (``<name>.parquet`` file or
+    directory per table), sorted by name — the ORDER BY table_schema,
+    table_name of the reference's catalog queries (listTables.tsx:345)."""
+    if not os.path.isdir(data_root):
+        return []
+    out: list[TableHandle] = []
+    for entry in sorted(os.listdir(data_root)):
+        if entry.startswith(_SYSTEM_PREFIXES):
+            continue
+        full = os.path.join(data_root, entry)
+        if entry.endswith(".parquet"):
+            out.append(TableHandle(schema, entry[: -len(".parquet")], full))
+        elif os.path.isdir(full):
+            out.append(TableHandle(schema, entry, full))
+    return out
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(_SYSTEM_PREFIXES):
+                files.append(os.path.join(root, n))
+    return sorted(files)
+
+
+def footer_row_count(path: str) -> int:
+    """Exact row count from Parquet footer metadata — no data scan.
+
+    This replaces the reference's planner estimate
+    ``GREATEST(c.reltuples::bigint, 0)`` (listTables.tsx:339): same O(1)
+    cost class (metadata only), better accuracy (footer counts are exact).
+    The ``GREATEST(..., 0)`` clamp is kept for parity — footer counts are
+    never negative, but a corrupt footer should not produce one either.
+    """
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _parquet_files(path):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return max(total, 0)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as Parquet TIMESTAMP(NANOS) in the first file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if not files:
+        return []
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
+    """Read one table as a DataFrame (columnar, lazy).
+
+    Spark 4 rejects Parquet ``TIMESTAMP(NANOS)`` outright
+    (PARQUET_TYPE_ILLEGAL); those columns are read via the public
+    ``spark.sql.legacy.parquet.nanosAsLong`` escape hatch as raw
+    nanosecond longs and converted to ``timestamp_ntz`` (truncating
+    ns→µs, the same truncation DuckDB/pandas apply).
+    """
+    path = handle.path if isinstance(handle, TableHandle) else handle
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(
+            c,
+            # integer `div` — float division would lose precision above 2^53 ns
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, data_root: str) -> dict[str, DataFrame]:
+    """Read every discovered table; keys are bare table names."""
+    return {h.name: load_table(spark, h) for h in discover_tables(data_root)}
