@@ -1,0 +1,133 @@
+"""Text-analysis column expressions — all JVM-side built-ins, no UDFs.
+
+These power the LLM-data-pipeline operators (SURVEY §7.4.3): character/
+word stats, language-ID heuristic, token counting, and document
+fingerprinting. Every expression here is deterministic and reproducible
+in ANSI SQL (the DuckDB oracle mirrors each one), and stays inside
+whole-stage codegen — the 100 TB hot path never leaves the JVM.
+
+Design note on hashing: fingerprints use ``md5`` (hex string) as the
+hash family — identical output in Spark and standard SQL engines, unlike
+``hash()``/``xxhash64`` whose implementations differ per engine. For a
+pure-Spark pipeline where cross-engine parity is not needed,
+``F.xxhash64`` is ~10× faster; the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single other non-space chars.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (single-space delimited corpus)."""
+    return F.split(text, " ")
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def n_distinct_words(text: Column) -> Column:
+    return F.size(F.array_distinct(words(text)))
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean token length, computed exactly from integer char counts
+    (total non-space chars / word count) — no float summation, so the
+    value is bit-identical across engines."""
+    nw = n_words(text)
+    total_chars = F.length(text) - (nw - F.lit(1))
+    return (total_chars.cast("double") / nw.cast("double"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex (letter runs / digit runs /
+    punctuation singletons)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+# --- language ID (n-gram / marker heuristic) -------------------------------
+
+# (lang, markers) — padded-space matching approximates word boundaries.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("fr", [" le ", " la ", " et "]),
+    ("es", [" el ", " los ", " y "]),
+    ("zh", ["的", "是", "了"]),
+]
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """Occurrence count of ``marker`` via length arithmetic — identical
+    semantics in any SQL engine (no regex dialect involved)."""
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit("")))) / F.lit(len(marker))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS:
+        score: Column = F.lit(0).cast("double")
+        for m in markers:
+            score = score + _occurrences(padded, m)
+        out[lang] = score.cast("long")
+    return out
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over marker scores; all-zero scores → 'und' (undetermined).
+
+    A CASE chain in LANG_MARKERS order: the first language whose score is
+    positive and >= every other score wins, so ties resolve to the earlier
+    entry — the same chain the SQL oracle spells out.
+    """
+    scores = lang_scores(text)
+    langs = [lang for lang, _ in LANG_MARKERS]
+    expr: Column | None = None
+    whens = []
+    for lang in langs:
+        cond = scores[lang] > F.lit(0)
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        whens.append((cond, F.lit(lang)))
+    expr = F.when(whens[0][0], whens[0][1])
+    for cond, val in whens[1:]:
+        expr = expr.when(cond, val)
+    return expr.otherwise(F.lit("und"))
+
+
+# --- fingerprinting --------------------------------------------------------
+
+def md5_fingerprint(text: Column) -> Column:
+    """Whole-document content hash (hex) — exact-dedup key."""
+    return F.md5(text.cast("binary"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; < k words → empty array.
+
+    The guard matters: Spark's ``sequence(1, 0)`` counts *down* and would
+    fabricate indices.
+    """
+    w = words(text)
+    n = F.size(w)
+    seq = F.sequence(F.lit(1), n - F.lit(k - 1))
+    arr = F.transform(seq, lambda i: F.array_join(F.slice(w, i, k), " "))
+    return F.when(n >= F.lit(k), arr).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_component(sh: Column, seed: int) -> Column:
+    """One MinHash signature component: min over shingles of
+    ``md5(seed || ':' || shingle)``.
+
+    ``md5`` keyed by seed is a proper random-permutation family and —
+    unlike murmur/xxhash — reproducible in every SQL engine, which is what
+    makes the LSH pipeline oracle-checkable end to end."""
+    hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary")))
+    return F.array_min(hashed)

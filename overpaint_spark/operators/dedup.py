@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families (SURVEY §7.4.1-2), all shuffle-conscious:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on the
+  hash key, map-side partial aggregation; the winner per group is the
+  minimum doc_id (deterministic).
+- **n-gram Jaccard**: inverted-index self-join — explode distinct
+  shingles, join docs sharing a shingle, count intersections, compute
+  Jaccard from per-doc shingle counts. Never forms the full cross
+  product; the optional ``max_doc_freq`` cap drops stop-shingles whose
+  posting lists would create quadratic bucket blowup (the standard
+  trick at web scale).
+- **MinHash + LSH**: per-doc signatures via md5-keyed min-hashing
+  (computed in one codegen pass with higher-order functions — no
+  explode, no shuffle), then banding: docs sharing any band hash become
+  candidate pairs via an equi-join on (band_index, band_hash). The only
+  shuffle is the band join, whose key cardinality is #docs × #bands.
+- **SimHash**: 16-bit signs of marker-weighted word-hash sums; identical
+  fingerprints (or fingerprints sharing a half-band) are near-dup
+  candidates.
+
+Everything is built-in-function-only and reproducible in SQL, so every
+stage is oracle-checkable (the md5 hash family is the same in every
+engine, unlike murmur3/xxhash — see functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from overpaint_spark.functions import text as TX
+
+
+def exact_dedup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Group identical texts: (text_hash, n_copies, keeper_id).
+
+    Single hash-shuffle; at 100 TB hash first (16-byte key) rather than
+    shuffling full document bodies as the group key.
+    """
+    return (
+        docs.select(
+            TX.md5_fingerprint(F.col(text_col)).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivor rows only (min-id winner per identical text)."""
+    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+def distinct_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) exploded and de-duplicated per doc."""
+    return (
+        docs.select(F.col(id_col), F.explode(TX.shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by k-shingle Jaccard ≥ threshold.
+
+    Inverted-index join: cost is Σ_shingle df(shingle)², not N².
+    ``max_doc_freq`` (e.g. 1000) bounds the worst posting list at scale;
+    leave None for exact semantics (oracle mode).
+    """
+    sh = distinct_shingles(docs, id_col, text_col, k)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}) — one codegen pass, zero shuffles."""
+    sh = TX.shingles(F.col(text_col), k)
+    cols = [F.col(id_col)] + [
+        TX.minhash_component(sh, seed).alias(f"sig_{seed}") for seed in range(num_hashes)
+    ]
+    return docs.select(*cols)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on all rows of ≥1 band.
+
+    rows_per_band = num_hashes // bands. Collision probability for docs
+    with Jaccard s is 1-(1-s^rows)^bands — with 12 hashes × 4 bands × 3
+    rows, s=0.8 fires with p≈0.94, s=0.2 with p≈0.03.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{bi * rows + r}") for r in range(rows)]).cast("binary")).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over the distinct-word set.
+
+    Bit j is the sign of Σ_words ±1, where the ±1 is the high bit of hex
+    digit j of md5(word). Computed as one explode + groupBy (scales to
+    arbitrarily long docs; the per-word md5 is computed once, not 16×).
+    """
+    w = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(TX.words(F.col(text_col)))).alias("w"))
+        .withColumn("h", F.md5(F.col("w").cast("binary")))
+    )
+    bit_sums = w.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bits = [F.when(F.col(f"s_{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    return bit_sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs whose SimHash agrees on at least one 8-bit half (≤8-bit
+    Hamming distance guaranteed; exact distance re-checked in the output).
+
+    Banding a fingerprint into halves is the classic Hamming-LSH: a join
+    per half on an 8-bit key, never an N² comparison.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    halves = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half_idx"), F.substring("simhash", 1, 8).alias("half")),
+                F.struct(F.lit(1).alias("half_idx"), F.substring("simhash", 9, 8).alias("half")),
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.half_idx", "b.half")
+    a, b = halves.alias("a"), halves.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half") == F.col("b.half"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    # exact Hamming distance over the 16-char bitstrings
+    ham = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1), 1).otherwise(0)
+        ham = term if ham is None else ham + term
+    return pairs.select("a_id", "b_id", ham.alias("hamming"))

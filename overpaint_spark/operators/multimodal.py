@@ -1,0 +1,92 @@
+"""Multimodal (image/audio/video) column handling (SURVEY §7.4.4).
+
+A multimodal asset is an opaque ``binary`` payload plus a typed metadata
+struct — the Spark-side contract (schema, partitioning, Arrow batch
+shape) is real and tested; the actual codec work is stubbed because the
+decode libraries are not in this environment (clearly marked below).
+The reference's analog is its type-only treatment of ``bytea`` columns
+(listTables.tsx:117): payloads are profiled, never parsed.
+
+Layout at scale: payloads live in their own column so Parquet column
+pruning skips them unless explicitly selected; metadata-only pipelines
+never read a single payload byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, payload binary, media_type string, "
+    "meta struct<byte_len: long, sha256: string, width: int, height: int>"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str = "image/fake") -> DataFrame:
+    """Wrap a source column as a binary payload column (UTF-8 bytes for
+    text sources; real ingest would read files via ``binaryFile``)."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.col(content_col).cast("binary").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+    )
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """STUB — deterministic fake for the image decode step.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
+    .size; the decode libraries are not installed in this container, so
+    dimensions are derived deterministically from the payload length (the
+    Spark-side plumbing — batching, schema, partitioning — is what is
+    exercised and tested).
+    """
+    n = len(payload)
+    return (1 + n % 1024, 1 + (n // 1024) % 1024)
+
+
+def extract_metadata(assets: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction via ``mapInPandas``.
+
+    Output: (asset_id, byte_len, sha256, width, height). Byte length and
+    sha256 are real; width/height come from the stubbed decode. One
+    narrow pass over the payload column, no shuffle.
+    """
+    out_schema = "asset_id long, byte_len long, sha256 string, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_fake_decode_dims(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """STUB (video path) — plan frame sampling as an exploded index range
+    derived from fake stream length; a real build decodes with pyav.
+    Demonstrates the explode-per-asset partition shape used for frames.
+    """
+    n_frames = (F.length(F.col("payload")) % 100 + 1).alias("n_frames")
+    return (
+        assets.select("asset_id", n_frames)
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+        )
+    )

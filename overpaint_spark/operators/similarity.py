@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (SURVEY §7.4.2).
+
+Three tiers, trading recall for cost:
+
+- **brute-force top-k** — exact baseline. Queries are broadcast (they are
+  small by construction); the candidate side streams through one codegen
+  stage computing the cosine, then a per-query top-k. No shuffle of the
+  big side except the final k·|Q| rows.
+- **random-hyperplane LSH buckets** — each vector gets a B-bit signature
+  (sign of dot with B deterministic integer hyperplanes). Search joins
+  only same-bucket (plus optional Hamming-1 neighbor buckets) — the
+  classic sublinear path when |Q| is large.
+- **pandas/numpy batch** — ``mapInPandas`` matmul for when the fold-based
+  cosine becomes CPU-bound; Arrow-batched, still exact.
+
+Norms are always precomputed per side before any join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from overpaint_spark.functions import vectors as V
+
+
+def _with_prepared(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    vec = V.as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        vec.alias(f"{prefix}_vec"),
+        V.norm(vec).alias(f"{prefix}_norm"),
+    )
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id,
+    rank, cosine_sim). Self-matches (same id) are excluded.
+
+    Ordering ties break on neighbor id, so ranks are total and
+    deterministic.
+    """
+    q = _with_prepared(queries, id_col, vec_col, "q")
+    c = _with_prepared(candidates, id_col, vec_col, "c")
+    sim = V.cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+# --- random-hyperplane LSH -------------------------------------------------
+
+def _hyperplane_weight(i: int, j: int) -> int:
+    """Deterministic pseudo-random integer weight for dim i, plane j.
+
+    Integer weights (range −6..6, coprime multipliers) keep the projection
+    exactly reproducible in any engine — no trig, no float literals.
+    """
+    return ((i * 31 + j * 17 + (i * i + j) * 7) % 13) - 6
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 8):
+    """B-bit sign signature of ``vec · plane_j`` as a bitstring column."""
+    bits = []
+    for j in range(n_planes):
+        proj = None
+        for i in range(dim):
+            w = _hyperplane_weight(i, j)
+            if w == 0:
+                continue
+            term = vec_col[i] * F.lit(float(w))
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket
+    (plus all Hamming-1 buckets when ``multiprobe`` — recall boost at
+    (n_planes+1)× candidate cost, still ≪ brute force)."""
+    q = _with_prepared(queries, id_col, vec_col, "q")
+    c = _with_prepared(candidates, id_col, vec_col, "c")
+    c = c.withColumn("c_sig", hyperplane_signature(F.col("c_vec"), dim, n_planes))
+    q = q.withColumn("sig", hyperplane_signature(F.col("q_vec"), dim, n_planes))
+    if multiprobe:
+        # query probes its own bucket + every Hamming-1 bucket
+        probes = [F.col("sig")]
+        for j in range(n_planes):
+            flipped = F.concat(
+                F.substring("sig", 1, j),
+                F.when(F.substring("sig", j + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("sig", j + 2, n_planes - j - 1),
+            )
+            probes.append(flipped)
+        q = q.select("q_id", "q_vec", "q_norm", F.explode(F.array(*probes)).alias("q_sig"))
+    else:
+        q = q.withColumnRenamed("sig", "q_sig")
+    sim = V.cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("c_sig") == F.col("q_sig"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+# --- Arrow-batched exact scoring ------------------------------------------
+
+def brute_force_topk_numpy(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via numpy matmul inside ``mapInPandas``.
+
+    The query matrix is shipped to every partition once (it is small);
+    each Arrow batch of candidates becomes one BLAS GEMM. Emits partial
+    per-batch top-k, reduced to global top-k by a window — the shuffle
+    carries at most k·|Q| rows per partition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            sims = (q_mat @ mat.T) / (q_norm[:, None] * np.linalg.norm(mat, axis=1)[None, :])
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], row[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
+                )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -1,0 +1,901 @@
+"""Declared-query manifest: every operator the engine claims, as a
+(spark_fn, oracle_sql) pair.
+
+The driver runs ``queries()[name](spark, sf_dir)`` and the matching
+``oracle_sql()[name]`` on DuckDB over the same Parquet tables and
+compares row count + schema + order-insensitive value hash — so every
+expression here is written for **bit-exact cross-engine parity**:
+
+- float aggregations go through DECIMAL casts (sum order would differ),
+- percent strings use integer permille math (listTables.tsx:51-57),
+- hash families are md5 (identical hex in every engine; murmur/xxhash
+  are engine-specific),
+- timestamp gaps compare epoch **microseconds** as integers (datediff
+  boundary semantics differ between engines),
+- every computed column is aliased identically on both sides.
+
+Queries whose value depends on float summation order (LSH-bucketed ANN)
+omit the oracle → the driver records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from overpaint_spark.functions import text as TX
+from overpaint_spark.functions import typeclass
+from overpaint_spark.operators import dedup as DD
+from overpaint_spark.operators import multimodal as MM
+from overpaint_spark.operators import similarity as SIM
+from overpaint_spark.rules import (
+    accepted_values,
+    evaluate_rules,
+    freshness_within,
+    in_range,
+    min_length,
+    not_null,
+    row_count_at_least,
+    unique,
+)
+from overpaint_spark.sources.catalog import footer_row_count, load_table
+
+TABLES = [
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Static schema spec — the *expected* shape of the fixture tables
+# (FIXTURES.md), used to generate oracle SQL independently of the engine's
+# runtime schema inference (so the inference itself is under test).
+# ---------------------------------------------------------------------------
+
+_SCHEMA_SPEC: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "int"),
+                 ("c_acctbal", "double"), ("c_mktsegment", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+                  ("source", "string"), ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int")],
+    "events": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"),
+               ("event_type", "string"), ("value", "double"), ("props", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+                 ("l_linenumber", "int"), ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"), ("l_returnflag", "string"),
+                 ("l_linestatus", "string"), ("l_shipdate", "timestamp_ntz")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string"),
+               ("o_totalprice", "double"), ("o_orderdate", "timestamp_ntz"),
+               ("o_orderpriority", "string")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+             ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double")],
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"), ("s_nationkey", "int"),
+                 ("s_acctbal", "double")],
+}
+
+_NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+_TEMPORAL_TYPES = {"date", "timestamp", "timestamp_ntz"}
+
+
+def _spec_class(t: str) -> str:
+    if t in _NUMERIC_TYPES:
+        return "numeric"
+    if t in _TEMPORAL_TYPES:
+        return "temporal"
+    if t == "boolean":
+        return "boolean"
+    return "other"
+
+
+_SPEC_HUMAN = {
+    "bigint": "bigint", "int": "int", "smallint": "smallint", "double": "float8",
+    "float": "real", "string": "text", "timestamp_ntz": "ts-ntz", "timestamp": "tstz",
+    "date": "date", "boolean": "bool", "binary": "bytea", "array<float>": "array<fl",
+}
+
+
+# ---------------------------------------------------------------------------
+# Profiler queries (SURVEY §2.A/2.D — A1/A2, D1/D2/D4/D5, E4/E5)
+# ---------------------------------------------------------------------------
+
+def q_profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+D5: table list with column counts and metadata-only row counts
+    (listTables.tsx:329-348; footer counts replace reltuples)."""
+    rows = []
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        n_cols = len(load_table(spark, path).schema.fields)
+        rows.append((t, n_cols, footer_row_count(path)))
+    return spark.createDataFrame(rows, "table_name string, column_count int, row_count bigint")
+
+
+def _oracle_profile_tables() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, CAST({len(cols)} AS INTEGER) AS column_count, "
+        f"(SELECT COUNT(*) FROM {t}) AS row_count"
+        for t, cols in _SCHEMA_SPEC.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4: full column catalog with humanized types + type classes,
+    derived from runtime schema inference (listTables.tsx:256-267)."""
+    rows = []
+    for t in TABLES:
+        df = _t(spark, sf_dir, t)
+        for i, f_ in enumerate(df.schema.fields):
+            dt = f_.dataType
+            if typeclass.is_numeric(dt):
+                cls = "numeric"
+            elif typeclass.is_temporal(dt):
+                cls = "temporal"
+            elif typeclass.is_boolean(dt):
+                cls = "boolean"
+            else:
+                cls = "other"
+            rows.append((t, f_.name, i + 1, dt.simpleString(), typeclass.human_type(dt), cls))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, ordinal int, data_type string, "
+        "human_type string, type_class string",
+    )
+
+
+def _oracle_profile_columns() -> str:
+    vals = []
+    for t, cols in _SCHEMA_SPEC.items():
+        for i, (c, ty) in enumerate(cols):
+            vals.append(
+                f"('{t}', '{c}', CAST({i + 1} AS INTEGER), '{ty}', "
+                f"'{_SPEC_HUMAN[ty]}', '{_spec_class(ty)}')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) +
+        ") AS v(table_name, column_name, ordinal, data_type, human_type, type_class)"
+    )
+
+
+def q_profile_minmax_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 for numeric columns — ONE aggregate job per table for all its
+    columns (vs. the reference's per-column scan, listTables.tsx:236-251)."""
+    from overpaint_spark.profiler.profile import profile_minmax_df
+
+    tables = {t: _t(spark, sf_dir, t) for t in TABLES}
+    return profile_minmax_df(spark, tables, typeclass.is_numeric, "double")
+
+
+def _oracle_profile_minmax_numeric() -> str:
+    parts = []
+    for t in sorted(_SCHEMA_SPEC):
+        for c, ty in _SCHEMA_SPEC[t]:
+            if _spec_class(ty) == "numeric":
+                parts.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                    f"CAST(MIN({c}) AS DOUBLE) AS min_value, "
+                    f"CAST(MAX({c}) AS DOUBLE) AS max_value FROM {t}"
+                )
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_minmax_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 for temporal columns (typed, not stringly — SURVEY §2 E7)."""
+    from overpaint_spark.profiler.profile import profile_minmax_df
+
+    tables = {t: _t(spark, sf_dir, t) for t in TABLES}
+    return profile_minmax_df(spark, tables, typeclass.is_temporal, "timestamp_ntz")
+
+
+def _oracle_profile_minmax_temporal() -> str:
+    parts = []
+    for t in sorted(_SCHEMA_SPEC):
+        for c, ty in _SCHEMA_SPEC[t]:
+            if _spec_class(ty) == "temporal":
+                parts.append(
+                    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                    f"MIN({c}) AS min_value, MAX({c}) AS max_value FROM {t}"
+                )
+    return " UNION ALL ".join(parts)
+
+
+# Derived boolean columns (the fixtures carry no boolean column; these are
+# the profiler's D2 semantics — IS TRUE / IS FALSE with NULLs in neither
+# bucket — plus the E4/E5 bigint percent math, over deterministic bools).
+_BOOL_DERIVATIONS = [
+    ("orders", "is_big",
+     "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice > 150000 END"),
+    ("events", "is_high", "value > 100"),
+]
+
+
+def q_profile_bool_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+E4+E5: boolean histograms with NULL-excluded percent strings
+    (listTables.tsx:310-325, :51-79)."""
+    parts = []
+    for table, col, expr in _BOOL_DERIVATIONS:
+        df = _t(spark, sf_dir, table).withColumn(col, F.expr(expr))
+        agg = df.agg(
+            F.count_if(F.col(col)).alias("t"),
+            F.count_if(~F.col(col)).alias("f"),
+            F.count_if(F.col(col).isNull()).alias("n"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.col("t").alias("true_count"),
+                F.col("f").alias("false_count"),
+                F.col("n").alias("null_count"),
+                F.expr(_PCT_SPARK.format(n="t", d="(t + f)")).alias("pct_true"),
+                F.expr(_PCT_SPARK.format(n="f", d="(t + f)")).alias("pct_false"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# bigint permille half-up math (listTables.tsx:51-57) in each dialect
+_PCT_SPARK = (
+    "CASE WHEN {d} = 0 THEN '0.0%' ELSE concat("
+    "cast((({n} * 1000 + {d} div 2) div {d}) div 10 as string), '.', "
+    "cast((({n} * 1000 + {d} div 2) div {d}) % 10 as string), '%') END"
+)
+_PCT_DUCK = (
+    "CASE WHEN {d} = 0 THEN '0.0%' ELSE "
+    "CAST((({n} * 1000 + {d} // 2) // {d}) // 10 AS VARCHAR) || '.' || "
+    "CAST((({n} * 1000 + {d} // 2) // {d}) % 10 AS VARCHAR) || '%' END"
+)
+
+
+def _oracle_profile_bool_histogram() -> str:
+    parts = []
+    for table, col, expr in _BOOL_DERIVATIONS:
+        pct_t = _PCT_DUCK.format(n="t", d="(t + f)")
+        pct_f = _PCT_DUCK.format(n="f", d="(t + f)")
+        parts.append(
+            f"SELECT '{table}' AS table_name, '{col}' AS column_name, "
+            f"t AS true_count, f AS false_count, n AS null_count, "
+            f"{pct_t} AS pct_true, {pct_f} AS pct_false FROM ("
+            f"SELECT COUNT(*) FILTER (WHERE ({expr}) IS TRUE) AS t, "
+            f"COUNT(*) FILTER (WHERE ({expr}) IS FALSE) AS f, "
+            f"COUNT(*) FILTER (WHERE ({expr}) IS NULL) AS n FROM {table})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_rowcounts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: exact COUNT per table (the --exact path, listTables.tsx:478-485),
+    as aggregate jobs rather than metadata."""
+    parts = [
+        _t(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("row_count"))
+        .select(F.lit(t).alias("table_name"), "row_count")
+        for t in TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_profile_rowcounts_exact() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}" for t in TABLES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validation rules (SURVEY §7.3)
+# ---------------------------------------------------------------------------
+
+def _rule_suite():
+    return {
+        "customer": [in_range("c_acctbal", -1000.0, 10000.0)],
+        "documents": [min_length("text", 20), unique("doc_id")],
+        "events": [freshness_within("ts", "2024-01-01 00:00:00"), row_count_at_least(100)],
+        "lineitem": [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.1),
+                     in_range("l_quantity", 1.0, 50.0)],
+        "orders": [not_null("o_custkey"), unique("o_orderkey"),
+                   accepted_values("o_orderstatus", ["F", "O", "P"])],
+    }
+
+
+def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rules engine: every rule folded into one aggregate pass per
+    table; output is the monitoring metrics relation."""
+    suite = _rule_suite()
+    tables = {t: _t(spark, sf_dir, t) for t in suite}
+    return evaluate_rules(spark, tables, suite)
+
+
+def _oracle_validation_metrics() -> str:
+    parts = [
+        # customer
+        "SELECT 'customer' AS table_name, 'in_range' AS rule_name, 'c_acctbal' AS column_name, "
+        "COUNT(*) FILTER (WHERE c_acctbal NOT BETWEEN -1000.0 AND 10000.0) AS metric_value, "
+        "COUNT(*) FILTER (WHERE c_acctbal NOT BETWEEN -1000.0 AND 10000.0) = 0 AS passed FROM customer",
+        # documents
+        "SELECT 'documents', 'min_length', 'text', "
+        "COUNT(*) FILTER (WHERE LENGTH(text) < 20), "
+        "COUNT(*) FILTER (WHERE LENGTH(text) < 20) = 0 FROM documents",
+        "SELECT 'documents', 'unique', 'doc_id', "
+        "COUNT(doc_id) - COUNT(DISTINCT doc_id), "
+        "COUNT(doc_id) - COUNT(DISTINCT doc_id) = 0 FROM documents",
+        # events
+        "SELECT 'events', 'freshness', 'ts', "
+        "CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT), "
+        "CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) >= CAST(FLOOR(EPOCH(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) FROM events",
+        "SELECT 'events', 'row_count', '*', COUNT(*), COUNT(*) >= 100 FROM events",
+        # lineitem
+        "SELECT 'lineitem', 'not_null', 'l_orderkey', "
+        "COUNT(*) FILTER (WHERE l_orderkey IS NULL), "
+        "COUNT(*) FILTER (WHERE l_orderkey IS NULL) = 0 FROM lineitem",
+        "SELECT 'lineitem', 'in_range', 'l_discount', "
+        "COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 0.1), "
+        "COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 0.1) = 0 FROM lineitem",
+        "SELECT 'lineitem', 'in_range', 'l_quantity', "
+        "COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0), "
+        "COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0) = 0 FROM lineitem",
+        # orders
+        "SELECT 'orders', 'not_null', 'o_custkey', "
+        "COUNT(*) FILTER (WHERE o_custkey IS NULL), "
+        "COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 FROM orders",
+        "SELECT 'orders', 'unique', 'o_orderkey', "
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), "
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 FROM orders",
+        "SELECT 'orders', 'accepted_values', 'o_orderstatus', "
+        "COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')), "
+        "COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) = 0 FROM orders",
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Analytics — joins / aggregations / windows / rollups over the star schema.
+# Float sums go through DECIMAL casts for cross-engine determinism.
+# ---------------------------------------------------------------------------
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: group-agg with partial (map-side)
+    aggregation; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(_REV)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _oracle_pricing_summary() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (revenue desc, key asc).
+    orders⋈customer are the small sides at scale → broadcast-eligible."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _oracle_top_orders_by_revenue() -> str:
+    return (
+        "SELECT o_orderkey, c_mktsegment, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY o_orderkey, c_mktsegment "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style multi-join with broadcast dimension tables and a pushed-
+    down region filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+    )
+
+
+def _oracle_revenue_by_nation() -> str:
+    return (
+        "SELECT n_name, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name"
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-2 orders per customer by total price
+    (row_number with a deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+def _oracle_top_orders_per_customer() -> str:
+    return (
+        "SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, rnk FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+        "FROM orders) WHERE rnk <= 2"
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming profile):
+    per-hour per-type counts + decimal-exact value sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _oracle_events_hourly_rollup() -> str:
+    return (
+        "SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via window
+    functions. Gap compare is in epoch MICROseconds (integer) — datediff
+    truncation/boundary semantics differ across engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    e = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > F.lit(30 * 60 * 1_000_000)), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = e.withColumn("session_id", F.sum("new_sess").over(wsum))
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _oracle_events_sessionize() -> str:
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, EPOCH_US(ts) AS us, "
+        "CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL "
+        "OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end "
+        "FROM s GROUP BY user_id, session_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §7.4.3)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/word stats per document; avg word length from integer char
+    counts (no float summation)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars"),
+        TX.n_words(text).cast("bigint").alias("n_words"),
+        TX.n_distinct_words(text).cast("bigint").alias("n_distinct_words"),
+        TX.avg_word_len(text).alias("avg_word_len"),
+    )
+
+
+def _oracle_text_stats() -> str:
+    return (
+        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words, "
+        "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_words, "
+        "CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) "
+        " / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS avg_word_len "
+        "FROM documents"
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID (n-gram heuristic)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.predicted_lang(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _oracle_text_langid() -> str:
+    # mirror TX.lang_scores / predicted_lang: occurrence counts by length
+    # arithmetic over the space-padded text, CASE chain in marker order.
+    score_sql = {}
+    for lang, markers in TX.LANG_MARKERS:
+        terms = [
+            f"(LENGTH(p) - LENGTH(REPLACE(p, '{m}', ''))) / {len(m)}"
+            for m in markers
+        ]
+        score_sql[lang] = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    langs = [lang for lang, _ in TX.LANG_MARKERS]
+    whens = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in score_sql.items())
+    return (
+        f"WITH padded AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents), "
+        f"scored AS (SELECT doc_id, lang, {scores} FROM padded) "
+        f"SELECT doc_id, lang AS lang_declared, {case} AS lang_pred FROM scored"
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.n_words(text).cast("bigint").alias("ws_tokens"),
+        TX.bpe_token_count(text).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _oracle_text_tokens() -> str:
+    return (
+        "SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens, "
+        f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 + first MinHash component
+    (min over 3-shingle seeded hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.md5_fingerprint(text).alias("md5_hex"),
+        TX.minhash_component(TX.shingles(text, 3), 0).alias("minhash_0"),
+    )
+
+
+_DUCK_SHINGLES = (
+    "CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 3 THEN "
+    "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2), "
+    "i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+
+
+def _oracle_text_fingerprint() -> str:
+    return (
+        f"WITH sh AS (SELECT doc_id, text, {_DUCK_SHINGLES} AS shingles FROM documents) "
+        "SELECT doc_id, MD5(text) AS md5_hex, "
+        "LIST_AGGREGATE(LIST_TRANSFORM(shingles, x -> MD5('0:' || x)), 'min') AS minhash_0 "
+        "FROM sh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (SURVEY §7.4.1-2)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on content fingerprint."""
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_dedup_exact() -> str:
+    return (
+        "SELECT MD5(text) AS text_hash, COUNT(*) AS n_copies, "
+        "MIN(doc_id) AS keeper_id FROM documents GROUP BY MD5(text)"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-shingle Jaccard ≥ 0.3 via inverted-index join
+    (cost Σ df², never N²)."""
+    return DD.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.3)
+
+
+def _oracle_dedup_ngram_jaccard() -> str:
+    return (
+        f"WITH sh0 AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents), "
+        "shd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh0), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter "
+        "FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT a_id, b_id, n_inter, "
+        "CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard "
+        "FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id "
+        "WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.3"
+    )
+
+
+_MINHASH_K = 12
+_MINHASH_BANDS = 4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (12 hashes, 4 bands × 3 rows)."""
+    return DD.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    )
+
+
+def _oracle_dedup_minhash_lsh() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"LIST_AGGREGATE(LIST_TRANSFORM(shingles, x -> MD5('{s}:' || x)), 'min') AS sig_{s}"
+        for s in range(_MINHASH_K)
+    )
+    band_hashes = ", ".join(
+        "MD5(" + " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows)) + f") AS b_{b}"
+        for b in range(_MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b_{b} AS band_hash FROM hashed"
+        for b in range(_MINHASH_BANDS)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
+        f"hashed AS (SELECT doc_id, {band_hashes} FROM sig), "
+        f"bands AS ({band_rows}) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+        "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    return DD.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_dedup_simhash() -> str:
+    hex_high = "('8','9','a','b','c','d','e','f')"
+    bit_exprs = []
+    for j in range(1, DD.SIMHASH_BITS + 1):
+        s = (
+            "LIST_AGGREGATE(LIST_TRANSFORM(hs, "
+            f"h -> CASE WHEN SUBSTR(h, {j}, 1) IN {hex_high} THEN 1 ELSE -1 END), 'sum')"
+        )
+        bit_exprs.append(f"CASE WHEN {s} >= 0 THEN '1' ELSE '0' END")
+    simhash = " || ".join(bit_exprs)
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')), x -> MD5(x)) AS hs "
+        "FROM documents) "
+        f"SELECT doc_id, {simhash} AS simhash FROM w"
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-LSH candidate pairs (8-bit half-band join) with
+    exact Hamming distance."""
+    return DD.simhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_dedup_simhash_pairs() -> str:
+    base = _oracle_dedup_simhash()
+    ham = " + ".join(
+        f"CASE WHEN SUBSTR(a.simhash, {j}, 1) <> SUBSTR(b.simhash, {j}, 1) THEN 1 ELSE 0 END"
+        for j in range(1, DD.SIMHASH_BITS + 1)
+    )
+    return (
+        f"WITH fp AS ({base}), "
+        "halves AS (SELECT doc_id, simhash, 0 AS half_idx, SUBSTR(simhash, 1, 8) AS half FROM fp "
+        "UNION ALL SELECT doc_id, simhash, 1, SUBSTR(simhash, 9, 8) FROM fp), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "a.simhash AS sim_a, b.simhash AS sim_b "
+        "FROM halves a JOIN halves b ON a.half_idx = b.half_idx AND a.half = b.half "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT a_id, b_id, ({ham.replace('a.simhash', 'sim_a').replace('b.simhash', 'sim_b')}) AS hamming FROM pairs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (SURVEY §7.4.2)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10.
+    Similarity rounded to 4 dp for cross-engine float stability (rank
+    margins were measured ≥ 1.9e-5 on the fixtures; see tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 4).alias("cosine_sim_r")
+    )
+
+
+def _oracle_ann_topk() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "LIST_COSINE_SIMILARITY(q.v, c.v) AS sim FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r FROM r WHERE rank <= 5"
+    )
+
+
+def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result through the Arrow-batched numpy path (mapInPandas) —
+    oracle-checked against the same SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.brute_force_topk_numpy(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 4).alias("cosine_sim_r")
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane signatures,
+    multiprobe). Approximate by design → no SQL oracle (driver records
+    rows-only)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (SURVEY §7.4.4)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via Arrow-batched mapInPandas
+    (decode step stubbed deterministically; plumbing is real)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = MM.attach_payload(d, "doc_id", "text")
+    return MM.extract_metadata(assets)
+
+
+def _oracle_multimodal_metadata() -> str:
+    # payload is the UTF-8 text; corpus is ASCII so byte_len == LENGTH(text)
+    return (
+        "SELECT doc_id AS asset_id, CAST(LENGTH(text) AS BIGINT) AS byte_len, "
+        "SHA256(text) AS sha256, "
+        "CAST(1 + LENGTH(text) % 1024 AS INTEGER) AS width, "
+        "CAST(1 + (LENGTH(text) // 1024) % 1024 AS INTEGER) AS height "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "profile_tables": q_profile_tables,
+    "profile_columns": q_profile_columns,
+    "profile_minmax_numeric": q_profile_minmax_numeric,
+    "profile_minmax_temporal": q_profile_minmax_temporal,
+    "profile_bool_histogram": q_profile_bool_histogram,
+    "profile_rowcounts_exact": q_profile_rowcounts_exact,
+    "validation_metrics": q_validation_metrics,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_numpy": q_ann_topk_numpy,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "multimodal_metadata": q_multimodal_metadata,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "profile_tables": _oracle_profile_tables(),
+        "profile_columns": _oracle_profile_columns(),
+        "profile_minmax_numeric": _oracle_profile_minmax_numeric(),
+        "profile_minmax_temporal": _oracle_profile_minmax_temporal(),
+        "profile_bool_histogram": _oracle_profile_bool_histogram(),
+        "profile_rowcounts_exact": _oracle_profile_rowcounts_exact(),
+        "validation_metrics": _oracle_validation_metrics(),
+        "pricing_summary": _oracle_pricing_summary(),
+        "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
+        "revenue_by_nation": _oracle_revenue_by_nation(),
+        "top_orders_per_customer": _oracle_top_orders_per_customer(),
+        "events_hourly_rollup": _oracle_events_hourly_rollup(),
+        "events_sessionize": _oracle_events_sessionize(),
+        "text_stats": _oracle_text_stats(),
+        "text_langid": _oracle_text_langid(),
+        "text_tokens": _oracle_text_tokens(),
+        "text_fingerprint": _oracle_text_fingerprint(),
+        "dedup_exact": _oracle_dedup_exact(),
+        "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
+        "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),
+        "dedup_simhash": _oracle_dedup_simhash(),
+        "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
+        "ann_topk_bruteforce": _oracle_ann_topk(),
+        "ann_topk_numpy": _oracle_ann_topk(),
+        # ann_topk_lsh: approximate → rows-only check by design
+        "multimodal_metadata": _oracle_multimodal_metadata(),
+    }

@@ -1,0 +1,11 @@
+from overpaint_spark.rules.rules import (  # noqa: F401
+    Rule,
+    accepted_values,
+    evaluate_rules,
+    freshness_within,
+    in_range,
+    min_length,
+    not_null,
+    row_count_at_least,
+    unique,
+)
