@@ -1,0 +1,94 @@
+"""Benchmark harness — runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the ``noop`` sink (full execution,
+no driver materialization, no sink IO skew). One warm-up job first so
+JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # profiler core (the reference's whole surface, single-pass)
+    "profile_tables",
+    "profile_minmax_numeric",
+    "profile_minmax_temporal",
+    "profile_rowcounts_exact",
+    "profile_bool_histogram",
+    # rules engine
+    "validation_metrics",
+    # analytics
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_sessionize",
+    # LLM-pipeline operators
+    "text_stats",
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_numpy",
+    "multimodal_metadata",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from overpaint_spark import queries as Q
+    from overpaint_spark.session import get_spark
+
+    spark = get_spark("overpaint-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "overpaint_spark headline queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,12 +127,31 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{H-1}) — one codegen pass, zero shuffles."""
-    sh = TX.shingles(F.col(text_col), k)
-    cols = [F.col(id_col)] + [
-        TX.minhash_component(sh, seed).alias(f"sig_{seed}") for seed in range(num_hashes)
-    ]
-    return docs.select(*cols)
+    """(doc_id, sig_0..sig_{H-1}) MinHash signatures.
+
+    Explode-once → H hashes per (doc, shingle) → groupBy-min: the shingle
+    pipeline runs ONCE per doc (an all-HOF variant re-inlines it per
+    component — measured 20× slower), the per-shingle work is H short
+    md5s, and the single shuffle carries H×16 bytes per doc. Min over the
+    distinct shingle set equals min over the multiset, so results match
+    the per-list oracle exactly. Docs with < k words produce no shingles
+    and come back with NULL signatures via the left join.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary")).alias(f"h_{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{s}").alias(f"sig_{s}") for s in range(num_hashes)]
+    )
+    return docs.select(id_col).join(sig, id_col, "left")
 
 
 def lsh_candidate_pairs(
@@ -152,17 +171,26 @@ def lsh_candidate_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    def band_hash(bi: int):
+        # NULL-propagating concat (NOT concat_ws): a doc with no shingles
+        # has NULL signatures and must land in no bucket, matching the
+        # SQL oracle where `NULL || x` is NULL.
+        parts: list = []
+        for r in range(rows):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"sig_{bi * rows + r}"))
+        return F.md5(F.concat(*parts).cast("binary"))
+
     band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.md5(F.concat_ws("|", *[F.col(f"sig_{bi * rows + r}") for r in range(rows)]).cast("binary")).alias("band_hash"),
-        )
+        F.struct(F.lit(bi).alias("band_idx"), band_hash(bi).alias("band_hash"))
         for bi in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        .filter(F.col("band_hash").isNotNull())
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1,0 +1,94 @@
+"""Structured Streaming variants of the profile / rule aggregations
+(SURVEY §7.4.5): the same single-pass aggregate expressions, applied per
+event-time tumbling window with a watermark for late data.
+
+The batch profiler computes (min, max, count_if…) once per table; the
+streaming profiler computes the identical expression set per
+``window(ts, …)`` group, so a rule/stat defined once works in both
+modes — the design goal of the rules engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from overpaint_spark.functions import typeclass
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, source_dir: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream over a directory of Parquet drops (the
+    batch-fixture-as-stream harness used by the tests; swap for Kafka in
+    production — the downstream code is source-agnostic)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def streaming_profile(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window column profile: the batch stat_exprs per tumbling
+    window. Late rows beyond the watermark are dropped (documented
+    late-data policy, required for state cleanup at scale)."""
+    exprs = []
+    for f_ in stream.schema.fields:
+        if f_.name == ts_col:
+            continue
+        c = F.col(f_.name)
+        if typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
+            exprs.append(F.min(c).alias(f"min_{f_.name}"))
+            exprs.append(F.max(c).alias(f"max_{f_.name}"))
+        elif typeclass.is_boolean(f_.dataType):
+            exprs.append(F.count_if(c).alias(f"true_{f_.name}"))
+            exprs.append(F.count_if(~c).alias(f"false_{f_.name}"))
+    exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*exprs)
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "*")
+        .drop("w")
+    )
+
+
+def streaming_rule_metrics(
+    stream: DataFrame,
+    rules,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed rule evaluation: each :class:`overpaint_spark.rules.Rule`
+    metric per tumbling window — the monitoring stream a production
+    deployment writes to its metrics sink."""
+    aggs = [r.metric().cast("long").alias(f"m_{i}") for i, r in enumerate(rules)]
+    wide = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*aggs)
+    )
+    rows = [
+        F.struct(
+            F.lit(r.name).alias("rule_name"),
+            F.lit(r.column).alias("column_name"),
+            F.col(f"m_{i}").alias("metric_value"),
+            r.passes(F.col(f"m_{i}")).alias("passed"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return wide.select(
+        F.col("w.start").alias("window_start"),
+        F.explode(F.array(*rows)).alias("r"),
+    ).select("window_start", "r.*")

@@ -1,0 +1,12 @@
+import pytest
+
+from overpaint_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("overpaint-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()

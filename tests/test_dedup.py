@@ -1,0 +1,67 @@
+"""Dedup operators on synthetic corpora with planted duplicates."""
+
+import pytest
+from pyspark.sql import Row
+
+from overpaint_spark.operators import dedup as DD
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_B = "spark executes distributed queries with catalyst optimizer and tungsten codegen engine"
+DOC_C = "completely different words about cooking pasta with garlic butter and fresh basil leaves"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, text=DOC_A),
+        Row(doc_id=2, text=DOC_A),        # exact dup of 1
+        Row(doc_id=3, text=DOC_A_NEAR),   # near dup of 1 (1 word changed)
+        Row(doc_id=4, text=DOC_B),
+        Row(doc_id=5, text=DOC_C),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    groups = {r.keeper_id: r.n_copies for r in DD.exact_dedup_groups(corpus).collect()}
+    assert groups[1] == 2          # docs 1+2 collapse, min id wins
+    assert groups[3] == 1
+    survivors = sorted(r.doc_id for r in DD.exact_dedup(corpus).collect())
+    assert survivors == [1, 3, 4, 5]
+
+
+def test_jaccard_finds_near_dup_only(corpus):
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in DD.jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0       # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_jaccard_max_doc_freq_prunes_stop_shingles(corpus):
+    # with a df cap of 1 every shared shingle is dropped → no pairs survive
+    assert DD.jaccard_pairs(corpus, threshold=0.1, max_doc_freq=1).count() == 0
+
+
+def test_minhash_lsh_catches_exact_and_near(corpus):
+    pairs = {(r.a_id, r.b_id) for r in DD.lsh_candidate_pairs(corpus).collect()}
+    assert (1, 2) in pairs                 # identical docs always collide
+    assert (1, 3) in pairs                 # 0.87 jaccard → p≈0.97 with 4×3 bands
+    assert (4, 5) not in pairs
+
+
+def test_minhash_signature_shape(corpus):
+    sig = DD.minhash_signatures(corpus, num_hashes=12)
+    row = sig.filter("doc_id = 1").collect()[0]
+    assert len([c for c in sig.columns if c.startswith("sig_")]) == 12
+    # identical docs → identical signatures
+    row2 = sig.filter("doc_id = 2").collect()[0]
+    assert [row[f"sig_{i}"] for i in range(12)] == [row2[f"sig_{i}"] for i in range(12)]
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    fps = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(corpus).collect()}
+    assert fps[1] == fps[2]
+    assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
+    pairs = {(r.a_id, r.b_id): r.hamming for r in DD.simhash_candidate_pairs(corpus).collect()}
+    assert pairs[(1, 2)] == 0

@@ -1,0 +1,94 @@
+"""Profiler end-to-end tests: single-pass stats, NULL semantics, error
+isolation, display contract (SURVEY §5.1/§5.4)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from overpaint_spark.profiler import profile_data_root, profile_table, render_tables
+from overpaint_spark.profiler.profile import TableProfile, stat_exprs
+from overpaint_spark.sources.catalog import TableHandle, discover_tables, footer_row_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_discover_tables_sorted():
+    names = [h.name for h in discover_tables(SF)]
+    assert names == sorted(names)
+    assert "lineitem" in names and "events" in names
+
+
+def test_footer_count_matches_exact(spark):
+    h = next(h for h in discover_tables(SF) if h.name == "orders")
+    assert footer_row_count(h.path) == 1500
+
+
+def test_profile_orders_single_pass(spark):
+    h = next(h for h in discover_tables(SF) if h.name == "orders")
+    p = profile_table(spark, h, exact=True)
+    assert p.estimated_rows == 1500 and p.exact_rows == 1500
+    cols = {c.name: c for c in p.columns}
+    assert cols["o_orderkey"].min_value == 0
+    assert cols["o_orderkey"].max_value == 1499
+    assert cols["o_orderdate"].min_value.year == 1995
+    assert cols["o_orderstatus"].min_value is None  # strings get no stats
+
+
+def test_boolean_nulls_in_neither_bucket(spark):
+    df = spark.createDataFrame(
+        [Row(b=True)] * 3 + [Row(b=False)] * 2 + [Row(b=None)] * 5,
+        "b boolean",
+    )
+    df.write.mode("overwrite").parquet("/tmp/op_test_bool/t.parquet")
+    p = profile_table(spark, TableHandle("public", "t", "/tmp/op_test_bool/t.parquet"))
+    col = p.columns[0]
+    # 5 NULLs excluded from both buckets and from the percent denominator
+    assert (col.true_count, col.false_count) == (3, 2)
+
+
+def test_empty_table_blank_ranges(spark):
+    df = spark.createDataFrame([], "x bigint, ts timestamp_ntz")
+    df.write.mode("overwrite").parquet("/tmp/op_test_empty/t.parquet")
+    p = profile_table(spark, TableHandle("public", "t", "/tmp/op_test_empty/t.parquet"))
+    assert p.columns[0].min_value is None
+    text = render_tables([p])
+    assert "x" in text  # column listed, range cell blank
+
+
+def test_unreadable_table_error_isolated(spark):
+    os.makedirs("/tmp/op_test_bad", exist_ok=True)
+    with open("/tmp/op_test_bad/t.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    p = profile_table(spark, TableHandle("public", "t", "/tmp/op_test_bad/t.parquet"))
+    assert p.error is not None  # swallowed, not raised (listTables.tsx:486-488)
+
+
+def test_render_contract():
+    p = TableProfile(schema="public", name="orders", estimated_rows=1500)
+    out = render_tables([p])
+    assert out.startswith("Tables (schema.table) — ~rows (estimated), columns:")
+    assert "public.orders — ~1500 rows, 0 cols" in out
+
+
+def test_render_exact_error_cell():
+    p = TableProfile(schema="public", name="bad", exact_rows=None)
+    out = render_tables([p], mode="exact")
+    assert "public.bad — error rows, 0 cols" in out
+
+
+def test_render_no_tables():
+    assert render_tables([]) == "No tables found.\n"
+
+
+def test_stat_exprs_one_pass_covers_all_types(spark):
+    df = spark.createDataFrame([], "a int, b string, c boolean, d timestamp_ntz")
+    exprs = stat_exprs(df.schema, exact=True)
+    # a: min+max, c: tc+fc, d: min+max, plus count → 7; b contributes nothing
+    assert len(exprs) == 7
+
+
+def test_full_data_root(spark):
+    profiles = profile_data_root(spark, SF)
+    assert len(profiles) == 10
+    assert all(p.error is None for p in profiles)

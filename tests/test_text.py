@@ -1,0 +1,65 @@
+"""Text-analysis function tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from overpaint_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog"),
+        Row(doc_id=2, text="le chat et le chien noir"),
+        Row(doc_id=3, text="xyzzy plugh"),          # no markers → und
+        Row(doc_id=4, text="one two"),               # < 3 words → no shingles
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _one(df, col):
+    return {r.doc_id: r[col] for r in df.collect()}
+
+
+def test_word_stats(docs):
+    out = docs.select(
+        "doc_id",
+        TX.n_words(F.col("text")).alias("nw"),
+        TX.n_distinct_words(F.col("text")).alias("nd"),
+        TX.avg_word_len(F.col("text")).alias("awl"),
+    )
+    nw, nd, awl = _one(out, "nw"), _one(out, "nd"), _one(out, "awl")
+    assert nw[1] == 5 and nd[1] == 4          # 'the' twice
+    assert awl[1] == (19 - 4) / 5             # exact integer-derived mean
+
+
+def test_langid(docs):
+    pred = _one(docs.select("doc_id", TX.predicted_lang(F.col("text")).alias("p")), "p")
+    assert pred[1] == "en"
+    assert pred[2] == "fr"
+    assert pred[3] == "und"
+
+
+def test_bpe_tokens(docs):
+    out = _one(docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("t")), "t")
+    assert out[1] == 5                        # pure letter runs
+    mixed = docs.sparkSession.createDataFrame([Row(doc_id=9, text="ab12cd, x9!")])
+    got = _one(mixed.select("doc_id", TX.bpe_token_count(F.col("text")).alias("t")), "t")
+    # ab | 12 | cd | , | x | 9 | !  → 7
+    assert got[9] == 7
+
+
+def test_shingles_short_doc_empty(docs):
+    out = _one(docs.select("doc_id", TX.shingles(F.col("text"), 3).alias("s")), "s")
+    assert out[4] == []
+    assert out[1] == ["the cat and", "cat and the", "and the dog"]
+
+
+def test_minhash_component_is_min_of_hashes(docs):
+    out = docs.select(
+        "doc_id", TX.minhash_component(TX.shingles(F.col("text"), 3), seed=0).alias("m")
+    )
+    m = _one(out, "m")
+    assert m[4] is None                        # empty shingle set → no signature
+    assert len(m[1]) == 32                     # md5 hex
