@@ -136,7 +136,13 @@ def minhash_signatures(
     distinct shingle set equals min over the multiset, so results match
     the per-list oracle exactly. Docs with < k words produce no shingles
     and come back with NULL signatures via the left join.
+
+    Each md5 yields FOUR independent 32-bit components (8 hex chars each;
+    fixed-width lowercase hex sorts identically to its numeric value), so
+    H hashes cost ceil(H/4) md5 calls per shingle — 4× less hashing for
+    the same signature family size.
     """
+    n_md5 = (num_hashes + 3) // 4
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.shingles(F.col(text_col), k))).alias("shingle"),
@@ -144,12 +150,19 @@ def minhash_signatures(
     hashed = sh.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary")).alias(f"h_{s}")
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle")).cast("binary")).alias(f"h_{g}")
+            for g in range(n_md5)
+        ],
+    )
+    comps = hashed.select(
+        F.col(id_col),
+        *[
+            F.substring(f"h_{s // 4}", (s % 4) * 8 + 1, 8).alias(f"c_{s}")
             for s in range(num_hashes)
         ],
     )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h_{s}").alias(f"sig_{s}") for s in range(num_hashes)]
+    sig = comps.groupBy(id_col).agg(
+        *[F.min(f"c_{s}").alias(f"sig_{s}") for s in range(num_hashes)]
     )
     return docs.select(id_col).join(sig, id_col, "left")
 

@@ -698,8 +698,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_dedup_minhash_lsh() -> str:
     rows = _MINHASH_K // _MINHASH_BANDS
+    # component s = min over shingles of hex chars [8*(s%4)+1, 8] of
+    # md5('<s//4>:' || shingle) — the same 4-components-per-md5 family as
+    # operators.dedup.minhash_signatures
     sig_cols = ", ".join(
-        f"LIST_AGGREGATE(LIST_TRANSFORM(shingles, x -> MD5('{s}:' || x)), 'min') AS sig_{s}"
+        f"LIST_AGGREGATE(LIST_TRANSFORM(shingles, "
+        f"x -> SUBSTR(MD5('{s // 4}:' || x), {(s % 4) * 8 + 1}, 8)), 'min') AS sig_{s}"
         for s in range(_MINHASH_K)
     )
     band_hashes = ", ".join(

@@ -40,6 +40,10 @@ def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # DSv2 parquet: MIN/MAX/COUNT aggregate pushdown (answered from
+        # row-group statistics — the profiler's hot path becomes
+        # metadata-only, the Spark analog of reading pg_class.reltuples)
+        .config("spark.sql.sources.useV1SourceList", "")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
