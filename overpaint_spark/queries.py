@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from overpaint_spark.functions import text as TX
 from overpaint_spark.functions import typeclass
+from overpaint_spark.operators.asof import asof_join_backward
 from overpaint_spark.operators import dedup as DD
 from overpaint_spark.operators import multimodal as MM
 from overpaint_spark.operators import similarity as SIM
@@ -535,6 +536,50 @@ def _oracle_events_sessionize() -> str:
     )
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase event joined (backward
+    as-of, inclusive) to the same user's latest click at-or-before it,
+    plus the click-to-purchase lag in integer epoch microseconds.
+    Purchases with no preceding click are filtered (inner as-of) so the
+    oracle result is NULL-free; the left/NULL path is unit-tested in
+    tests/test_asof.py."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join_backward(
+        purchases, clicks,
+        on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        payload_cols=["click_id", "click_ts"],
+    )
+    return joined.filter(F.col("click_id").isNotNull()).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
+def _oracle_events_asof_attribution() -> str:
+    return (
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts "
+        "FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, event_id AS click_id, ts AS click_ts "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts, "
+        "EPOCH_US(p.purchase_ts) - EPOCH_US(c.click_ts) AS lag_us "
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (SURVEY §7.4.3)
 # ---------------------------------------------------------------------------
@@ -858,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
+    "events_asof_attribution": q_events_asof_attribution,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -889,6 +935,7 @@ def oracles() -> dict[str, str]:
         "top_orders_per_customer": _oracle_top_orders_per_customer(),
         "events_hourly_rollup": _oracle_events_hourly_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
+        "events_asof_attribution": _oracle_events_asof_attribution(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),

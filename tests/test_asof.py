@@ -1,0 +1,79 @@
+"""As-of join operator: backward inclusive semantics, NULL path, ties."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from overpaint_spark.operators.asof import asof_join_backward
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00")),   # after two quotes
+            (2, "a", _ts("2024-01-01 09:00:00")),   # exactly at a quote (tie)
+            (3, "a", _ts("2024-01-01 07:00:00")),   # before any quote → NULL
+            (4, "b", _ts("2024-01-01 12:00:00")),   # other key
+            (5, "c", _ts("2024-01-01 12:00:00")),   # key absent on right → NULL
+        ],
+        "trade_id long, sym string, trade_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 08:00:00"), 100.0),
+            ("a", _ts("2024-01-01 09:00:00"), 101.0),
+            ("b", _ts("2024-01-01 11:30:00"), 55.0),
+            ("b", _ts("2024-01-01 12:30:00"), 56.0),  # in the future → ignored
+        ],
+        "sym string, quote_ts timestamp, px double",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_null(spark):
+    left, right = _frames(spark)
+    out = asof_join_backward(
+        left, right, on="sym", left_ts="trade_ts", right_ts="quote_ts",
+        payload_cols=["px"],
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {1: 101.0, 2: 101.0, 3: None, 4: 55.0, 5: None}
+    # all left rows and columns survive
+    assert out.count() == left.count()
+    assert set(left.columns) <= set(out.columns)
+
+
+def test_payload_ts_column(spark):
+    left, right = _frames(spark)
+    out = asof_join_backward(
+        left, right, on="sym", left_ts="trade_ts", right_ts="quote_ts",
+        payload_cols=["px", "quote_ts"],
+    )
+    row = {r["trade_id"]: r for r in out.collect()}
+    assert row[1]["quote_ts"] == _ts("2024-01-01 09:00:00")
+    assert row[3]["quote_ts"] is None
+
+
+def test_matches_sql_correlated_oracle(spark):
+    """Cross-check against the O(n^2) correlated-subquery definition."""
+    left, right = _frames(spark)
+    out = asof_join_backward(
+        left, right, on="sym", left_ts="trade_ts", right_ts="quote_ts",
+        payload_cols=["px"],
+    ).orderBy("trade_id")
+    left.createOrReplaceTempView("trades")
+    right.createOrReplaceTempView("quotes")
+    naive = spark.sql(
+        """
+        SELECT t.*, (
+          SELECT MAX_BY(q.px, q.quote_ts) FROM quotes q
+          WHERE q.sym = t.sym AND q.quote_ts <= t.trade_ts
+        ) AS px
+        FROM trades t ORDER BY trade_id
+        """
+    )
+    assert [r.asDict() for r in out.collect()] == [r.asDict() for r in naive.collect()]
