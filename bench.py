@@ -33,15 +33,18 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_asof_attribution",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",
     "text_tokens",
     "text_fingerprint",
+    "text_quality",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_topk_numpy",
     "multimodal_metadata",

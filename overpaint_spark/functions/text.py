@@ -102,6 +102,60 @@ def predicted_lang(text: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+# --- quality scoring --------------------------------------------------------
+
+# Characters outside the corpus alphabet (lowercase words + single spaces)
+# count as "punctuation/noise". Spelled as a negated class so uppercase,
+# digits-in-words, unicode etc. all land in the noise bucket.
+PUNCT_RE = "[^a-z0-9 ]"
+
+# Tiny function-word list: enough to separate natural prose from keyword
+# soup; membership test is exact (list_filter), not substring counting.
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_RE)).cast("bigint")
+
+
+def digit_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit("[0-9]")).cast("bigint")
+
+
+def stopword_count(text: Column) -> Column:
+    """Exact token-membership count (not substring occurrences — those
+    miss overlapping matches and would differ from any list-based SQL)."""
+    return F.size(F.filter(words(text), lambda w: w.isin(*STOPWORDS))).cast("bigint")
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    """Ratio signals for document quality, each an exact double division
+    of two integer counts (bit-identical across engines)."""
+    nw = n_words(text).cast("double")
+    nc = F.length(text).cast("double")
+    return {
+        "punct_ratio": punct_count(text).cast("double") / nc,
+        "digit_ratio": digit_count(text).cast("double") / nc,
+        "stopword_ratio": stopword_count(text).cast("double") / nw,
+        "type_token_ratio": n_distinct_words(text).cast("double") / nw,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0, 1] — equal-weight mean of
+    (a) length adequacy (full marks at ≥ 50 words), (b) lexical
+    diversity, (c) stopword naturalness (full marks at ≥ 5%), and
+    (d) punctuation cleanliness (zero marks at ≥ 20% noise chars).
+    Fixed operation order; LEAST and arithmetic are IEEE-exact, so the
+    oracle reproduces it bit-for-bit.
+    """
+    c = quality_components(text)
+    len_ok = F.least(n_words(text).cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_ok = F.least(c["stopword_ratio"] / F.lit(0.05), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(c["punct_ratio"] / F.lit(0.2), F.lit(1.0))
+    return (len_ok + c["type_token_ratio"] + stop_ok + punct_ok) * F.lit(0.25)
+
+
 # --- fingerprinting --------------------------------------------------------
 
 def md5_fingerprint(text: Column) -> Column:

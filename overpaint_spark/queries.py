@@ -885,6 +885,71 @@ def _oracle_multimodal_metadata() -> str:
     )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: punctuation/digit/stopword/diversity
+    ratios + composite heuristic score (functions/text.py). Every ratio
+    is one double division of integer counts; the composite uses a fixed
+    IEEE operation order, so the oracle is bit-exact."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    comp = TX.quality_components(text)
+    score = TX.quality_score(text)
+    return d.select(
+        "doc_id",
+        comp["punct_ratio"].alias("punct_ratio"),
+        comp["digit_ratio"].alias("digit_ratio"),
+        comp["stopword_ratio"].alias("stopword_ratio"),
+        comp["type_token_ratio"].alias("type_token_ratio"),
+        score.alias("quality_score"),
+        (score >= F.lit(0.5)).alias("is_quality"),
+    )
+
+
+def _oracle_text_quality() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    score = (
+        "(LEAST(nw / 50.0, 1.0) + type_token_ratio "
+        "+ LEAST(stopword_ratio / 0.05, 1.0) "
+        "+ (1.0 - LEAST(punct_ratio / 0.2, 1.0))) * 0.25"
+    )
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "CAST(LENGTH(text) AS DOUBLE) AS nc, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS nw, "
+        "CAST(LENGTH(REGEXP_REPLACE(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS np, "
+        "CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd, "
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({stop_list}))) AS DOUBLE) AS ns, "
+        "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS nu "
+        "FROM documents), "
+        "r AS (SELECT doc_id, nw, np / nc AS punct_ratio, nd / nc AS digit_ratio, "
+        "ns / nw AS stopword_ratio, nu / nw AS type_token_ratio FROM m) "
+        "SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio, type_token_ratio, "
+        f"{score} AS quality_score, {score} >= 0.5 AS is_quality FROM r"
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact O(N²) baseline;
+    the LSH-bucketed scale path is dedup.embedding_near_dup_pairs_bucketed,
+    verified a subset of this in tests). Fixture margins to the 0.4
+    threshold are ≥ 9.8e-6 — far above cross-engine fold noise."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_pairs(e, threshold=0.4)
+    return out.select(
+        "a_id", "b_id", F.round("cosine_sim", 4).alias("cosine_sim_r")
+    )
+
+
+def _oracle_dedup_embedding_cosine() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        "ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS cosine_sim_r "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -908,11 +973,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_quality": q_text_quality,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_numpy": q_ann_topk_numpy,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -940,11 +1007,13 @@ def oracles() -> dict[str, str]:
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),
         "text_fingerprint": _oracle_text_fingerprint(),
+        "text_quality": _oracle_text_quality(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
+        "dedup_embedding_cosine": _oracle_dedup_embedding_cosine(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
         # ann_topk_lsh: approximate → rows-only check by design

@@ -65,3 +65,34 @@ def test_simhash_identical_docs_distance_zero(corpus):
     assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
     pairs = {(r.a_id, r.b_id): r.hamming for r in DD.simhash_candidate_pairs(corpus).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def _embeddings(spark, n=40, dim=8):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # planted near-dup: 1000 = tiny perturbation of vector 0
+    base = rows[0].embedding
+    rows.append(Row(vec_id=1000, embedding=[x * 1.01 + 0.001 for x in base]))
+    return spark.createDataFrame(rows)
+
+
+def test_embedding_near_dup_exact_finds_planted_pair(spark):
+    emb = _embeddings(spark)
+    pairs = {(r.a_id, r.b_id): r.cosine_sim
+             for r in DD.embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1000) in pairs
+    assert pairs[(0, 1000)] > 0.99
+
+
+def test_embedding_near_dup_bucketed_subset_of_exact(spark):
+    emb = _embeddings(spark)
+    exact = {(r.a_id, r.b_id) for r in DD.embedding_near_dup_pairs(emb, threshold=0.5).collect()}
+    approx = {(r.a_id, r.b_id)
+              for r in DD.embedding_near_dup_pairs_bucketed(emb, dim=8, threshold=0.5).collect()}
+    assert approx <= exact
+    # highly-similar planted pair lands in the same bucket
+    assert (0, 1000) in approx

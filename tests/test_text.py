@@ -63,3 +63,24 @@ def test_minhash_component_is_min_of_hashes(docs):
     m = _one(out, "m")
     assert m[4] is None                        # empty shingle set → no signature
     assert len(m[1]) == 32                     # md5 hex
+
+
+def test_quality_components_and_score(docs):
+    comp = TX.quality_components(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        comp["stopword_ratio"].alias("sr"),
+        comp["type_token_ratio"].alias("ttr"),
+        comp["punct_ratio"].alias("pr"),
+        TX.quality_score(F.col("text")).alias("q"),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 1: "the cat and the dog" → 3 stopwords of 5 words, 4 distinct
+    assert rows[1]["sr"] == 3 / 5
+    assert rows[1]["ttr"] == 4 / 5
+    assert rows[1]["pr"] == 0.0       # lowercase corpus, no noise chars
+    assert rows[3]["sr"] == 0.0       # "xyzzy plugh" has no stopwords
+    for r in rows.values():
+        assert 0.0 <= r["q"] <= 1.0
+    # prose with stopwords scores above keyword soup of the same length
+    assert rows[1]["q"] > rows[3]["q"]
