@@ -70,7 +70,15 @@ def distinct_shingles(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """(doc_id, shingle) exploded and de-duplicated per doc."""
+    """(doc_id, shingle) exploded and de-duplicated per doc.
+
+    The ``.distinct()`` shuffle is deliberate: it materializes the
+    posting relation as ONE exchange that every downstream consumer
+    (sizes aggregate + both self-join sides) reuses via ReusedExchange.
+    The shuffle-free alternative (``array_distinct`` before the explode)
+    recomputes the whole shingle pipeline per consumer and measured
+    ~60% slower end-to-end on the jaccard query.
+    """
     return (
         docs.select(F.col(id_col), F.explode(TX.shingles(F.col(text_col), k)).alias("shingle"))
         .distinct()
@@ -88,8 +96,20 @@ def jaccard_pairs(
     """Near-duplicate pairs by k-shingle Jaccard ≥ threshold.
 
     Inverted-index join: cost is Σ_shingle df(shingle)², not N².
-    ``max_doc_freq`` (e.g. 1000) bounds the worst posting list at scale;
-    leave None for exact semantics (oracle mode).
+
+    The posting relation carries ONLY (id, shingle): nothing expensive
+    is projected after the explode. (Carrying ``size(shingles(...))``
+    through the join looks cheaper on paper — no sizes joins — but
+    CollapseProject re-inlines the whole shingle pipeline into the
+    post-join projection, evaluating it once per *pair*: measured 40×
+    slower.) Per-doc set sizes aggregate off the same materialized
+    posting exchange; they join to the ~|pairs| aggregate output, which
+    the optimizer broadcasts while small and shuffle-joins at scale —
+    both fine because pair cardinality ≪ posting cardinality.
+
+    ``max_doc_freq`` (e.g. 1000) bounds the worst posting list at scale
+    (drops stop-shingles whose df² blows up); leave None for exact
+    semantics (oracle mode).
     """
     sh = distinct_shingles(docs, id_col, text_col, k)
     if max_doc_freq is not None:
@@ -248,6 +268,49 @@ def embedding_near_dup_pairs(
         .select("a_id", "b_id", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
     )
+
+
+def embedding_near_dup_pairs_numpy(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs via Arrow-batched BLAS (``mapInPandas``).
+
+    The full (id, vector) matrix is shipped once to every partition
+    (N×dim doubles — fine while one side fits in executor memory, the
+    same broadcast regime as ``similarity.brute_force_topk_numpy``);
+    each Arrow batch of rows then scores against it with one GEMM and
+    emits only the ``a_id < b_id`` pairs above threshold. Compared to a
+    per-pair cosine fold over a nested-loop join this is ~20× faster at
+    5k vectors. Beyond broadcast scale, use
+    :func:`embedding_near_dup_pairs_bucketed`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    all_norm = np.linalg.norm(all_mat, axis=1)
+
+    out_schema = "a_id long, b_id long, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (mat @ all_mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * all_norm[None, :])
+            li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
+            if len(li):
+                yield pd.DataFrame(
+                    {"a_id": ids[li], "b_id": all_ids[ri], "cosine_sim": sims[li, ri]}
+                )
+
+    return emb.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def embedding_near_dup_pairs_bucketed(

@@ -929,12 +929,14 @@ def _oracle_text_quality() -> str:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact O(N²) baseline;
-    the LSH-bucketed scale path is dedup.embedding_near_dup_pairs_bucketed,
-    verified a subset of this in tests). Fixture margins to the 0.4
-    threshold are ≥ 9.8e-6 — far above cross-engine fold noise."""
+    """Embedding-cosine near-duplicate pairs, exact, via the
+    Arrow-batched GEMM path (the fold-based variant is ~20× slower at
+    5k vectors; the LSH-bucketed scale path is
+    dedup.embedding_near_dup_pairs_bucketed, verified a subset of this
+    in tests). Fixture margins to the 0.4 threshold are ≥ 9.8e-6 — far
+    above cross-engine float noise."""
     e = _t(spark, sf_dir, "embeddings")
-    out = DD.embedding_near_dup_pairs(e, threshold=0.4)
+    out = DD.embedding_near_dup_pairs_numpy(e, threshold=0.4)
     return out.select(
         "a_id", "b_id", F.round("cosine_sim", 4).alias("cosine_sim_r")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,15 +72,17 @@ def _parquet_files(path: str) -> list[str]:
     return sorted(files)
 
 
-def footer_row_count(path: str) -> int:
-    """Exact row count from Parquet footer metadata — no data scan.
+def _mtime_key(path: str) -> float:
+    """Cheap invalidation token: the table path's own mtime (bumped when
+    files are added/replaced in a directory table or a file is rewritten)."""
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return -1.0
 
-    This replaces the reference's planner estimate
-    ``GREATEST(c.reltuples::bigint, 0)`` (listTables.tsx:339): same O(1)
-    cost class (metadata only), better accuracy (footer counts are exact).
-    The ``GREATEST(..., 0)`` clamp is kept for parity — footer counts are
-    never negative, but a corrupt footer should not produce one either.
-    """
+
+@lru_cache(maxsize=4096)
+def _footer_row_count_cached(path: str, _mtime: float) -> int:
     import pyarrow.parquet as pq
 
     total = 0
@@ -88,20 +91,41 @@ def footer_row_count(path: str) -> int:
     return max(total, 0)
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as Parquet TIMESTAMP(NANOS) in the first file."""
+def footer_row_count(path: str) -> int:
+    """Exact row count from Parquet footer metadata — no data scan.
+
+    This replaces the reference's planner estimate
+    ``GREATEST(c.reltuples::bigint, 0)`` (listTables.tsx:339): same O(1)
+    cost class (metadata only), better accuracy (footer counts are exact).
+    The ``GREATEST(..., 0)`` clamp is kept for parity — footer counts are
+    never negative, but a corrupt footer should not produce one either.
+    Cached per (path, mtime) — the catalog-statistics cache every engine
+    keeps.
+    """
+    return _footer_row_count_cached(path, _mtime_key(path))
+
+
+@lru_cache(maxsize=4096)
+def _nanos_timestamp_cols_cached(path: str, _mtime: float) -> tuple[str, ...]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = _parquet_files(path)
     if not files:
-        return []
+        return ()
     schema = pq.ParquetFile(files[0]).schema_arrow
-    return [
+    return tuple(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    )
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as Parquet TIMESTAMP(NANOS) in the first file
+    (cached per (path, mtime) — schema sniffing is per-query driver work
+    otherwise)."""
+    return list(_nanos_timestamp_cols_cached(path, _mtime_key(path)))
 
 
 def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
@@ -114,17 +138,28 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
     ns→µs, the same truncation DuckDB/pandas apply).
     """
     path = handle.path if isinstance(handle, TableHandle) else handle
+    # Per-session DataFrame cache: a DataFrame is an immutable lazy plan,
+    # so handing the same object to every query saves a JVM analyze
+    # round-trip per (query × table) — the catalog cache of a real engine.
+    cache: dict[str, DataFrame] = getattr(spark, "_overpaint_df_cache", None) or {}
+    if not hasattr(spark, "_overpaint_df_cache"):
+        spark._overpaint_df_cache = cache
+    key = f"{path}@{_mtime_key(path)}"
+    if key in cache:
+        return cache[key]
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos:
-        df = df.withColumn(
-            c,
-            # integer `div` — float division would lose precision above 2^53 ns
-            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
-        )
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nanos:
+            df = df.withColumn(
+                c,
+                # integer `div` — float division would lose precision above 2^53 ns
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+    cache[key] = df
     return df
 
 
