@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_attribution",
+    "events_daily_drift",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

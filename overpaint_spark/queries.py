@@ -885,6 +885,44 @@ def _oracle_multimodal_metadata() -> str:
     )
 
 
+def q_events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring: day-over-day row-count drift per event_type — the
+    streaming analog of the reference's row-count check, generalized to
+    a time series (SURVEY §7.3 'row-count drift vs previous profile').
+    pct_change is an exact double division of two bigint counts; the
+    alert flags |change| > 20%. First day per type has NULL drift (no
+    baseline) and never alerts."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        # date semantics, timestamp transport (cross-engine date codecs differ)
+        F.to_date("ts").cast("timestamp").alias("event_date"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("event_date")
+    prev = F.lag("n_events").over(w)
+    pct = (F.col("n_events") - prev).cast("double") / prev.cast("double")
+    return daily.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        prev.alias("prev_events"),
+        pct.alias("pct_change"),
+        F.coalesce(F.abs(pct) > F.lit(0.2), F.lit(False)).alias("drift_alert"),
+    )
+
+
+def _oracle_events_daily_drift() -> str:
+    return (
+        "WITH d AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, "
+        "COUNT(*) AS n_events FROM events GROUP BY 1, 2), "
+        "l AS (SELECT event_date, event_type, n_events, "
+        "LAG(n_events) OVER (PARTITION BY event_type ORDER BY event_date) AS prev_events FROM d) "
+        "SELECT event_date, event_type, n_events, prev_events, "
+        "CAST(n_events - prev_events AS DOUBLE) / CAST(prev_events AS DOUBLE) AS pct_change, "
+        "COALESCE(ABS(CAST(n_events - prev_events AS DOUBLE) / CAST(prev_events AS DOUBLE)) > 0.2, FALSE) "
+        "AS drift_alert FROM l"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: punctuation/digit/stopword/diversity
     ratios + composite heuristic score (functions/text.py). Every ratio
@@ -971,6 +1009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
     "events_asof_attribution": q_events_asof_attribution,
+    "events_daily_drift": q_events_daily_drift,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -1005,6 +1044,7 @@ def oracles() -> dict[str, str]:
         "events_hourly_rollup": _oracle_events_hourly_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof_attribution": _oracle_events_asof_attribution(),
+        "events_daily_drift": _oracle_events_daily_drift(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),

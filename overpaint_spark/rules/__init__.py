@@ -9,3 +9,8 @@ from overpaint_spark.rules.rules import (  # noqa: F401
     row_count_at_least,
     unique,
 )
+from overpaint_spark.rules.drift import (  # noqa: F401
+    read_profile_snapshot,
+    snapshot_drift,
+    write_profile_snapshot,
+)
