@@ -862,6 +862,15 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (Arrow-batched centroid
+    assignment, probe-limited search). Approximate by design → no SQL
+    oracle (driver records rows-only); recall vs brute force is pinned
+    in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
@@ -1024,6 +1033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_numpy": q_ann_topk_numpy,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_metadata": q_multimodal_metadata,
 }
 

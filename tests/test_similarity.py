@@ -69,3 +69,27 @@ def test_hyperplane_signature_deterministic(tiny):
     a = {r.vec_id: r.s for r in sig.collect()}
     b = {r.vec_id: r.s for r in sig.collect()}
     assert a == b and all(len(v) == 4 for v in a.values())
+
+
+def test_ivf_topk_recall_and_exact_sims(spark):
+    import math
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in SIM.brute_force_topk(e, q, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id): r.cosine_sim
+           for r in SIM.ivf_topk(e, q, k=5).collect()}
+    # every returned similarity is the true cosine (IVF prunes, never distorts)
+    for key, sim in ivf.items():
+        if key in exact:
+            assert math.isclose(sim, exact[key], rel_tol=1e-9)
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+    # per-query ranks are 1..k without gaps
+    ranks = {}
+    for r in SIM.ivf_topk(e, q, k=5).collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
