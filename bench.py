@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_numpy",
     "multimodal_metadata",
+    "multimodal_features",
 ]
 
 

@@ -77,6 +77,92 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
 
 
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched image resize via ``mapInPandas``.
+
+    STUB decode: if PIL is importable the real resize runs; in this
+    container it is not, so the output payload is a deterministic fake
+    (md5-keystream bytes of exactly ``width*height`` length) — the
+    Spark-side contract (schema, batch shape, per-partition statelessness,
+    payload-column pruning) is real and tested either way.
+    """
+    out_schema = "asset_id long, payload binary, width int, height int"
+
+    try:  # pragma: no cover - PIL absent in this environment
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def fake_resized(payload: bytes) -> bytes:
+        # md5 in counter mode: deterministic, payload-dependent, exact size
+        out = bytearray()
+        counter = 0
+        while len(out) < width * height:
+            out.extend(hashlib.md5(payload + b":" + str(counter).encode()).digest())
+            counter += 1
+        return bytes(out[: width * height])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if have_pil:  # pragma: no cover
+                import io
+                from PIL import Image
+
+                payloads = [
+                    Image.open(io.BytesIO(p)).resize((width, height)).tobytes()
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = [fake_resized(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
+
+
+FEATURE_DIM = 8
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Per-asset feature vector via an Arrow-batched pandas stage.
+
+    STUB encoder: a real build would run a vision/audio encoder over the
+    decoded payload here (same ``mapInPandas`` shape, model broadcast per
+    executor). The stand-in is deterministic AND cross-engine checkable:
+    feature j = first 16 bits of ``md5(payload || ':' || j)`` mapped to
+    [-1, 1) — so the whole pipeline, including this pandas stage, is
+    hash-verified against the SQL oracle. Output chains directly into
+    the similarity operators (array<double> embedding column).
+    """
+    out_schema = "asset_id long, features array<double>"
+
+    def feat(payload: bytes) -> list[float]:
+        out = []
+        for j in range(dim):
+            h = hashlib.md5(payload + b":" + str(j).encode()).hexdigest()
+            out.append(int(h[:4], 16) / 65536.0 * 2.0 - 1.0)
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": [feat(p) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """STUB (video path) — plan frame sampling as an exploded index range
     derived from fake stream length; a real build decodes with pyav.

@@ -894,6 +894,33 @@ def _oracle_multimodal_metadata() -> str:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from binary payloads through the Arrow-batched
+    pandas encoder stage (operators/multimodal.extract_features; encoder
+    stubbed with an md5-derived deterministic fake, so even the pandas
+    stage is hash-checked against the SQL oracle). Output widened to one
+    column per dimension for cross-engine comparison."""
+    d = _t(spark, sf_dir, "documents")
+    assets = MM.attach_payload(d, "doc_id", "text")
+    feats = MM.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        *[F.col("features")[j].alias(f"f_{j}") for j in range(MM.FEATURE_DIM)],
+    )
+
+
+def _oracle_multimodal_features() -> str:
+    cols = []
+    for j in range(MM.FEATURE_DIM):
+        h = f"MD5(text || ':{j}')"
+        val = " + ".join(
+            f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        cols.append(f"CAST({val} AS DOUBLE) / 65536.0 * 2.0 - 1.0 AS f_{j}")
+    return f"SELECT doc_id AS asset_id, {', '.join(cols)} FROM documents"
+
+
 def q_events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring: day-over-day row-count drift per event_type — the
     streaming analog of the reference's row-count check, generalized to
@@ -1035,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -1070,4 +1098,5 @@ def oracles() -> dict[str, str]:
         "ann_topk_numpy": _oracle_ann_topk(),
         # ann_topk_lsh: approximate → rows-only check by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
+        "multimodal_features": _oracle_multimodal_features(),
     }

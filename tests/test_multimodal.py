@@ -3,9 +3,18 @@ Spark-side schema/batching contract is what's under test)."""
 
 import hashlib
 
+import pytest
 from pyspark.sql import Row
 
 from overpaint_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} " + "x" * (i * 7)) for i in range(6)]
+    )
+    return MM.attach_payload(df, "doc_id", "text")
 
 
 def test_attach_and_extract_metadata(spark):
@@ -27,3 +36,28 @@ def test_frame_sample_plan(spark):
     frames = MM.frame_sample_plan(assets, every_n=10).collect()
     # fake n_frames = 25 % 100 + 1 = 26 → indices 0,10,20
     assert [r.frame_idx for r in frames] == [0, 10, 20]
+
+
+def test_resize_stub_deterministic_shape(spark, assets):
+    out = MM.resize_images(assets, width=16, height=4).collect()
+    assert len(out) == assets.count()
+    for r in out:
+        assert len(r.payload) == 16 * 4
+        assert (r.width, r.height) == (16, 4)
+    # deterministic: same input → same bytes
+    again = {r.asset_id: r.payload for r in MM.resize_images(assets, 16, 4).collect()}
+    for r in out:
+        assert again[r.asset_id] == r.payload
+
+
+def test_extract_features_range_and_chain(spark, assets):
+    feats = MM.extract_features(assets)
+    rows = feats.collect()
+    for r in rows:
+        assert len(r.features) == MM.FEATURE_DIM
+        assert all(-1.0 <= v < 1.0 for v in r.features)
+    # chains into the similarity operators as a drop-in embedding column
+    from overpaint_spark.operators import similarity as SIM
+    renamed = feats.withColumnRenamed("asset_id", "vec_id").withColumnRenamed("features", "embedding")
+    topk = SIM.brute_force_topk(renamed, renamed.limit(2), k=2)
+    assert topk.count() > 0
