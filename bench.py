@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_orders_by_revenue",
     "revenue_by_nation",
+    "pricing_rollup",
+    "priority_order_counts",
     "top_orders_per_customer",
     "events_hourly_rollup",
     "events_sessionize",

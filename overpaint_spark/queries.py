@@ -449,6 +449,55 @@ def _oracle_revenue_by_nation() -> str:
     )
 
 
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation (``rollup``): per (returnflag,
+    linestatus) metrics plus per-flag and grand-total subtotal rows —
+    the multi-granularity pass a monitoring dashboard reads. NULL group
+    keys mark subtotal levels in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _oracle_pricing_rollup() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+
+
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style order-priority check: count orders per priority having at
+    least one lineitem shipped after the order date — a LEFT SEMI join
+    (EXISTS), which shuffles only the join keys and never duplicates
+    order rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey")
+    qualified = o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def _oracle_priority_order_counts() -> str:
+    return (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) GROUP BY o_orderpriority"
+    )
+
+
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: top-2 orders per customer by total price
     (row_number with a deterministic tiebreak)."""
@@ -1041,6 +1090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "revenue_by_nation": q_revenue_by_nation,
+    "pricing_rollup": q_pricing_rollup,
+    "priority_order_counts": q_priority_order_counts,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
@@ -1078,6 +1129,8 @@ def oracles() -> dict[str, str]:
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
         "revenue_by_nation": _oracle_revenue_by_nation(),
+        "pricing_rollup": _oracle_pricing_rollup(),
+        "priority_order_counts": _oracle_priority_order_counts(),
         "top_orders_per_customer": _oracle_top_orders_per_customer(),
         "events_hourly_rollup": _oracle_events_hourly_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
