@@ -162,6 +162,23 @@ def minhash_signatures(
     H hashes cost ceil(H/4) md5 calls per shingle — 4× less hashing for
     the same signature family size.
     """
+    return docs.select(id_col).join(
+        _minhash_signatures_inner(docs, id_col, text_col, k, num_hashes),
+        id_col,
+        "left",
+    )
+
+
+def _minhash_signatures_inner(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Signatures for docs that HAVE shingles (≥ k words) — the shared
+    core. Callers that drop NULL-signature docs anyway (the LSH band
+    join) use this directly and skip a docs-sized join."""
     n_md5 = (num_hashes + 3) // 4
     sh = docs.select(
         F.col(id_col),
@@ -181,10 +198,9 @@ def minhash_signatures(
             for s in range(num_hashes)
         ],
     )
-    sig = comps.groupBy(id_col).agg(
+    return comps.groupBy(id_col).agg(
         *[F.min(f"c_{s}").alias(f"sig_{s}") for s in range(num_hashes)]
     )
-    return docs.select(id_col).join(sig, id_col, "left")
 
 
 def lsh_candidate_pairs(
@@ -203,7 +219,10 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    # inner signatures: docs with no shingles would only produce NULL
+    # band hashes (filtered below anyway), so the NULL-completing docs
+    # join in minhash_signatures is skipped — one less shuffle
+    sig = _minhash_signatures_inner(docs, id_col, text_col, k, num_hashes)
     def band_hash(bi: int):
         # NULL-propagating concat (NOT concat_ws): a doc with no shingles
         # has NULL signatures and must land in no bucket, matching the
