@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_attribution",
     "events_daily_drift",
+    "events_session_errors",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

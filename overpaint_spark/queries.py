@@ -1015,6 +1015,41 @@ def _oracle_events_daily_drift() -> str:
     )
 
 
+def q_events_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: error events matched into their user's
+    session windows via the binned range join (operators/rangejoin.py —
+    equi-join on (user, hour-bin) + exact BETWEEN filter, never a
+    per-key cross product), then counted per session."""
+    from overpaint_spark.operators.rangejoin import range_join_binned
+
+    sessions = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    errors = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select("user_id", "event_id", "ts")
+    joined = range_join_binned(
+        errors, sessions,
+        on="user_id", ts_col="ts",
+        start_col="session_start", end_col="session_end",
+    )
+    return joined.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
+def _oracle_events_session_errors() -> str:
+    sessionize = _oracle_events_sessionize()
+    return (
+        f"WITH sess AS ({sessionize}) "
+        "SELECT s.user_id, s.session_id, COUNT(*) AS n_errors "
+        "FROM sess s JOIN events e ON e.user_id = s.user_id "
+        "AND e.ts >= s.session_start AND e.ts <= s.session_end "
+        "WHERE e.event_type = 'error' "
+        "GROUP BY s.user_id, s.session_id"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: punctuation/digit/stopword/diversity
     ratios + composite heuristic score (functions/text.py). Every ratio
@@ -1104,6 +1139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof_attribution": q_events_asof_attribution,
     "events_daily_drift": q_events_daily_drift,
+    "events_session_errors": q_events_session_errors,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -1143,6 +1179,7 @@ def oracles() -> dict[str, str]:
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof_attribution": _oracle_events_asof_attribution(),
         "events_daily_drift": _oracle_events_daily_drift(),
+        "events_session_errors": _oracle_events_session_errors(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),
