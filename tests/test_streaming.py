@@ -82,3 +82,54 @@ def test_streaming_sessionize_closed_sessions(spark, events_dir):
     n_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
     assert len(rows) == batch_sessions - n_users
     assert all(r.session_end >= r.session_start and r.n_events > 0 for r in rows)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Three file drops processed as separate micro-batches: once the
+    09:00 window is finalized (emitted + evicted), a later drop's row
+    falling into it is discarded — it neither resurrects the window nor
+    produces a duplicate append row."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time as _time
+
+    from overpaint_spark.streaming.stream_profile import EVENTS_SCHEMA
+
+    def ev(eid, ts):
+        return (eid, dt.datetime.fromisoformat(ts), 1, "view", 1.0, "{}")
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    try:
+        drops = [
+            [ev(1, "2024-01-01 09:10:00"), ev(2, "2024-01-01 13:50:00")],  # wm → 11:50
+            [ev(4, "2024-01-01 14:10:00")],   # finalizes + evicts the 09:00 window
+            [ev(3, "2024-01-01 09:20:00")],   # behind the watermark → dropped
+        ]
+        for rows in drops:
+            spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.2)  # distinct mtimes → stable file order
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        out = streaming_profile(stream)  # 1h windows, 2h watermark
+        q = (
+            out.writeStream.format("memory")
+            .queryName("late_wm")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        collected = spark.sql("select * from late_wm").collect()
+        nine = dt.datetime.fromisoformat("2024-01-01 09:00:00")
+        nine_rows = [r for r in collected if r.window_start == nine]
+        assert len(nine_rows) == 1, collected
+        assert nine_rows[0].n_rows == 1, collected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
