@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "profile_minmax_temporal",
     "profile_rowcounts_exact",
     "profile_bool_histogram",
+    "profile_percentiles",
+    "profile_null_distinct",
     # rules engine
     "validation_metrics",
     # analytics

@@ -311,6 +311,66 @@ def _rule_suite():
     }
 
 
+def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile: exact interpolated percentiles (p25/p50/p95)
+    per numeric lineitem column, one aggregate pass. Exact ``percentile``
+    (sort-based) rather than ``approx_percentile`` so the oracle is
+    bit-checkable; at 100 TB swap in approx_percentile(…, accuracy) —
+    same plan shape, bounded memory."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        for p, tag in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+            aggs.append(F.percentile(F.col(c), F.lit(p)).alias(f"{tag}_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `p25_{c}`, `p50_{c}`, `p95_{c}`" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, p25, p50, p95)"
+    )
+
+
+def _oracle_profile_percentiles() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = [
+        f"SELECT '{c}' AS column_name, QUANTILE_CONT({c}, 0.25) AS p25, "
+        f"QUANTILE_CONT({c}, 0.5) AS p50, QUANTILE_CONT({c}, 0.95) AS p95 FROM lineitem"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_null_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness/cardinality profile: per-column NULL count and exact
+    distinct count for orders, one aggregate pass. At 100 TB swap
+    count_distinct for approx_count_distinct (HLL) — same single-pass
+    shape."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `nn_{c}`, `nd_{c}`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, n_nulls, n_distinct)"
+    )
+
+
+def _oracle_profile_null_distinct() -> str:
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    parts = [
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rules engine: every rule folded into one aggregate pass per
     table; output is the monitoring metrics relation."""
@@ -1128,6 +1188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_minmax_temporal": q_profile_minmax_temporal,
     "profile_bool_histogram": q_profile_bool_histogram,
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
+    "profile_percentiles": q_profile_percentiles,
+    "profile_null_distinct": q_profile_null_distinct,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -1168,6 +1230,8 @@ def oracles() -> dict[str, str]:
         "profile_minmax_temporal": _oracle_profile_minmax_temporal(),
         "profile_bool_histogram": _oracle_profile_bool_histogram(),
         "profile_rowcounts_exact": _oracle_profile_rowcounts_exact(),
+        "profile_percentiles": _oracle_profile_percentiles(),
+        "profile_null_distinct": _oracle_profile_null_distinct(),
         "validation_metrics": _oracle_validation_metrics(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
