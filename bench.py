@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "events_asof_attribution",
     "events_daily_drift",
     "events_session_errors",
+    "events_props_stats",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

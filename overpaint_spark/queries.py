@@ -1075,6 +1075,32 @@ def _oracle_events_daily_drift() -> str:
     )
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract the integer ``k`` field from the
+    JSON ``props`` column (reference displays json columns type-only,
+    listTables.tsx:115-116 — here they are first-class queryable) and
+    aggregate it per event type. ``get_json_object`` stays JVM-side; at
+    scale prefer ``from_json`` with an explicit schema once, not N
+    extractions."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+def _oracle_events_props_stats() -> str:
+    return (
+        "SELECT event_type, COUNT(k) AS n_with_k, MIN(k) AS min_k, "
+        "MAX(k) AS max_k, SUM(k) AS sum_k FROM ("
+        "SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events"
+        ") GROUP BY event_type"
+    )
+
+
 def q_events_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: error events matched into their user's
     session windows via the binned range join (operators/rangejoin.py —
@@ -1202,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_attribution": q_events_asof_attribution,
     "events_daily_drift": q_events_daily_drift,
     "events_session_errors": q_events_session_errors,
+    "events_props_stats": q_events_props_stats,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -1244,6 +1271,7 @@ def oracles() -> dict[str, str]:
         "events_asof_attribution": _oracle_events_asof_attribution(),
         "events_daily_drift": _oracle_events_daily_drift(),
         "events_session_errors": _oracle_events_session_errors(),
+        "events_props_stats": _oracle_events_props_stats(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),
