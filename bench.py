@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",

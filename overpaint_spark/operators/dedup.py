@@ -256,6 +256,55 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full LSH dedup pipeline: banded MinHash candidates VERIFIED by
+    exact Jaccard ≥ threshold — candidates (N·bands shuffle keys) instead
+    of N² comparisons, then the exact measure only on the candidate set.
+
+    Output: (a_id, b_id, jaccard). This is the shape that scales: the
+    verify join touches |candidates| + 2·|docs| rows, and the shingle
+    sets needed for verification are recomputed only for candidate rows
+    via a semi-join-pruned explode.
+    """
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, num_hashes, bands)
+    sh = distinct_shingles(docs, id_col, text_col, k)
+    # prune postings to docs that appear in any candidate pair before the
+    # intersection join (left_semi keeps the explode output small)
+    members = (
+        cand.select(F.col("a_id").alias(id_col))
+        .union(cand.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(members, id_col, "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

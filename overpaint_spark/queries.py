@@ -886,6 +886,36 @@ def _oracle_dedup_minhash_lsh() -> str:
     )
 
 
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSH dedup pipeline: banded candidates VERIFIED by exact
+    Jaccard ≥ 0.5 on the candidate set only (operators/dedup.py
+    lsh_near_dup_pairs) — the production shape: sublinear candidate
+    generation, exact measure on survivors."""
+    return DD.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+
+
+def _oracle_dedup_minhash_verified() -> str:
+    base = _oracle_dedup_minhash_lsh()
+    # rewrap the candidate query as a CTE and add the exact-Jaccard verify
+    cand_sql = base.replace("WITH ", "", 1)
+    jac = (
+        "CAST(LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE) / "
+        "CAST(LEN(sa.ss) + LEN(sb.ss) - LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE)"
+    )
+    head, tail = cand_sql.split("SELECT DISTINCT", 1)
+    return (
+        f"WITH {head.rstrip()}, cand AS (SELECT DISTINCT {tail}), "
+        f"sets AS (SELECT doc_id, LIST_DISTINCT(shingles) AS ss FROM sh) "
+        f"SELECT a_id, b_id, jaccard FROM ("
+        f"SELECT c.a_id, c.b_id, {jac} AS jaccard "
+        "FROM cand c JOIN sets sa ON sa.doc_id = c.a_id "
+        "JOIN sets sb ON sb.doc_id = c.b_id) WHERE jaccard >= 0.5"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     return DD.simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -1237,6 +1267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1280,6 +1311,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),
+        "dedup_minhash_verified": _oracle_dedup_minhash_verified(),
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
         "dedup_embedding_cosine": _oracle_dedup_embedding_cosine(),

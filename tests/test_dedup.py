@@ -96,3 +96,18 @@ def test_embedding_near_dup_bucketed_subset_of_exact(spark):
     assert approx <= exact
     # highly-similar planted pair lands in the same bucket
     assert (0, 1000) in approx
+
+
+def test_lsh_near_dup_verified(corpus):
+    pairs = {(r.a_id, r.b_id): r.jaccard
+             for r in DD.lsh_near_dup_pairs(corpus, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0            # exact dup survives verification
+    assert 0.5 < pairs[(1, 3)] < 1.0       # near dup survives
+    # verified pairs are a subset of raw candidates
+    cand = {(r.a_id, r.b_id) for r in DD.lsh_candidate_pairs(corpus).collect()}
+    assert set(pairs) <= cand
+    # and agree exactly with the direct jaccard computation
+    direct = {(r.a_id, r.b_id): r.jaccard
+              for r in DD.jaccard_pairs(corpus, threshold=0.5).collect()}
+    for key, j in pairs.items():
+        assert abs(direct[key] - j) < 1e-12
