@@ -319,13 +319,15 @@ def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape, bounded memory."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    aggs = []
-    for c in cols:
-        for p, tag in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
-            aggs.append(F.percentile(F.col(c), F.lit(p)).alias(f"{tag}_{c}"))
+    # array form: ONE value buffer per column (not one per requested
+    # percentile) — 3× less data through the single-group aggregation
+    aggs = [
+        F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))).alias(f"ps_{c}")
+        for c in cols
+    ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', `p25_{c}`, `p50_{c}`, `p95_{c}`" for c in cols
+        f"'{c}', `ps_{c}`[0], `ps_{c}`[1], `ps_{c}`[2]" for c in cols
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) as (column_name, p25, p50, p95)"
