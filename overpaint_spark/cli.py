@@ -9,6 +9,13 @@ Maps the reference's entry points (``listTables.tsx:503-529``):
   (:526-529),
 - config via env ``SPARK_GRAFT_SF_DIR`` (analog of DATABASE_URL/PG*
   envs, :184-201) or a positional path argument.
+
+Monitoring extensions beyond the reference:
+
+- ``--snapshot-dir DIR --run-id ID`` persists the profile as a Parquet
+  snapshot partition (rules/drift.py),
+- adding ``--drift-against PREV_RUN_ID`` prints the drift report versus
+  an earlier snapshot (alerting rows marked ``!``).
 """
 
 from __future__ import annotations
@@ -29,7 +36,17 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     parser.add_argument("--exact", action="store_true", help="exact COUNT(*) per table")
+    parser.add_argument("--snapshot-dir", help="persist the profile as a Parquet snapshot")
+    parser.add_argument("--run-id", help="snapshot run id (required with --snapshot-dir)")
+    parser.add_argument(
+        "--drift-against", metavar="PREV_RUN_ID",
+        help="print drift vs an earlier snapshot run (needs --snapshot-dir/--run-id)",
+    )
     args = parser.parse_args(argv)
+    if args.snapshot_dir and not args.run_id:
+        parser.error("--snapshot-dir requires --run-id")
+    if args.drift_against and not args.snapshot_dir:
+        parser.error("--drift-against requires --snapshot-dir and --run-id")
 
     try:
         # unreachable data root = unreachable database (listTables.tsx:526-529)
@@ -40,6 +57,41 @@ def main(argv: list[str] | None = None) -> int:
             profiles = profile_data_root(spark, args.data_root, exact=args.exact)
             mode = "exact" if args.exact else "estimated"
             sys.stdout.write(render_tables(profiles, mode))
+            if args.snapshot_dir:
+                from overpaint_spark.rules.drift import (
+                    read_profile_snapshot,
+                    snapshot_drift,
+                    write_profile_snapshot,
+                )
+
+                write_profile_snapshot(
+                    spark, args.data_root, args.snapshot_dir, args.run_id,
+                    exact=args.exact,
+                )
+                sys.stdout.write(
+                    f"\nSnapshot written: run_id={args.run_id} -> {args.snapshot_dir}\n"
+                )
+                if args.drift_against:
+                    cur = read_profile_snapshot(spark, args.snapshot_dir, args.run_id)
+                    prev = read_profile_snapshot(spark, args.snapshot_dir, args.drift_against)
+                    rows = (
+                        snapshot_drift(cur, prev)
+                        .orderBy("table_name", "column_name", "metric")
+                        .collect()
+                    )
+                    sys.stdout.write(
+                        f"\nDrift vs run {args.drift_against} "
+                        f"({sum(r.drift_alert for r in rows)} alerts):\n"
+                    )
+                    for r in rows:
+                        if not r.drift_alert:
+                            continue
+                        col = r.column_name or "-"
+                        pct = "" if r.pct_change is None else f" ({r.pct_change:+.1%})"
+                        sys.stdout.write(
+                            f"! {r.table_name}.{col} {r.metric}: "
+                            f"{r.prev_value} -> {r.curr_value}{pct}\n"
+                        )
         finally:
             spark.stop()
     except Exception as exc:  # top-level catch parity (:526-529)

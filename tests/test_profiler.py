@@ -92,3 +92,20 @@ def test_full_data_root(spark):
     profiles = profile_data_root(spark, SF)
     assert len(profiles) == 10
     assert all(p.error is None for p in profiles)
+
+
+def test_cli_snapshot_and_drift(tmp_path, capsys):
+    """End-to-end CLI monitoring flow: snapshot two runs, report drift."""
+    from overpaint_spark import cli
+
+    snaps = str(tmp_path / "snaps")
+    assert cli.main(["/root/testdata/sf0.001", "--snapshot-dir", snaps, "--run-id", "a"]) == 0
+    assert cli.main([
+        "/root/testdata/sf0.01", "--snapshot-dir", snaps, "--run-id", "b",
+        "--drift-against", "a",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Snapshot written: run_id=b" in out
+    assert "Drift vs run a" in out
+    # the 10x row-count jump must be flagged
+    assert "lineitem.- estimated_rows: 6000.0 -> 60000.0" in out
