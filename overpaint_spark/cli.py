@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
         # unreachable data root = unreachable database (listTables.tsx:526-529)
         if not os.path.isdir(args.data_root):
             raise FileNotFoundError(f"data root does not exist: {args.data_root}")
+        from pyspark.sql import SparkSession
+
+        # only stop a session this process created — embedded callers
+        # (tests, notebooks) keep theirs
+        preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark("overpaint-profile")
         try:
             profiles = profile_data_root(spark, args.data_root, exact=args.exact)
@@ -93,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
                             f"{r.prev_value} -> {r.curr_value}{pct}\n"
                         )
         finally:
-            spark.stop()
+            if not preexisting:
+                spark.stop()
     except Exception as exc:  # top-level catch parity (:526-529)
         sys.stderr.write(f"Failed to list tables: {exc}\n")
         return 1

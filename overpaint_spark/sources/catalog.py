@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 _SYSTEM_PREFIXES = (".", "_")  # analog of pg_catalog/information_schema
 
 
+# extension → spark.read format for file-per-table sources
+_FORMATS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+}
+
+
 @dataclass(frozen=True)
 class TableHandle:
     """A discovered table: schema-qualified name + physical path."""
@@ -37,6 +46,7 @@ class TableHandle:
     schema: str
     name: str
     path: str
+    fmt: str = "parquet"
 
     @property
     def qualified(self) -> str:
@@ -44,9 +54,11 @@ class TableHandle:
 
 
 def discover_tables(data_root: str, schema: str = "public") -> list[TableHandle]:
-    """Enumerate tables under ``data_root`` (``<name>.parquet`` file or
-    directory per table), sorted by name — the ORDER BY table_schema,
-    table_name of the reference's catalog queries (listTables.tsx:345)."""
+    """Enumerate tables under ``data_root`` (one ``<name>.<ext>`` file or
+    one directory per table; parquet/csv/json — whatever ``spark.read``
+    takes), sorted by name — the ORDER BY table_schema, table_name of the
+    reference's catalog queries (listTables.tsx:345). Directory tables
+    are parquet (the multi-file layout every writer produces)."""
     if not os.path.isdir(data_root):
         return []
     out: list[TableHandle] = []
@@ -54,8 +66,9 @@ def discover_tables(data_root: str, schema: str = "public") -> list[TableHandle]
         if entry.startswith(_SYSTEM_PREFIXES):
             continue
         full = os.path.join(data_root, entry)
-        if entry.endswith(".parquet"):
-            out.append(TableHandle(schema, entry[: -len(".parquet")], full))
+        stem, ext = os.path.splitext(entry)
+        if ext in _FORMATS and os.path.isfile(full):
+            out.append(TableHandle(schema, stem, full, _FORMATS[ext]))
         elif os.path.isdir(full):
             out.append(TableHandle(schema, entry, full))
     return out
@@ -100,8 +113,12 @@ def footer_row_count(path: str) -> int:
     The ``GREATEST(..., 0)`` clamp is kept for parity — footer counts are
     never negative, but a corrupt footer should not produce one either.
     Cached per (path, mtime) — the catalog-statistics cache every engine
-    keeps.
+    keeps. Non-parquet sources carry no row metadata → raises, and the
+    profiler records estimated_rows = None (rendered blank), matching a
+    never-ANALYZEd table in the reference.
     """
+    if not _parquet_files(path):
+        raise ValueError(f"no parquet footers under {path}")
     return _footer_row_count_cached(path, _mtime_key(path))
 
 
@@ -138,6 +155,7 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
     ns→µs, the same truncation DuckDB/pandas apply).
     """
     path = handle.path if isinstance(handle, TableHandle) else handle
+    fmt = handle.fmt if isinstance(handle, TableHandle) else "parquet"
     # Per-session DataFrame cache: a DataFrame is an immutable lazy plan,
     # so handing the same object to every query saves a JVM analyze
     # round-trip per (query × table) — the catalog cache of a real engine.
@@ -147,6 +165,14 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
     key = f"{path}@{_mtime_key(path)}"
     if key in cache:
         return cache[key]
+    if fmt == "csv":
+        df = spark.read.csv(path, header=True, inferSchema=True)
+        cache[key] = df
+        return df
+    if fmt == "json":
+        df = spark.read.json(path)
+        cache[key] = df
+        return df
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
         df = spark.read.parquet(path)

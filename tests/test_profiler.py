@@ -109,3 +109,40 @@ def test_cli_snapshot_and_drift(tmp_path, capsys):
     assert "Drift vs run a" in out
     # the 10x row-count jump must be flagged
     assert "lineitem.- estimated_rows: 6000.0 -> 60000.0" in out
+
+
+def test_mixed_format_data_root(spark, tmp_path):
+    """CSV/JSON file-per-table sources and multi-file parquet directory
+    tables profile alongside parquet files; non-parquet tables have no
+    footer metadata → estimated_rows is None (blank), stats still real."""
+    import os
+
+    from overpaint_spark.profiler import profile_data_root
+    from overpaint_spark.sources.catalog import discover_tables
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    with open(os.path.join(root, "people.csv"), "w") as f:
+        f.write("pid,age,active\n1,30,true\n2,41,false\n3,27,true\n")
+    with open(os.path.join(root, "things.jsonl"), "w") as f:
+        f.write('{"tid": 1, "score": 0.5}\n{"tid": 2, "score": 1.5}\n')
+    # directory table: parquet written in multiple files
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(3).write.parquet(
+        os.path.join(root, "dirtable")
+    )
+
+    names = [(h.name, h.fmt) for h in discover_tables(root)]
+    assert names == [("dirtable", "parquet"), ("people", "csv"), ("things", "json")]
+
+    profs = {p.name: p for p in profile_data_root(spark, root, exact=True)}
+    assert profs["dirtable"].estimated_rows == 100
+    assert profs["dirtable"].exact_rows == 100
+    people = profs["people"]
+    assert people.estimated_rows is None and people.exact_rows == 3
+    cols = {c.name: c for c in people.columns}
+    assert (cols["age"].min_value, cols["age"].max_value) == (27, 41)
+    assert (cols["active"].true_count, cols["active"].false_count) == (2, 1)
+    things = profs["things"]
+    assert things.exact_rows == 2
+    tcols = {c.name: c for c in things.columns}
+    assert (tcols["score"].min_value, tcols["score"].max_value) == (0.5, 1.5)
