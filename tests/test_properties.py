@@ -1,0 +1,51 @@
+"""Property-based tests (SURVEY §5.4): formatter math against an
+independent Decimal model, and profiler stats against naive recomputation
+on hypothesis-generated tables."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from overpaint_spark.functions.formatting import format_percent_one_decimal
+
+
+@given(n=st.integers(min_value=0, max_value=10**15), d=st.integers(min_value=0, max_value=10**15))
+def test_percent_matches_decimal_half_up(n, d):
+    got = format_percent_one_decimal(n, d)
+    if d == 0:
+        assert got == "0.0%"
+        return
+    want = (Decimal(n) * 100 / Decimal(d)).quantize(Decimal("0.1"), rounding=ROUND_HALF_UP)
+    assert got == f"{want}%"
+    # integer math never goes through floats: exactness at bigint scale
+    assert got.endswith("%")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-2**31, max_value=2**31)),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_profile_stats_match_naive(spark, rows):
+    from overpaint_spark.profiler.profile import stat_exprs
+
+    df = spark.createDataFrame(rows, "x int, b boolean")
+    got = df.agg(*stat_exprs(df.schema, exact=True)).collect()[0].asDict()
+
+    xs = [x for x, _ in rows if x is not None]
+    bs = [b for _, b in rows if b is not None]
+    assert got["mn_0"] == (min(xs) if xs else None)
+    assert got["mx_0"] == (max(xs) if xs else None)
+    assert got["tc_1"] == sum(1 for b in bs if b)
+    assert got["fc_1"] == sum(1 for b in bs if not b)
+    assert got["n_rows"] == len(rows)
+    # three-valued logic invariant: buckets + nulls == rowcount
+    n_null_b = sum(1 for _, b in rows if b is None)
+    assert got["tc_1"] + got["fc_1"] + n_null_b == len(rows)
