@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_fingerprint",
     "text_quality",
+    "text_top_tokens",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

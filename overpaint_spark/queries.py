@@ -815,6 +815,29 @@ def _oracle_text_fingerprint() -> str:
 # Deduplication (SURVEY §7.4.1-2)
 # ---------------------------------------------------------------------------
 
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode → count → deterministic top-25
+    (count desc, token asc). The explode+groupBy is the canonical
+    shuffle-light shape (map-side partial counts); the final top-k is a
+    single-partition sort of the already-aggregated counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+def _oracle_text_top_tokens() -> str:
+    return (
+        "SELECT token, COUNT(*) AS n FROM ("
+        "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents"
+        ") GROUP BY token ORDER BY n DESC, token LIMIT 25"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on content fingerprint."""
     return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
@@ -1266,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_quality": q_text_quality,
+    "text_top_tokens": q_text_top_tokens,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1310,6 +1334,7 @@ def oracles() -> dict[str, str]:
         "text_tokens": _oracle_text_tokens(),
         "text_fingerprint": _oracle_text_fingerprint(),
         "text_quality": _oracle_text_quality(),
+        "text_top_tokens": _oracle_text_top_tokens(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),

@@ -2,5 +2,6 @@ from overpaint_spark.streaming.stream_profile import (  # noqa: F401
     read_events_stream,
     streaming_profile,
     streaming_rule_metrics,
+    write_metrics_stream,
 )
 from overpaint_spark.streaming.sessionize import streaming_sessionize  # noqa: F401

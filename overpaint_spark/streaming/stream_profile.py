@@ -63,6 +63,28 @@ def streaming_profile(
     )
 
 
+def write_metrics_stream(
+    metrics: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """The monitoring sink: append windowed metrics to a Parquet
+    directory with exactly-once file-sink semantics (checkpointed).
+    Downstream, :mod:`overpaint_spark.rules.drift` diffs any two runs of
+    the resulting history. Returns the started StreamingQuery.
+    """
+    writer = (
+        metrics.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_rule_metrics(
     stream: DataFrame,
     rules,

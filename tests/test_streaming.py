@@ -133,3 +133,21 @@ def test_watermark_drops_late_rows(spark):
         assert nine_rows[0].n_rows == 1, collected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_metrics_parquet_sink(spark, events_dir, tmp_path):
+    """Windowed rule metrics land in the checkpointed Parquet sink
+    (append mode → only watermark-finalized windows are written)."""
+    from overpaint_spark.streaming import write_metrics_stream
+
+    stream = read_events_stream(spark, events_dir)
+    metrics = streaming_rule_metrics(stream, [in_range("value", 0.0, 1000.0)])
+    q = write_metrics_stream(
+        metrics, str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "metrics"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.rule_name for r in rows} == {"in_range"}
+    assert all(r.passed for r in rows)
