@@ -25,7 +25,7 @@ def test_percent_matches_decimal_half_up(n, d):
 @given(
     rows=st.lists(
         st.tuples(
-            st.one_of(st.none(), st.integers(min_value=-2**31, max_value=2**31)),
+            st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
             st.one_of(st.none(), st.booleans()),
         ),
         min_size=0,
