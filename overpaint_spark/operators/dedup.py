@@ -175,12 +175,15 @@ def _minhash_signatures_inner(
     text_col: str,
     k: int,
     num_hashes: int,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Signatures for docs that HAVE shingles (≥ k words) — the shared
     core. Callers that drop NULL-signature docs anyway (the LSH band
-    join) use this directly and skip a docs-sized join."""
+    join) use this directly and skip a docs-sized join. Pass ``postings``
+    (a (id, shingle) relation) to share an already-materialized shingle
+    exchange with other pipeline stages."""
     n_md5 = (num_hashes + 3) // 4
-    sh = docs.select(
+    sh = postings if postings is not None else docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.shingles(F.col(text_col), k))).alias("shingle"),
     )
@@ -210,6 +213,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on all rows of ≥1 band.
 
@@ -222,7 +226,7 @@ def lsh_candidate_pairs(
     # inner signatures: docs with no shingles would only produce NULL
     # band hashes (filtered below anyway), so the NULL-completing docs
     # join in minhash_signatures is skipped — one less shuffle
-    sig = _minhash_signatures_inner(docs, id_col, text_col, k, num_hashes)
+    sig = _minhash_signatures_inner(docs, id_col, text_col, k, num_hashes, postings)
     def band_hash(bi: int):
         # NULL-propagating concat (NOT concat_ws): a doc with no shingles
         # has NULL signatures and must land in no bucket, matching the
@@ -274,8 +278,13 @@ def lsh_near_dup_pairs(
     sets needed for verification are recomputed only for candidate rows
     via a semi-join-pruned explode.
     """
-    cand = lsh_candidate_pairs(docs, id_col, text_col, k, num_hashes, bands)
     sh = distinct_shingles(docs, id_col, text_col, k)
+    # candidates consume the same materialized posting exchange the
+    # verify stage uses — the shingle pipeline runs once for the whole
+    # candidates+verify DAG
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, k, num_hashes, bands, postings=sh
+    )
     # prune postings to docs that appear in any candidate pair before the
     # intersection join (left_semi keeps the explode output small)
     members = (
