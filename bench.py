@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "profile_bool_histogram",
     "profile_percentiles",
     "profile_null_distinct",
+    "profile_incremental",
     # rules engine
     "validation_metrics",
     # analytics

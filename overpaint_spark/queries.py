@@ -1258,6 +1258,64 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-file profile (profiler/incremental.py) folded into a
+    per-(table, column) relation — the incremental-monitoring path where
+    steady-state cost is proportional to NEW files, not table size (the
+    lake analog of the reference's reltuples shortcut, listTables.tsx:339).
+
+    The declared output keeps only the exactly-mergeable channels (counts,
+    typed min/max); the HLL distinct estimate is engine-specific and is
+    tested against exact counts in tests/test_incremental.py instead."""
+    from overpaint_spark.profiler.incremental import (
+        merged_column_profile,
+        profile_files_df,
+    )
+
+    parts = [
+        profile_files_df(spark, t, f"{sf_dir}/{t}.parquet") for t in TABLES
+    ]
+    state = parts[0]
+    for p in parts[1:]:
+        state = state.unionByName(p)
+    return merged_column_profile(state, approx_distinct=False).select(
+        "table_name", "column_name", "col_kind", "n_rows", "null_count",
+        "min_d", "max_d", "min_us", "max_us", "min_s", "max_s",
+    )
+
+
+def _oracle_profile_incremental() -> str:
+    null_ch = {
+        "min_d": "CAST(NULL AS DOUBLE)", "max_d": "CAST(NULL AS DOUBLE)",
+        "min_us": "CAST(NULL AS BIGINT)", "max_us": "CAST(NULL AS BIGINT)",
+        "min_s": "CAST(NULL AS VARCHAR)", "max_s": "CAST(NULL AS VARCHAR)",
+    }
+    parts = []
+    for t in sorted(_SCHEMA_SPEC):
+        for c, ty in _SCHEMA_SPEC[t]:
+            kind = _spec_class(ty)
+            if kind == "other" and ty == "string":
+                kind = "string"
+            ch = dict(null_ch)
+            if kind == "numeric":
+                ch["min_d"] = f"CAST(MIN({c}) AS DOUBLE)"
+                ch["max_d"] = f"CAST(MAX({c}) AS DOUBLE)"
+            elif kind == "temporal":
+                ch["min_us"] = f"epoch_us(MIN({c}))"
+                ch["max_us"] = f"epoch_us(MAX({c}))"
+            elif ty == "string":
+                kind = "string"
+                ch["min_s"] = f"MIN({c})"
+                ch["max_s"] = f"MAX({c})"
+            chans = ", ".join(f"{sql} AS {name}" for name, sql in ch.items())
+            parts.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                f"'{kind}' AS col_kind, COUNT(*) AS n_rows, "
+                f"COUNT(*) - COUNT({c}) AS null_count, {chans} FROM {t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1271,6 +1329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
     "profile_percentiles": q_profile_percentiles,
     "profile_null_distinct": q_profile_null_distinct,
+    "profile_incremental": q_profile_incremental,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -1316,6 +1375,7 @@ def oracles() -> dict[str, str]:
         "profile_rowcounts_exact": _oracle_profile_rowcounts_exact(),
         "profile_percentiles": _oracle_profile_percentiles(),
         "profile_null_distinct": _oracle_profile_null_distinct(),
+        "profile_incremental": _oracle_profile_incremental(),
         "validation_metrics": _oracle_validation_metrics(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
