@@ -5,3 +5,7 @@ from overpaint_spark.streaming.stream_profile import (  # noqa: F401
     write_metrics_stream,
 )
 from overpaint_spark.streaming.sessionize import streaming_sessionize  # noqa: F401
+from overpaint_spark.streaming.dedup import (  # noqa: F401
+    streaming_content_dedup,
+    streaming_exact_dedup,
+)

@@ -151,3 +151,60 @@ def test_metrics_parquet_sink(spark, events_dir, tmp_path):
     assert len(rows) > 0
     assert {r.rule_name for r in rows} == {"in_range"}
     assert all(r.passed for r in rows)
+
+
+def test_streaming_exact_dedup(spark, events_dir, tmp_path):
+    """Duplicate drops of the same keys collapse to one emission per key;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from overpaint_spark.streaming import streaming_exact_dedup
+
+    d = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_dir).limit(200)
+    base.write.mode("append").parquet(d)
+    base.write.mode("append").parquet(d)  # full replay of the same rows
+
+    stream = spark.readStream.schema(base.schema).parquet(d)
+    out = streaming_exact_dedup(stream, ["event_id"], watermark="10 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_ev")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from dedup_ev").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert set(ids) == {r.event_id for r in base.select("event_id").collect()}
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """Rows with distinct ids but identical normalized text collapse."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from overpaint_spark.streaming import streaming_content_dedup
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t0 = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, "The quick brown fox"),
+        (2, t0, "  the   QUICK brown fox "),   # same after normalization
+        (3, t0, "an entirely different doc"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = streaming_content_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_doc")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id, content_fp from dedup_doc").collect()
+    assert len(got) == 2
+    assert len({r.content_fp for r in got}) == 2
+    assert 3 in {r.doc_id for r in got}
