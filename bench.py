@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dataset_split",
+    "corpus_clean",
     "ann_topk_bruteforce",
     "ann_topk_numpy",
     "multimodal_metadata",

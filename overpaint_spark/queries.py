@@ -1258,6 +1258,141 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cluster resolution + corpus materialization (the step after pairwise dedup)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    verified LSH near-dup pair graph (operators/components.py — iterative
+    min-label propagation, one equi-join shuffle per round). Transitive
+    matches (A~B, B~C) collapse into one cluster keyed by min doc_id.
+    Oracle: DuckDB recursive-CTE reachability over the same pair SQL."""
+    from overpaint_spark.operators.components import connected_components
+
+    pairs = DD.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def _oracle_components(pairs_sql: str) -> str:
+    """Recursive reachability: component = min id reachable from u."""
+    return (
+        "WITH RECURSIVE "
+        f"pairs AS (SELECT a_id, b_id FROM ({pairs_sql})), "
+        "sym AS (SELECT a_id AS u, b_id AS v FROM pairs "
+        "UNION SELECT b_id, a_id FROM pairs), "
+        "walk(u, v) AS (SELECT u, v FROM sym "
+        "UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u) "
+        "SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM walk GROUP BY u"
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    return _oracle_components(_oracle_dedup_minhash_verified())
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster corpus: every document minus non-representative
+    near-dup cluster members (broadcast anti-join — the corpus itself is
+    never shuffled; only the loser set, bounded by #duplicates, moves)."""
+    from overpaint_spark.operators.components import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return dedup_survivors(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_dedup_survivors() -> str:
+    comp = _oracle_dedup_clusters()
+    return (
+        f"WITH comp AS ({comp}) "
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)"
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket 0-255 from the
+    first two hex chars of md5(doc_id), split 230/13/13 (~90/5/5). Hash-
+    based splits are reproducible across runs/engines and stable under
+    corpus growth (a doc's split never depends on other rows) — unlike
+    randomSplit, which reshuffles whenever partitioning changes. Pure
+    codegen expressions; no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def _oracle_dataset_split() -> str:
+    hx = "0123456789abcdef"
+    h = "MD5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        f"CAST((STRPOS('{hx}', SUBSTR({h}, 1, 1)) - 1) * 16 "
+        f"+ STRPOS('{hx}', SUBSTR({h}, 2, 1)) - 1 AS INTEGER)"
+    )
+    return (
+        f"SELECT doc_id, {bucket} AS bucket, "
+        f"CASE WHEN {bucket} < 230 THEN 'train' "
+        f"WHEN {bucket} < 243 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline — what the LLM-dedup operators
+    exist FOR, end to end: quality gate (text_quality composite ≥ 0.5)
+    ∧ exact-dedup keeper (min-id per identical text) ∧ near-dup cluster
+    representative (components over verified LSH pairs). All three
+    predicates are semi/anti joins on doc_id against small derived sets,
+    so the document payload is scanned once and never shuffled."""
+    from overpaint_spark.operators.components import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
+    ).filter(F.col("quality_score") >= 0.5)
+    keepers = DD.exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return (
+        dedup_survivors(docs, pairs)
+        .join(keepers, "doc_id", "left_semi")
+        .join(quality_ok, "doc_id")
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def _oracle_corpus_clean() -> str:
+    comp = _oracle_dedup_clusters()
+    quality = _oracle_text_quality()
+    return (
+        f"WITH comp AS ({comp}), q AS ({quality}) "
+        "SELECT d.doc_id, d.lang, q.quality_score "
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+        "WHERE q.quality_score >= 0.5 "
+        "AND d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text)) "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)"
+    )
+
+
 def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable per-file profile (profiler/incremental.py) folded into a
     per-(table, column) relation — the incremental-monitoring path where
@@ -1356,6 +1491,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "dataset_split": q_dataset_split,
+    "corpus_clean": q_corpus_clean,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_numpy": q_ann_topk_numpy,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -1402,6 +1541,10 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
         "dedup_embedding_cosine": _oracle_dedup_embedding_cosine(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_survivors": _oracle_dedup_survivors(),
+        "dataset_split": _oracle_dataset_split(),
+        "corpus_clean": _oracle_corpus_clean(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
         # ann_topk_lsh: approximate → rows-only check by design

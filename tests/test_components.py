@@ -1,0 +1,62 @@
+"""Connected components + survivor selection (operators/components.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from overpaint_spark.operators.components import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    return {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+
+
+def test_two_clusters_and_chain(spark):
+    # chain 1-2-3 (transitive: 1 and 3 never paired) + pair 10-11
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_long_chain_converges(spark):
+    # a 12-vertex path needs multiple propagation rounds
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert got == {(i, 0) for i in range(13)}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    # reversed edges and repeated pairs change nothing
+    got = _cc(spark, [(5, 2), (2, 5), (5, 2), (7, 5)])
+    assert got == {(2, 2), (5, 2), (7, 2)}
+
+
+def test_dense_clique(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _cc(spark, edges)
+    assert got == {(i, 0) for i in range(4)}
+
+
+def test_survivors_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4)], "a_id long, b_id long"
+    )  # cluster {1,2,4} → keep 1; docs 0,3,5 untouched
+    got = sorted(
+        r.doc_id for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert got == [0, 1, 3, 5]
+
+
+def test_survivors_no_pairs_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(3)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    assert dedup_survivors(docs, pairs).count() == 3
