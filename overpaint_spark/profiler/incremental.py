@@ -121,12 +121,20 @@ def profile_files_df(
     path: str,
     files: list[str] | None = None,
     lg_k: int = DEFAULT_LG_K,
+    with_hll: bool = True,
 ) -> DataFrame:
     """Per-(file, column) mergeable stats in ONE job over the given files.
 
     ``files=None`` profiles every data file under ``path``; passing an
     explicit list restricts the scan to exactly those files (the
     incremental path — unchanged files are never read).
+
+    ``with_hll=False`` skips the distinct-count sketches (NULL channel):
+    the sketch updates are the single most expensive accumulator
+    (~per-value hashing into 4 KiB registers for every column), and
+    Catalyst does NOT prune them through the ``stack`` generator when a
+    downstream reader discards the channel — measured ~2× on the
+    min/max-only profile at sf0.1.
     """
     if files is None:
         files = [p for p, _sz in list_data_files(path)]
@@ -166,9 +174,10 @@ def profile_files_df(
         elif kind == "boolean":
             aggs.append(F.count_if(c).alias(f"nt_{i}"))
             aggs.append(F.count_if(~c).alias(f"nf_{i}"))
-        aggs.append(
-            F.hll_sketch_agg(_sketch_input(c, f_.dataType), F.lit(lg_k)).alias(f"hll_{i}")
-        )
+        if with_hll:
+            aggs.append(
+                F.hll_sketch_agg(_sketch_input(c, f_.dataType), F.lit(lg_k)).alias(f"hll_{i}")
+            )
     wide = df.groupBy(F.col("__file").alias("file_path")).agg(*aggs)
 
     def ch(i: int, pref: str, typ: str, kinds: set[str], kind: str):
@@ -180,7 +189,7 @@ def profile_files_df(
     tuples = []
     for i, f_ in enumerate(schema):
         kind = column_kind(f_.dataType)
-        hll = f"`hll_{i}`"
+        hll = f"`hll_{i}`" if with_hll else "cast(null as binary)"
         tuples.append(
             ", ".join(
                 [

@@ -1408,7 +1408,8 @@ def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     parts = [
-        profile_files_df(spark, t, f"{sf_dir}/{t}.parquet") for t in TABLES
+        profile_files_df(spark, t, f"{sf_dir}/{t}.parquet", with_hll=False)
+        for t in TABLES
     ]
     state = parts[0]
     for p in parts[1:]:
