@@ -10,3 +10,8 @@ def spark():
     s = get_spark("overpaint-tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
