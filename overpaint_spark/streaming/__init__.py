@@ -9,3 +9,6 @@ from overpaint_spark.streaming.dedup import (  # noqa: F401
     streaming_content_dedup,
     streaming_exact_dedup,
 )
+from overpaint_spark.streaming.attribution import (  # noqa: F401
+    streaming_interval_attribution,
+)

@@ -208,3 +208,62 @@ def test_streaming_content_dedup(spark, tmp_path):
     assert len(got) == 2
     assert len({r.content_fp for r in got}) == 2
     assert 3 in {r.doc_id for r in got}
+
+
+def test_streaming_interval_attribution(spark, events_dir):
+    """Stream-stream interval join matches the batch interval join on the
+    same data (every purchase × same-user click within 1 hour before)."""
+    from overpaint_spark.streaming import (
+        read_events_stream,
+        streaming_interval_attribution,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = streaming_interval_attribution(
+        purchases, clicks, max_lag="1 hour", watermark="10 days"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in spark.sql("select purchase_id, click_id, lag_us from attr").collect()
+    }
+
+    # batch twin: plain interval join on the same fixture
+    e = spark.read.parquet(events_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            "purchase_id", "click_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
