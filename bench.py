@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "events_daily_drift",
     "events_session_errors",
     "events_props_stats",
+    "events_rolling_value",
+    "users_click_no_purchase",
+    "events_type_pivot",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

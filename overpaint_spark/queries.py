@@ -1258,6 +1258,102 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+def q_events_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window: per-user moving aggregate of ``value`` over
+    the current + 3 preceding events (ROWS frame, deterministic order).
+    Sums go through DECIMAL so the frame total is bit-exact; the mean is
+    derived from the decimal sum and the frame row count."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        # integer microseconds, not the raw timestamp: the fixture is
+        # nanos parquet — Spark truncates to µs while DuckDB keeps ns,
+        # so near-tie events would frame differently across engines
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        n.alias("n_window"),
+        s.cast("double").alias("sum_value_4"),
+        # one IEEE division of two exact values (decimal/decimal rounding
+        # rules are engine-specific; double/double is not)
+        (s.cast("double") / n.cast("double")).alias("avg_value_4"),
+    )
+
+
+def _oracle_events_rolling_value() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "COUNT(*) OVER w AS n_window, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_4, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+        " / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_value_4 "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+
+
+def q_users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): (user, day) pairs with clicks but no
+    purchase that day — funnel-drop analysis. ``exceptAll`` on the
+    distinct projections; Catalyst plans the difference as a left-anti
+    hash join (one shuffle per side, no row duplication)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("timestamp").alias("event_date")
+
+    def grain(tp: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == tp)
+            .select("user_id", day)
+            .distinct()
+        )
+
+    return grain("click").exceptAll(grain("purchase"))
+
+
+def _oracle_users_click_no_purchase() -> str:
+    return (
+        "SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date "
+        "FROM events WHERE event_type = 'click' "
+        "EXCEPT "
+        "SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) "
+        "FROM events WHERE event_type = 'purchase'"
+    )
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day × event_type as columns (the dashboard
+    cross-tab). Pivot values are pinned explicitly — with them, Spark
+    skips the extra distinct-values job AND the output schema is stable
+    when a day is missing a type (0-filled)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "view"]
+    return (
+        e.groupBy(F.to_date("ts").cast("timestamp").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def _oracle_events_type_pivot() -> str:
+    cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in ["click", "error", "purchase", "view"]
+    )
+    return (
+        f"SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, {cols} "
+        "FROM events GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster resolution + corpus materialization (the step after pairwise dedup)
 # ---------------------------------------------------------------------------
@@ -1479,6 +1575,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_drift": q_events_daily_drift,
     "events_session_errors": q_events_session_errors,
     "events_props_stats": q_events_props_stats,
+    "events_rolling_value": q_events_rolling_value,
+    "users_click_no_purchase": q_users_click_no_purchase,
+    "events_type_pivot": q_events_type_pivot,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
@@ -1529,6 +1628,9 @@ def oracles() -> dict[str, str]:
         "events_daily_drift": _oracle_events_daily_drift(),
         "events_session_errors": _oracle_events_session_errors(),
         "events_props_stats": _oracle_events_props_stats(),
+        "events_rolling_value": _oracle_events_rolling_value(),
+        "users_click_no_purchase": _oracle_users_click_no_purchase(),
+        "events_type_pivot": _oracle_events_type_pivot(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),
         "text_tokens": _oracle_text_tokens(),
