@@ -36,6 +36,7 @@ _FORMATS = {
     ".csv": "csv",
     ".json": "json",
     ".jsonl": "json",
+    ".orc": "orc",
 }
 
 
@@ -104,6 +105,13 @@ def _footer_row_count_cached(path: str, _mtime: float) -> int:
     return max(total, 0)
 
 
+@lru_cache(maxsize=4096)
+def _orc_row_count_cached(path: str, _mtime: float) -> int:
+    import pyarrow.orc as po
+
+    return max(po.ORCFile(path).nrows, 0)
+
+
 def footer_row_count(path: str) -> int:
     """Exact row count from Parquet footer metadata — no data scan.
 
@@ -117,6 +125,9 @@ def footer_row_count(path: str) -> int:
     profiler records estimated_rows = None (rendered blank), matching a
     never-ANALYZEd table in the reference.
     """
+    if os.path.isfile(path) and path.endswith(".orc"):
+        # ORC carries the same footer-level count (file + stripe metadata)
+        return _orc_row_count_cached(path, _mtime_key(path))
     if not _parquet_files(path):
         raise ValueError(f"no parquet footers under {path}")
     return _footer_row_count_cached(path, _mtime_key(path))
@@ -171,6 +182,10 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
         return df
     if fmt == "json":
         df = spark.read.json(path)
+        cache[key] = df
+        return df
+    if fmt == "orc":
+        df = spark.read.orc(path)
         cache[key] = df
         return df
     nanos = _nanos_timestamp_cols(path)

@@ -146,3 +146,59 @@ def test_mixed_format_data_root(spark, tmp_path):
     assert things.exact_rows == 2
     tcols = {c.name: c for c in things.columns}
     assert (tcols["score"].min_value, tcols["score"].max_value) == (0.5, 1.5)
+
+
+def test_orc_table_source(spark, tmp_path):
+    """ORC file-per-table sources: discovered, metadata row count from the
+    ORC footer (no scan), profiled like any table."""
+    import os
+
+    from overpaint_spark.profiler import profile_data_root
+    from overpaint_spark.sources.catalog import discover_tables, footer_row_count
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    tmp_orc = str(tmp_path / "orc_out")
+    spark.range(50).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v").coalesce(
+        1
+    ).write.orc(tmp_orc)
+    part = next(
+        n for n in os.listdir(tmp_orc) if n.endswith(".orc") and not n.startswith("_")
+    )
+    os.rename(os.path.join(tmp_orc, part), os.path.join(root, "measures.orc"))
+
+    handles = discover_tables(root)
+    assert [(h.name, h.fmt) for h in handles] == [("measures", "orc")]
+    assert footer_row_count(handles[0].path) == 50
+
+    prof = {p.name: p for p in profile_data_root(spark, root)}["measures"]
+    assert prof.estimated_rows == 50
+    cols = {c.name: c for c in prof.columns}
+    assert (cols["k"].min_value, cols["k"].max_value) == (0, 49)
+    assert (cols["v"].min_value, cols["v"].max_value) == (0.0, 73.5)
+
+
+def test_partitioned_directory_table_prunes(spark, tmp_path):
+    """Hive-partitioned directory tables: discovered as one table, and a
+    filter on the partition column reaches the scan as a PartitionFilter
+    (pruned at planning — unselected partitions are never read)."""
+    import os
+
+    from overpaint_spark.sources.catalog import discover_tables, load_table
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS shard"
+    ).write.partitionBy("shard").parquet(os.path.join(root, "sharded"))
+
+    handles = discover_tables(root)
+    assert [h.name for h in handles] == ["sharded"]
+    df = load_table(spark, handles[0])
+    assert df.count() == 1000
+
+    filtered = df.filter(df.shard == "3")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "shard" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert filtered.count() == 1000 // 7 + 1
