@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
         "--drift-against", metavar="PREV_RUN_ID",
         help="print drift vs an earlier snapshot run (needs --snapshot-dir/--run-id)",
     )
+    parser.add_argument(
+        "--rules", metavar="RULES_JSON",
+        help="validation mode: evaluate a JSON rule suite ({table: [rule "
+        "specs]}) instead of profiling; exit 3 when any rule fails",
+    )
     args = parser.parse_args(argv)
     if args.snapshot_dir and not args.run_id:
         parser.error("--snapshot-dir requires --run-id")
@@ -59,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
         preexisting = SparkSession.getActiveSession() is not None
         spark = get_spark("overpaint-profile")
         try:
+            if args.rules:
+                return _run_validation(spark, args.data_root, args.rules)
             profiles = profile_data_root(spark, args.data_root, exact=args.exact)
             mode = "exact" if args.exact else "estimated"
             sys.stdout.write(render_tables(profiles, mode))
@@ -104,6 +111,42 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Failed to list tables: {exc}\n")
         return 1
     return 0
+
+
+def _run_validation(spark, data_root: str, rules_path: str) -> int:
+    """Evaluate a declarative rule suite; one aggregate job per table.
+
+    Exit 0 = all rules pass, 3 = at least one failed (the monitoring-job
+    contract: a scheduler alert fires on non-zero).
+    """
+    from overpaint_spark.rules import evaluate_rules
+    from overpaint_spark.rules.config import load_suite
+    from overpaint_spark.sources.catalog import load_all
+
+    suite = load_suite(rules_path)
+    tables = load_all(spark, data_root)
+    missing = sorted(set(suite) - set(tables))
+    if missing:
+        raise FileNotFoundError(f"rule suite references missing tables: {missing}")
+    rows = (
+        evaluate_rules(spark, {t: tables[t] for t in suite}, suite)
+        .orderBy("table_name", "rule_name", "column_name")
+        .collect()
+    )
+    n_fail = sum(not r.passed for r in rows)
+    sys.stdout.write(f"Validation: {len(rows)} rules, {n_fail} failed\n\n")
+    widths = (
+        max((len(r.table_name) for r in rows), default=5),
+        max((len(r.rule_name) for r in rows), default=4),
+        max((len(r.column_name) for r in rows), default=6),
+    )
+    for r in rows:
+        mark = "ok" if r.passed else "FAIL"
+        sys.stdout.write(
+            f"{mark:<5} {r.table_name:<{widths[0]}}  {r.rule_name:<{widths[1]}}  "
+            f"{r.column_name:<{widths[2]}}  {r.metric_value}\n"
+        )
+    return 3 if n_fail else 0
 
 
 if __name__ == "__main__":

@@ -53,3 +53,48 @@ def test_single_pass_many_rules(spark):
     out = evaluate_rules(spark, {"t": df}, {"t": rules})
     assert out.count() == 4
     assert all(r.passed for r in out.collect())
+
+
+def test_cli_rules_mode(spark, tmp_path, capsys):
+    """Declarative JSON rule suite via the CLI: pass → exit 0, any
+    failure → exit 3 with FAIL lines (the monitoring-job contract)."""
+    import json
+
+    from overpaint_spark import cli
+
+    passing = {
+        "orders": [
+            {"rule": "not_null", "column": "o_custkey"},
+            {"rule": "unique", "column": "o_orderkey"},
+        ],
+        "lineitem": [
+            {"rule": "in_range", "column": "l_discount", "lo": 0.0, "hi": 0.1},
+        ],
+    }
+    p = tmp_path / "rules_ok.json"
+    p.write_text(json.dumps(passing))
+    assert cli.main(["/root/testdata/sf0.001", "--rules", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "3 rules, 0 failed" in out
+
+    failing = {
+        "orders": [{"rule": "row_count_at_least", "n": 10_000_000}],
+    }
+    p2 = tmp_path / "rules_bad.json"
+    p2.write_text(json.dumps(failing))
+    assert cli.main(["/root/testdata/sf0.001", "--rules", str(p2)]) == 3
+    out = capsys.readouterr().out
+    assert "1 failed" in out and "FAIL" in out
+
+
+def test_rule_config_validation_errors():
+    import pytest as _pytest
+
+    from overpaint_spark.rules.config import rule_from_spec, suite_from_config
+
+    with _pytest.raises(ValueError, match="unknown rule"):
+        rule_from_spec({"rule": "nope", "column": "c"})
+    with _pytest.raises(ValueError, match="missing parameters"):
+        rule_from_spec({"rule": "in_range", "column": "c", "lo": 0})
+    with _pytest.raises(ValueError, match="JSON object"):
+        suite_from_config([1, 2])
