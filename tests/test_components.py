@@ -9,36 +9,53 @@ from overpaint_spark.operators.components import (
 )
 
 
-def _cc(spark, edges):
+# threshold 0 forces the distributed min-label loop; default exercises
+# the driver union-find fast path — results must be identical
+THRESHOLDS = [0, 1_000_000]
+
+
+def _cc(spark, edges, threshold):
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     return {
-        (r.id, r.component) for r in connected_components(df).collect()
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=threshold).collect()
     }
 
 
-def test_two_clusters_and_chain(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_two_clusters_and_chain(spark, threshold):
     # chain 1-2-3 (transitive: 1 and 3 never paired) + pair 10-11
-    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], threshold)
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
-def test_long_chain_converges(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_long_chain_converges(spark, threshold):
     # a 12-vertex path needs multiple propagation rounds
     edges = [(i, i + 1) for i in range(12)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, threshold)
     assert got == {(i, 0) for i in range(13)}
 
 
-def test_direction_and_duplicates_irrelevant(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_direction_and_duplicates_irrelevant(spark, threshold):
     # reversed edges and repeated pairs change nothing
-    got = _cc(spark, [(5, 2), (2, 5), (5, 2), (7, 5)])
+    got = _cc(spark, [(5, 2), (2, 5), (5, 2), (7, 5)], threshold)
     assert got == {(2, 2), (5, 2), (7, 2)}
 
 
-def test_dense_clique(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_dense_clique(spark, threshold):
     edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, threshold)
     assert got == {(i, 0) for i in range(4)}
+
+
+def test_fallback_when_over_threshold(spark):
+    # threshold smaller than the edge count → distributed path, same answer
+    edges = [(i, i + 1) for i in range(10)]
+    got = _cc(spark, edges, 3)
+    assert got == {(i, 0) for i in range(11)}
 
 
 def test_survivors_keep_one_per_cluster(spark):

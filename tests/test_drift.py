@@ -46,3 +46,58 @@ def test_drift_presence_change_alerts(spark):
             for r in snapshot_drift(cur, prev).collect()}
     assert rows[("t", "d", "min")].drift_alert         # column disappeared
     assert not rows[("t", "c", "min")].drift_alert     # unchanged
+
+
+# --- PSI (rules/psi.py) ----------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from overpaint_spark.rules.psi import psi, psi_band
+
+    df = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    val = psi(df, df, "v", lo=0.0, hi=100.0, n_bins=10)
+    assert val == 0.0
+    assert psi_band(val) == "stable"
+
+
+def test_psi_detects_shift_and_matches_numpy(spark):
+    import numpy as np
+
+    from overpaint_spark.rules.psi import EPS, psi, psi_band
+
+    base = spark.range(2000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    # current: mass pushed right by 30 and clipped — a real shift
+    cur = spark.range(2000).selectExpr(
+        "CAST(LEAST(id % 100 + 30, 129) AS DOUBLE) AS v"
+    )
+    got = psi(base, cur, "v", lo=0.0, hi=100.0, n_bins=10)
+    assert psi_band(got) == "action"
+
+    # naive numpy recomputation on the same data
+    bv = np.arange(2000) % 100
+    cv = np.minimum(np.arange(2000) % 100 + 30, 129)
+    edges = np.linspace(0, 100, 11)
+
+    def props(x):
+        buckets = np.clip(np.digitize(x, edges, right=False), 0, 11)
+        n = np.bincount(buckets, minlength=12)
+        return np.maximum(n / n.sum(), EPS)
+
+    pb, pc = props(bv), props(cv)
+    want = float(np.sum((pc - pb) * np.log(pc / pb)))
+    assert abs(got - want) < 1e-12
+
+
+def test_psi_histogram_overflow_buckets(spark):
+    from overpaint_spark.rules.psi import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (99.9,), (100.0,), (250.0,), (None,)],
+        "v double",
+    )
+    h = dict(
+        (r.bucket, r.n) for r in histogram(df, "v", 0.0, 100.0, 10).collect()
+    )
+    assert h[0] == 1            # underflow
+    assert h[11] == 2           # overflow (>= hi)
+    assert sum(h.values()) == 6  # NULL excluded
