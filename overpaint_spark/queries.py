@@ -1258,6 +1258,36 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of ``value`` per calendar week — the relation
+    the PSI distribution-drift monitor (rules/psi.py) persists per run
+    and folds driver-side. Bucket counts are integers, so the oracle is
+    exact; buckets 0 / n+1 are under/overflow. One n_bins-row shuffle
+    regardless of input size."""
+    from overpaint_spark.rules.psi import bucket_expr
+
+    e = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("timestamp").alias("week_start")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(week, bucket_expr(F.col("value"), 0.0, 200.0, 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _oracle_events_value_histogram() -> str:
+    # same arithmetic bucketing: 0 underflow, 1..10 fixed bins, 11 overflow
+    bucket = (
+        "CASE WHEN value < 0.0 THEN 0 WHEN value >= 200.0 THEN 11 "
+        "ELSE CAST(FLOOR((value - 0.0) / 20.0) AS INTEGER) + 1 END"
+    )
+    return (
+        "SELECT CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week_start, "
+        f"{bucket} AS bucket, COUNT(*) AS n "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
+    )
+
+
 def q_events_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-frame window: per-user moving aggregate of ``value`` over
     the current + 3 preceding events (ROWS frame, deterministic order).
@@ -1575,6 +1605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_drift": q_events_daily_drift,
     "events_session_errors": q_events_session_errors,
     "events_props_stats": q_events_props_stats,
+    "events_value_histogram": q_events_value_histogram,
     "events_rolling_value": q_events_rolling_value,
     "users_click_no_purchase": q_users_click_no_purchase,
     "events_type_pivot": q_events_type_pivot,
@@ -1628,6 +1659,7 @@ def oracles() -> dict[str, str]:
         "events_daily_drift": _oracle_events_daily_drift(),
         "events_session_errors": _oracle_events_session_errors(),
         "events_props_stats": _oracle_events_props_stats(),
+        "events_value_histogram": _oracle_events_value_histogram(),
         "events_rolling_value": _oracle_events_rolling_value(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
         "events_type_pivot": _oracle_events_type_pivot(),

@@ -65,3 +65,28 @@ def test_asof_join_single_shuffle(spark):
     n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchanges <= 2, plan  # key shuffle (+ AQE final coalesce at most)
     assert "Window" in plan
+
+
+# Queries whose semantics REQUIRE a non-equi join of two relations
+# (exact brute-force scoring of queries × corpus) — everything else must
+# never plan a cartesian/nested-loop join.
+_CROSS_OK = {"ann_topk_bruteforce"}
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Plan hygiene across the ENTIRE declared manifest: an accidental
+    cross product is the classic silent 100 TB killer — a refactor that
+    drops an equi-key must fail here, not in production."""
+    offenders = {}
+    for name in Q.QUERIES:
+        if name in _CROSS_OK:
+            continue
+        plan = plan_of(spark, name)
+        bad = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
