@@ -146,12 +146,84 @@ def lsh_topk(
 
 # --- IVF (inverted-file) partitioned search --------------------------------
 
+def train_kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd's k-means (cosine assignment, mean update) for
+    IVF centroid training; returns the centroid matrix (numpy, C×dim).
+
+    Communication-optimal shape: each Arrow batch assigns its vectors
+    with one GEMM against the (small, broadcast-by-closure) centroid
+    matrix and emits ONE partial (cluster, sum_vec, count) row per
+    cluster — the driver reduces ≤ partitions × C tiny rows per round,
+    never the vectors themselves. This is the textbook scalable k-means
+    loop (same state shape as MLlib's); iterations are few (IVF needs
+    balanced-ish lists, not converged clusters).
+
+    Deterministic: init is the ``n_centroids`` lowest-id vectors, ties in
+    assignment break toward the lower centroid index, empty clusters
+    keep their previous centroid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    init_rows = (
+        vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    cmat = np.array([r[0] for r in init_rows], dtype=np.float64)
+    src = vectors.select(vec_col)
+
+    for _ in range(n_iter):
+        cnorm = np.linalg.norm(cmat, axis=1)
+        frozen = cmat, cnorm
+
+        def partials(batches, _c=frozen):
+            mat_c, norm_c = _c
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                sims = (mat @ mat_c.T) / (
+                    np.linalg.norm(mat, axis=1)[:, None] * norm_c[None, :]
+                )
+                assign = np.argmax(sims, axis=1)  # first max = lowest index
+                rows = []
+                for cl in np.unique(assign):
+                    sel = mat[assign == cl]
+                    rows.append(
+                        {
+                            "cluster_id": int(cl),
+                            "vsum": [float(x) for x in sel.sum(axis=0)],
+                            "n": int(len(sel)),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        agg = src.mapInPandas(
+            partials, "cluster_id int, vsum array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(cmat)
+        counts = np.zeros(len(cmat), dtype=np.int64)
+        for r in agg:
+            sums[r.cluster_id] += np.array(r.vsum)
+            counts[r.cluster_id] += r.n
+        nonempty = counts > 0
+        cmat = cmat.copy()
+        cmat[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cmat
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -159,9 +231,11 @@ def ivf_topk(
     nearest centroid, queries probe only their ``n_probe`` closest
     centroid lists.
 
-    - Centroids are the ``n_centroids`` lowest-id vectors (deterministic,
-      no training pass; swap in k-means centroids for better balance —
-      the plan shape is unchanged).
+    - Centroids: ``train_iters=0`` takes the ``n_centroids`` lowest-id
+      vectors (deterministic, no training job); ``train_iters>0`` runs
+      that many distributed k-means rounds first
+      (:func:`train_kmeans_centroids`) for better-balanced lists —
+      the search plan shape is identical either way.
     - Assignment is Arrow-batched (one GEMM per batch against the small
       centroid matrix) — the 100 TB path: each vector is scored against
       C centroids, not N vectors.
@@ -172,10 +246,15 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        candidates.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
-    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    if train_iters > 0:
+        cmat = train_kmeans_centroids(
+            candidates, n_centroids, train_iters, id_col, vec_col
+        )
+    else:
+        cent_rows = (
+            candidates.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        )
+        cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
 
     def assigner(n_assign: int):

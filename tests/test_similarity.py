@@ -93,3 +93,38 @@ def test_ivf_topk_recall_and_exact_sims(spark):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """k-means-trained IVF: recall at least matches the untrained index
+    on the fixtures, and training is deterministic (same centroids →
+    same result set on repeat runs)."""
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in SIM.brute_force_topk(e, q, k=5).collect()}
+    plain = {(r.query_id, r.neighbor_id)
+             for r in SIM.ivf_topk(e, q, k=5).collect()}
+    trained1 = {(r.query_id, r.neighbor_id)
+                for r in SIM.ivf_topk(e, q, k=5, train_iters=3).collect()}
+    trained2 = {(r.query_id, r.neighbor_id)
+                for r in SIM.ivf_topk(e, q, k=5, train_iters=3).collect()}
+    assert trained1 == trained2
+    r_plain = len(exact & plain) / len(exact)
+    r_trained = len(exact & trained1) / len(exact)
+    assert r_trained >= r_plain - 0.1, (r_plain, r_trained)
+    assert r_trained >= 0.3
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    import numpy as np
+
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    c1 = SIM.train_kmeans_centroids(e, n_centroids=8, n_iter=2)
+    c2 = SIM.train_kmeans_centroids(e, n_centroids=8, n_iter=2)
+    assert c1.shape == (8, len(e.select("embedding").first()[0]))
+    assert np.array_equal(c1, c2)
