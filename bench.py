@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dataset_split",
     "corpus_clean",
+    "documents_sample_stratified",
+    "pricing_cube",
+    "customer_balance_quartiles",
     "ann_topk_bruteforce",
     "ann_topk_numpy",
     "multimodal_metadata",

@@ -1258,6 +1258,89 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+def q_documents_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py):
+    per-language rates (en 50%, de 25%, everything else 10%), membership
+    a pure function of (doc_id, salt) — reproducible across runs,
+    engines, and partitionings, unlike sample()/sampleBy() RNG draws."""
+    from overpaint_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, key_col="doc_id",
+        default_fraction=0.1, salt="s1",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _oracle_documents_sample_stratified() -> str:
+    from overpaint_spark.operators.sampling import threshold
+
+    hx = "0123456789abcdef"
+    h = "MD5('s1:' || CAST(doc_id AS VARCHAR))"
+    bucket = " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    thr = (
+        f"CASE WHEN lang = 'de' THEN {threshold(0.25)} "
+        f"WHEN lang = 'en' THEN {threshold(0.5)} "
+        f"ELSE {threshold(0.1)} END"
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE ({bucket}) < ({thr})"
+
+
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four granularities of (returnflag,
+    linestatus) in one pass — subtotals by each key alone plus the grand
+    total (ROLLUP's sibling; together they cover Spark's grouping-set
+    surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+    )
+
+
+def _oracle_pricing_cube() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: customers bucketed into account-balance quartiles
+    per market segment (deterministic tiebreak on the key), plus each
+    quartile's aggregate — the two-level window→agg shape of cohort
+    reports."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    tiled = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return tiled.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+def _oracle_customer_balance_quartiles() -> str:
+    return (
+        "WITH t AS (SELECT c_mktsegment, c_acctbal, "
+        "NTILE(4) OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS quartile FROM customer) "
+        "SELECT c_mktsegment, quartile, COUNT(*) AS n_customers, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
+        "FROM t GROUP BY c_mktsegment, quartile"
+    )
+
+
 def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram of ``value`` per calendar week — the relation
     the PSI distribution-drift monitor (rules/psi.py) persists per run
@@ -1605,6 +1688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_drift": q_events_daily_drift,
     "events_session_errors": q_events_session_errors,
     "events_props_stats": q_events_props_stats,
+    "documents_sample_stratified": q_documents_sample_stratified,
+    "pricing_cube": q_pricing_cube,
+    "customer_balance_quartiles": q_customer_balance_quartiles,
     "events_value_histogram": q_events_value_histogram,
     "events_rolling_value": q_events_rolling_value,
     "users_click_no_purchase": q_users_click_no_purchase,
@@ -1659,6 +1745,9 @@ def oracles() -> dict[str, str]:
         "events_daily_drift": _oracle_events_daily_drift(),
         "events_session_errors": _oracle_events_session_errors(),
         "events_props_stats": _oracle_events_props_stats(),
+        "documents_sample_stratified": _oracle_documents_sample_stratified(),
+        "pricing_cube": _oracle_pricing_cube(),
+        "customer_balance_quartiles": _oracle_customer_balance_quartiles(),
         "events_value_histogram": _oracle_events_value_histogram(),
         "events_rolling_value": _oracle_events_rolling_value(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
