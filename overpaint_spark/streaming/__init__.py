@@ -12,3 +12,6 @@ from overpaint_spark.streaming.dedup import (  # noqa: F401
 from overpaint_spark.streaming.attribution import (  # noqa: F401
     streaming_interval_attribution,
 )
+from overpaint_spark.streaming.alerts import (  # noqa: F401
+    write_rule_alerts_stream,
+)

@@ -267,3 +267,32 @@ def test_streaming_interval_attribution(spark, events_dir):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_rule_alerts(spark, events_dir, tmp_path):
+    """foreachBatch alert sink: per-batch rule evaluation, violations
+    appended with batch provenance; passing rules excluded by default."""
+    from overpaint_spark.rules import in_range, row_count_at_least
+    from overpaint_spark.streaming import (
+        read_events_stream,
+        write_rule_alerts_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    alert_dir = str(tmp_path / "alerts")
+    q = write_rule_alerts_stream(
+        stream,
+        # value <= 50 fails on the fixture; row count passes
+        [in_range("value", 0.0, 50.0), row_count_at_least(1)],
+        alert_dir,
+        str(tmp_path / "ckpt"),
+        table_name="events",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    alerts = spark.read.parquet(alert_dir).collect()
+    assert len(alerts) >= 1
+    assert {r.rule_name for r in alerts} == {"in_range"}  # passes excluded
+    assert all(not r.passed for r in alerts)
+    assert all(r.table_name == "events" for r in alerts)
+    assert all(r.batch_id >= 0 for r in alerts)
