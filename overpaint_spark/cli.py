@@ -47,7 +47,15 @@ def main(argv: list[str] | None = None) -> int:
         help="validation mode: evaluate a JSON rule suite ({table: [rule "
         "specs]}) instead of profiling; exit 3 when any rule fails",
     )
+    parser.add_argument(
+        "--histogram", metavar="SPEC", action="append", default=[],
+        help="monitor a distribution: table.column:lo:hi[:bins] — persists "
+        "fixed-bin histograms with the snapshot; with --drift-against also "
+        "prints PSI per monitored column (repeatable)",
+    )
     args = parser.parse_args(argv)
+    if args.histogram and not args.snapshot_dir:
+        parser.error("--histogram requires --snapshot-dir and --run-id")
     if args.snapshot_dir and not args.run_id:
         parser.error("--snapshot-dir requires --run-id")
     if args.drift_against and not args.snapshot_dir:
@@ -83,6 +91,33 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write(
                     f"\nSnapshot written: run_id={args.run_id} -> {args.snapshot_dir}\n"
                 )
+                if args.histogram:
+                    from overpaint_spark.rules.psi import (
+                        HistogramSpec,
+                        write_histogram_snapshot,
+                    )
+                    from overpaint_spark.sources.catalog import load_all
+
+                    specs = [HistogramSpec.parse(s) for s in args.histogram]
+                    hist_dir = os.path.join(args.snapshot_dir, "_histograms")
+                    write_histogram_snapshot(
+                        spark, load_all(spark, args.data_root), hist_dir,
+                        args.run_id, specs,
+                    )
+                    sys.stdout.write(
+                        f"Histograms written: {len(specs)} spec(s) -> {hist_dir}\n"
+                    )
+                    if args.drift_against:
+                        from overpaint_spark.rules.psi import psi_between_runs
+
+                        for t, c, val, band in psi_between_runs(
+                            spark, hist_dir, args.run_id, args.drift_against
+                        ):
+                            flag = " " if band == "stable" else "!"
+                            sys.stdout.write(
+                                f"{flag} PSI {t}.{c} vs {args.drift_against}: "
+                                f"{val:.4f} ({band})\n"
+                            )
                 if args.drift_against:
                     cur = read_profile_snapshot(spark, args.snapshot_dir, args.run_id)
                     prev = read_profile_snapshot(spark, args.snapshot_dir, args.drift_against)

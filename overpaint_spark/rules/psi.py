@@ -21,6 +21,7 @@ a metadata-only computation later.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -109,3 +110,87 @@ def psi_band(value: float) -> str:
     if value <= 0.25:
         return "shifted"
     return "action"
+
+
+# --- persisted histogram snapshots (the monitoring loop) -------------------
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    """One monitored distribution: fixed edges declared up front."""
+
+    table: str
+    column: str
+    lo: float
+    hi: float
+    n_bins: int = 10
+
+    @classmethod
+    def parse(cls, text: str) -> "HistogramSpec":
+        """``table.column:lo:hi[:bins]`` (the CLI surface)."""
+        try:
+            target, lo, hi, *rest = text.split(":")
+            table, column = target.split(".", 1)
+            return cls(table, column, float(lo), float(hi),
+                       int(rest[0]) if rest else 10)
+        except (ValueError, IndexError) as exc:
+            raise ValueError(
+                f"bad histogram spec {text!r}; want table.column:lo:hi[:bins]"
+            ) from exc
+
+
+def write_histogram_snapshot(
+    spark,
+    tables: dict[str, DataFrame],
+    out_path: str,
+    run_id: str,
+    specs: list[HistogramSpec],
+) -> DataFrame:
+    """Persist the monitored histograms for one run (appended under
+    ``out_path/run_id=<id>/`` like the profile snapshots). Each spec is
+    one n_bins-row aggregation; PSI between ANY two runs later is a
+    metadata-only read of two tiny partitions."""
+    parts = []
+    for s in specs:
+        h = histogram(tables[s.table], s.column, s.lo, s.hi, s.n_bins)
+        parts.append(
+            h.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(s.table).alias("table_name"),
+                F.lit(s.column).alias("column_name"),
+                F.lit(s.n_bins).alias("n_bins"),
+                "bucket",
+                "n",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("append").partitionBy("run_id").parquet(out_path)
+    return out
+
+
+def psi_between_runs(
+    spark,
+    path: str,
+    current_run: str,
+    baseline_run: str,
+) -> list[tuple[str, str, float, str]]:
+    """(table, column, psi, band) for every monitored distribution
+    present in both runs — two partition-pruned reads of bucket counts,
+    PSI folded driver-side."""
+    snap = spark.read.parquet(path).filter(
+        F.col("run_id").isin([current_run, baseline_run])
+    )
+    rows = snap.collect()
+    by_key: dict = {}
+    for r in rows:
+        key = (r.table_name, r.column_name)
+        slot = by_key.setdefault(key, {"n_bins": r.n_bins, current_run: [], baseline_run: []})
+        slot[r.run_id].append((r.bucket, r.n))
+    out = []
+    for (table, column), slot in sorted(by_key.items()):
+        if not slot[current_run] or not slot[baseline_run]:
+            continue
+        val = psi_from_histograms(slot[baseline_run], slot[current_run], slot["n_bins"])
+        out.append((table, column, val, psi_band(val)))
+    return out

@@ -101,3 +101,36 @@ def test_psi_histogram_overflow_buckets(spark):
     assert h[0] == 1            # underflow
     assert h[11] == 2           # overflow (>= hi)
     assert sum(h.values()) == 6  # NULL excluded
+
+
+def test_cli_histogram_psi_flow(spark, tmp_path, capsys):
+    """End-to-end monitoring loop: two snapshot runs with persisted
+    histograms, PSI printed on the drift run (same data → stable)."""
+    from overpaint_spark import cli
+
+    snaps = str(tmp_path / "snaps")
+    spec = "events.value:0:200:10"
+    assert cli.main([
+        "/root/testdata/sf0.001", "--snapshot-dir", snaps, "--run-id", "r1",
+        "--histogram", spec,
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "/root/testdata/sf0.001", "--snapshot-dir", snaps, "--run-id", "r2",
+        "--histogram", spec, "--drift-against", "r1",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "PSI events.value vs r1: 0.0000 (stable)" in out
+
+
+def test_histogram_spec_parse():
+    import pytest as _pytest
+
+    from overpaint_spark.rules.psi import HistogramSpec
+
+    s = HistogramSpec.parse("events.value:0:200")
+    assert (s.table, s.column, s.lo, s.hi, s.n_bins) == ("events", "value", 0.0, 200.0, 10)
+    s2 = HistogramSpec.parse("t.c:-5:5:20")
+    assert (s2.lo, s2.hi, s2.n_bins) == (-5.0, 5.0, 20)
+    with _pytest.raises(ValueError, match="bad histogram spec"):
+        HistogramSpec.parse("nodot:0:1")
