@@ -1258,6 +1258,66 @@ def _oracle_dedup_embedding_cosine() -> str:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style correlated scalar subquery: yearly revenue from orders
+    of one brand whose quantity is below 20% of that part's average.
+    The DataFrame form decorrelates explicitly — per-part averages are a
+    pre-aggregation (one row per part) BROADCAST into the lineitem scan,
+    so the fact table is filtered in place with zero fact-side shuffle;
+    Catalyst performs the same decorrelation on the SQL form. The
+    threshold is one IEEE expression (decimal-exact sum / count) so the
+    boundary compare is bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _oracle_small_quantity_revenue() -> str:
+    return (
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 "
+        "AS avg_yearly "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * ("
+        "SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+        " / CAST(COUNT(*) AS DOUBLE) "
+        "FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: every-10th frame index per asset, exploded
+    one row per frame (operators/multimodal.frame_sample_plan — decode
+    stubbed, the per-asset explode shape is the real video path)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = MM.attach_payload(d, "doc_id", "text")
+    return MM.frame_sample_plan(assets, every_n=10)
+
+
+def _oracle_multimodal_frames() -> str:
+    # payload = utf-8 text (ASCII corpus): n_frames = LENGTH(text) % 100 + 1
+    return (
+        "SELECT doc_id AS asset_id, "
+        "UNNEST(GENERATE_SERIES(0, LENGTH(text) % 100, 10)) AS frame_idx "
+        "FROM documents"
+    )
+
+
 def q_documents_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py):
     per-language rates (en 50%, de 25%, everything else 10%), membership
@@ -1688,6 +1748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_drift": q_events_daily_drift,
     "events_session_errors": q_events_session_errors,
     "events_props_stats": q_events_props_stats,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
     "customer_balance_quartiles": q_customer_balance_quartiles,
@@ -1745,6 +1807,8 @@ def oracles() -> dict[str, str]:
         "events_daily_drift": _oracle_events_daily_drift(),
         "events_session_errors": _oracle_events_session_errors(),
         "events_props_stats": _oracle_events_props_stats(),
+        "small_quantity_revenue": _oracle_small_quantity_revenue(),
+        "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),
         "customer_balance_quartiles": _oracle_customer_balance_quartiles(),
