@@ -1501,6 +1501,33 @@ def _oracle_users_click_no_purchase() -> str:
     )
 
 
+def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT): (user, day) pairs with BOTH a click
+    and a purchase — the conversion cohort, EXCEPT's complement (covers
+    Spark's remaining set operation; planned as a left-semi hash join)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("timestamp").alias("event_date")
+
+    def grain(tp: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == tp)
+            .select("user_id", day)
+            .distinct()
+        )
+
+    return grain("click").intersect(grain("purchase"))
+
+
+def _oracle_users_click_and_purchase() -> str:
+    return (
+        "SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date "
+        "FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) "
+        "FROM events WHERE event_type = 'purchase'"
+    )
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: events per day × event_type as columns (the dashboard
     cross-tab). Pivot values are pinned explicitly — with them, Spark
@@ -1756,6 +1783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": q_events_value_histogram,
     "events_rolling_value": q_events_rolling_value,
     "users_click_no_purchase": q_users_click_no_purchase,
+    "users_click_and_purchase": q_users_click_and_purchase,
     "events_type_pivot": q_events_type_pivot,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1815,6 +1843,7 @@ def oracles() -> dict[str, str]:
         "events_value_histogram": _oracle_events_value_histogram(),
         "events_rolling_value": _oracle_events_rolling_value(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
+        "users_click_and_purchase": _oracle_users_click_and_purchase(),
         "events_type_pivot": _oracle_events_type_pivot(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),

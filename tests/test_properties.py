@@ -49,3 +49,32 @@ def test_profile_stats_match_naive(spark, rows):
     # three-valued logic invariant: buckets + nulls == rowcount
     n_null_b = sum(1 for _, b in rows if b is None)
     assert got["tc_1"] + got["fc_1"] + n_null_b == len(rows)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_connected_components_paths_agree(spark, edges):
+    """The distributed min-label loop and the driver union-find fast path
+    are independent implementations — random graphs (self-loops,
+    duplicates, both directions) must give identical components."""
+    from overpaint_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    fast = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=10**6).collect()
+    }
+    assert dist == fast
