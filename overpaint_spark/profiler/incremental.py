@@ -264,6 +264,81 @@ def incremental_update(
     return IncrementalResult(new, spark.read.parquet(state_dir))
 
 
+COMPACTED_MARKER = "_compacted"
+
+
+def compact_state(state: DataFrame) -> DataFrame:
+    """Fold a per-file state relation into ONE row per (table, column)
+    without losing incrementality.
+
+    The state grows by one row per (new file × column) forever; on a
+    lake ingesting thousands of files a day the fold in
+    :func:`merged_column_profile` eventually reads more state than it
+    saves. Every accumulator merges losslessly — counts by SUM, min/max
+    by MIN/MAX, and the HLL registers by ``hll_union_agg`` which returns
+    a *sketch*, not an estimate — so periodically rewriting the state as
+    its own aggregate is exact: profiles and distinct estimates after
+    compaction are bit-identical to the uncompacted fold, and NEW files
+    keep appending next to the compacted row (checked in tests).
+
+    Two row kinds come back:
+
+    - one ``_compacted`` stats row per (table, column) holding the merged
+      accumulators;
+    - one zero-stat **tombstone** row per real file (column ``_file``)
+      preserving the (path, size) identity set, so
+      ``incremental_update`` still knows which files are already
+      profiled and only scans genuinely new ones after compaction.
+    """
+    tombstones = (
+        state.filter(F.col("file_path") != COMPACTED_MARKER)
+        .select("table_name", "file_path", "file_size")
+        .distinct()
+        .select(
+            "table_name",
+            "file_path",
+            "file_size",
+            F.lit("_file").alias("column_name"),
+            F.lit("file").alias("col_kind"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("n_nonnull"),
+            F.lit(None).cast("double").alias("min_d"),
+            F.lit(None).cast("double").alias("max_d"),
+            F.lit(None).cast("long").alias("min_us"),
+            F.lit(None).cast("long").alias("max_us"),
+            F.lit(None).cast("string").alias("min_s"),
+            F.lit(None).cast("string").alias("max_s"),
+            F.lit(None).cast("long").alias("n_true"),
+            F.lit(None).cast("long").alias("n_false"),
+            F.lit(None).cast("binary").alias("hll"),
+        )
+        .select([f_.name for f_ in STATE_SCHEMA.fields])
+    )
+    stats = (
+        state.filter(F.col("column_name") != "_file")
+        .groupBy("table_name", "column_name", "col_kind")
+        .agg(
+            F.lit(COMPACTED_MARKER).alias("file_path"),
+            F.sum("file_size").alias("file_size"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nonnull").alias("n_nonnull"),
+            F.min("min_d").alias("min_d"),
+            F.max("max_d").alias("max_d"),
+            F.min("min_us").alias("min_us"),
+            F.max("max_us").alias("max_us"),
+            F.min("min_s").alias("min_s"),
+            F.max("max_s").alias("max_s"),
+            F.sum("n_true").alias("n_true"),
+            F.sum("n_false").alias("n_false"),
+            F.when(
+                F.count("hll") > 0, F.hll_union_agg("hll", F.lit(True))
+            ).otherwise(F.lit(None).cast("binary")).alias("hll"),
+        )
+        .select([f_.name for f_ in STATE_SCHEMA.fields])
+    )
+    return stats.unionByName(tombstones)
+
+
 def merged_column_profile(state: DataFrame, approx_distinct: bool = True) -> DataFrame:
     """Fold the per-file state into a per-(table, column) profile.
 
@@ -295,7 +370,8 @@ def merged_column_profile(state: DataFrame, approx_distinct: bool = True) -> Dat
             .alias("approx_distinct")
         )
     return (
-        state.groupBy("table_name", "column_name", "col_kind")
+        state.filter(F.col("column_name") != "_file")  # compaction tombstones
+        .groupBy("table_name", "column_name", "col_kind")
         .agg(*aggs)
         .orderBy("table_name", "column_name")
     )

@@ -116,3 +116,53 @@ def test_boolean_and_array_channels(spark, tmp_path):
     assert fl["n_true"] == 2 and fl["n_false"] == 1 and fl["null_count"] == 1
     assert merged["vec"]["null_count"] == 1
     assert merged["vec"]["approx_distinct"] == 3
+
+
+def test_compaction_exact_and_preserves_incrementality(spark, tmp_path):
+    """compact_state folds N per-file rows into one per column without
+    changing any profile value or distinct estimate, keeps file identity
+    (new runs scan only NEW files), and composes (compact twice = once)."""
+    import os
+
+    from overpaint_spark.profiler.incremental import (
+        COMPACTED_MARKER,
+        compact_state,
+        incremental_update,
+        merged_column_profile,
+    )
+
+    table_dir = str(tmp_path / "t")
+    state_dir = str(tmp_path / "state")
+
+    def add_files(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id % 17 AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(table_dir)
+
+    add_files(0, 500)
+    add_files(500, 900)
+    r1 = incremental_update(spark, "t", table_dir, state_dir)
+    assert len(r1.new_files) == 2
+
+    def norm(df):
+        rows = merged_column_profile(df).collect()
+        return sorted((r.table_name, r.column_name, r.n_rows, r.null_count,
+                       r.min_d, r.max_d, r.approx_distinct) for r in rows)
+
+    uncompacted = norm(r1.state)
+    compacted_df = compact_state(r1.state)
+    assert norm(compacted_df) == uncompacted  # lossless (incl. HLL estimate)
+    # idempotent under re-compaction
+    assert norm(compact_state(compacted_df)) == uncompacted
+
+    # rewrite the state compacted (fresh dir: the plan is lazy over the
+    # old one); a new file must be the ONLY new scan afterwards
+    state_dir2 = str(tmp_path / "state2")
+    compacted_df.write.mode("append").parquet(state_dir2)
+    add_files(900, 1000)
+    r2 = incremental_update(spark, "t", table_dir, state_dir2)
+    assert len(r2.new_files) == 1  # the two old files stayed "seen"
+    got = {(r.column_name): (r.n_rows, r.min_d, r.max_d)
+           for r in merged_column_profile(r2.state).collect()}
+    assert got["k"] == (1000, 0.0, 999.0)
+    assert got["v"] == (1000, 0.0, 16.0)
