@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical form for content-level comparison: lowercase, strip
+    non-alphanumerics to spaces, squash whitespace runs, trim.
+
+    This is the normalization stage every dedup pipeline runs BEFORE
+    hashing/shingling — retyped punctuation, casing, and spacing must not
+    defeat near-dup detection. Character classes only (no shorthand like
+    ``\\w``), so the same regexes mean the same thing in Java regex
+    (Spark) and RE2 (DuckDB/others) and the expression is oracle-safe.
+    """
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    squashed = F.regexp_replace(stripped, "  *", " ")
+    return F.trim(squashed)
+
+
 def words(text: Column) -> Column:
     """Whitespace tokenization (single-space delimited corpus)."""
     return F.split(text, " ")

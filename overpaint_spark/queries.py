@@ -815,6 +815,29 @@ def _oracle_text_fingerprint() -> str:
 # Deduplication (SURVEY §7.4.1-2)
 # ---------------------------------------------------------------------------
 
+def q_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text + its fingerprint — the normalize-then-hash stage
+    every dedup pipeline runs first (casing/punctuation/spacing must not
+    defeat near-dup detection). Dialect-portable char-class regexes."""
+    d = _t(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        TX.md5_fingerprint(norm).alias("norm_fp"),
+    )
+
+
+def _oracle_text_normalized() -> str:
+    norm = (
+        "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), "
+        "'  *', ' ', 'g'))"
+    )
+    return (
+        f"SELECT doc_id, {norm} AS norm_text, MD5({norm}) AS norm_fp FROM documents"
+    )
+
+
 def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies: explode → count → deterministic top-25
     (count desc, token asc). The explode+groupBy is the canonical
@@ -1790,6 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_quality": q_text_quality,
+    "text_normalized": q_text_normalized,
     "text_top_tokens": q_text_top_tokens,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1850,6 +1874,7 @@ def oracles() -> dict[str, str]:
         "text_tokens": _oracle_text_tokens(),
         "text_fingerprint": _oracle_text_fingerprint(),
         "text_quality": _oracle_text_quality(),
+        "text_normalized": _oracle_text_normalized(),
         "text_top_tokens": _oracle_text_top_tokens(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),

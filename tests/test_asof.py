@@ -77,3 +77,43 @@ def test_matches_sql_correlated_oracle(spark):
         """
     )
     assert [r.asDict() for r in out.collect()] == [r.asDict() for r in naive.collect()]
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Our lag/window sessionization matches Spark's built-in
+    session_window aggregation on the fixture (same gap, same
+    session row counts and bounds) — evidence the custom formulation is
+    the same operator, kept because its session_id is oracle-checkable
+    while session_window's struct key is engine-specific."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark import queries as Q
+    from overpaint_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ours = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in Q.q_events_sessionize(spark, sf).collect()
+    }
+    e = load_table(spark, f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    native = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in (
+            e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        ).collect()
+    }
+    norm_ours = {
+        (u, s.isoformat(), e_.isoformat()): n for (u, s, e_), n in ours.items()
+    }
+    norm_native = {
+        (u, s.isoformat(), e_.isoformat()): n for (u, s, e_), n in native.items()
+    }
+    assert norm_ours == norm_native
