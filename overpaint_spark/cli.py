@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
         "fixed-bin histograms with the snapshot; with --drift-against also "
         "prints PSI per monitored column (repeatable)",
     )
+    parser.add_argument(
+        "--format", choices=["text", "json"], default="text",
+        help="profile output: human layout (default) or one JSON object "
+        "per table on stdout (machine-readable monitoring surface)",
+    )
     args = parser.parse_args(argv)
     if args.histogram and not args.snapshot_dir:
         parser.error("--histogram requires --snapshot-dir and --run-id")
@@ -76,7 +81,10 @@ def main(argv: list[str] | None = None) -> int:
                 return _run_validation(spark, args.data_root, args.rules)
             profiles = profile_data_root(spark, args.data_root, exact=args.exact)
             mode = "exact" if args.exact else "estimated"
-            sys.stdout.write(render_tables(profiles, mode))
+            if args.format == "json":
+                sys.stdout.write(_render_json(profiles))
+            else:
+                sys.stdout.write(render_tables(profiles, mode))
             if args.snapshot_dir:
                 from overpaint_spark.rules.drift import (
                     read_profile_snapshot,
@@ -146,6 +154,37 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"Failed to list tables: {exc}\n")
         return 1
     return 0
+
+
+def _render_json(profiles) -> str:
+    """JSON-lines projection of the profile (one object per table) —
+    stats carried typed-but-stringified like the reference's ``::text``
+    transport (listTables.tsx:240-241), so consumers parse one shape."""
+    import json
+
+    out = []
+    for p in profiles:
+        obj = {
+            "schema": p.schema,
+            "table": p.name,
+            "estimated_rows": p.estimated_rows,
+            "exact_rows": p.exact_rows,
+            "error": p.error,
+            "columns": [
+                {
+                    "name": c.name,
+                    "type": c.data_type.simpleString(),
+                    "human_type": c.human_type,
+                    "min": None if c.min_value is None else str(c.min_value),
+                    "max": None if c.max_value is None else str(c.max_value),
+                    "true_count": c.true_count,
+                    "false_count": c.false_count,
+                }
+                for c in p.columns
+            ],
+        }
+        out.append(json.dumps(obj, sort_keys=True))
+    return "\n".join(out) + "\n" if out else ""
 
 
 def _run_validation(spark, data_root: str, rules_path: str) -> int:

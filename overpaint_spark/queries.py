@@ -1524,6 +1524,33 @@ def _oracle_users_click_no_purchase() -> str:
     )
 
 
+def q_events_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD + FIRST_VALUE windows: per event, microseconds to the user's
+    NEXT event (NULL on their last) and offset since the user's first
+    event — inter-arrival analysis. Ordering key is integer epoch-µs
+    (cross-engine safe; see events_rolling_value)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.lead("us").over(w) - F.col("us")).alias("next_gap_us"),
+        (F.col("us") - F.first("us").over(w)).alias("since_first_us"),
+    )
+
+
+def _oracle_events_next_gap() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "LEAD(EPOCH_US(ts)) OVER w - EPOCH_US(ts) AS next_gap_us, "
+        "EPOCH_US(ts) - FIRST_VALUE(EPOCH_US(ts)) OVER w AS since_first_us "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)"
+    )
+
+
 def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersection (INTERSECT): (user, day) pairs with BOTH a click
     and a purchase — the conversion cohort, EXCEPT's complement (covers
@@ -1807,6 +1834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_value": q_events_rolling_value,
     "users_click_no_purchase": q_users_click_no_purchase,
     "users_click_and_purchase": q_users_click_and_purchase,
+    "events_next_gap": q_events_next_gap,
     "events_type_pivot": q_events_type_pivot,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1868,6 +1896,7 @@ def oracles() -> dict[str, str]:
         "events_rolling_value": _oracle_events_rolling_value(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
         "users_click_and_purchase": _oracle_users_click_and_purchase(),
+        "events_next_gap": _oracle_events_next_gap(),
         "events_type_pivot": _oracle_events_type_pivot(),
         "text_stats": _oracle_text_stats(),
         "text_langid": _oracle_text_langid(),

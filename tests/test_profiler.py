@@ -202,3 +202,24 @@ def test_partitioned_directory_table_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "shard" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert filtered.count() == 1000 // 7 + 1
+
+
+def test_cli_json_format(spark, capsys):
+    """--format json: one JSON object per table, stats stringified."""
+    import json
+
+    from overpaint_spark import cli
+
+    assert cli.main(["/root/testdata/sf0.001", "--format", "json"]) == 0
+    out = capsys.readouterr().out
+    objs = [json.loads(line) for line in out.strip().splitlines()]
+    byname = {o["table"]: o for o in objs}
+    assert set(byname) == {
+        "customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier",
+    }
+    cust = byname["customer"]
+    assert cust["estimated_rows"] == 150 and cust["error"] is None
+    cols = {c["name"]: c for c in cust["columns"]}
+    assert cols["c_custkey"]["min"] == "0" and cols["c_custkey"]["max"] == "149"
+    assert cols["c_name"]["min"] is None  # text: no stats, blank like the TUI
