@@ -373,6 +373,23 @@ def _oracle_profile_null_distinct() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HLL++ ``approx_count_distinct`` per
+    orders column in one pass (bounded memory; the exact twin is
+    profile_null_distinct). Estimates are engine-specific by nature →
+    no SQL oracle (driver records rows-only); accuracy vs exact counts
+    is pinned in tests/test_profiler.py instead."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    wide = o.agg(
+        *[F.approx_count_distinct(c, rsd=0.02).alias(f"ad_{c}") for c in cols]
+    )
+    stack_args = ", ".join(f"'{c}', `ad_{c}`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, approx_distinct)"
+    )
+
+
 def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rules engine: every rule folded into one aggregate pass per
     table; output is the monitoring metrics relation."""
@@ -1811,6 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
     "profile_percentiles": q_profile_percentiles,
     "profile_null_distinct": q_profile_null_distinct,
+    "profile_approx_distinct": q_profile_approx_distinct,
     "profile_incremental": q_profile_incremental,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,

@@ -223,3 +223,23 @@ def test_cli_json_format(spark, capsys):
     cols = {c["name"]: c for c in cust["columns"]}
     assert cols["c_custkey"]["min"] == "0" and cols["c_custkey"]["max"] == "149"
     assert cols["c_name"]["min"] is None  # text: no stats, blank like the TUI
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ estimates within the configured 2% rsd band (3 sigma) of the
+    exact distinct counts — the accuracy contract of the declared
+    rows-only profile_approx_distinct query."""
+    from overpaint_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.column_name: r.approx_distinct
+        for r in Q.q_profile_approx_distinct(spark, sf).collect()
+    }
+    exact = {
+        r.column_name: r.n_distinct
+        for r in Q.q_profile_null_distinct(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for col, est in approx.items():
+        assert abs(est - exact[col]) <= max(3, 0.06 * exact[col]), (col, est, exact[col])
