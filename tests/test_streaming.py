@@ -296,3 +296,41 @@ def test_streaming_rule_alerts(spark, events_dir, tmp_path):
     assert all(not r.passed for r in alerts)
     assert all(r.table_name == "events" for r in alerts)
     assert all(r.batch_id >= 0 for r in alerts)
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (broadcast per micro-batch, no streaming state at all) —
+    the third join shape next to stream-stream and batch joins. Result
+    matches the batch join exactly."""
+    from overpaint_spark.sources.catalog import load_table
+    from overpaint_spark.streaming import read_events_stream
+
+    dim = (
+        load_table(spark, f"{SF}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("enrich")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.c_mktsegment: r.n_events
+        for r in spark.sql("select * from enrich").collect()
+    }
+    want = {
+        r.c_mktsegment: r.n_events
+        for r in spark.read.parquet(events_dir)
+        .join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == 1000
