@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "events_rolling_value",
     "users_click_no_purchase",
     "events_type_pivot",
+    "nation_pair_flow",
+    "market_share_by_year",
+    "priority_line_counts",
+    "brand_disjunctive_revenue",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

@@ -1340,6 +1340,186 @@ def _oracle_small_quantity_revenue() -> str:
     )
 
 
+def q_nation_pair_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style volume shipping: revenue flowing between two specific
+    nation pairs (supplier nation → customer nation) per ship-year.
+
+    Scale shape: the single fact-side shuffle is the lineitem⋈orders
+    join on orderkey; every dimension (supplier, customer, both nation
+    aliases) is broadcast, and the nation-pair filter prunes fact rows
+    the moment the (tiny) broadcast maps are applied — no fact⋈fact
+    exchange, no row explosion. The same dimension table joins twice
+    under two aliases (supp side, cust side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+    )
+
+
+def _oracle_nation_pair_flow() -> str:
+    return (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(YEAR(l_shipdate) AS INT) AS l_year, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+        "GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INT)"
+    )
+
+
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style market share: NATION_5 suppliers' fraction of PROMO-part
+    revenue delivered into ASIA customers, per order-year.
+
+    The share is a conditional aggregate (sum over a CASE) divided by
+    the total — one pass, no self-join. Division is double/double (the
+    decimal sums are cast first) so the quotient is the same IEEE
+    operation in both engines. Part filter broadcast-prunes the fact
+    scan; region filter prunes the customer side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select("n_nationkey", "n_regionkey")
+    rev = F.expr(_REV)
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_rev).cast("double") / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _oracle_market_share_by_year() -> str:
+    return (
+        "SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, "
+        "CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN "
+        f"{_REV} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS mkt_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+        "GROUP BY CAST(YEAR(o_orderdate) AS INT)"
+    )
+
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style conditional aggregation: per line-status, how many
+    late-shipped lines belong to urgent/high-priority orders vs other
+    priorities. One fact-side shuffle (the orderkey join); the CASE
+    pair folds into a single aggregate pass — the shape for any
+    'bucketed counts by a joined attribute' monitoring query."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _oracle_priority_line_counts() -> str:
+    return (
+        "SELECT l_linestatus, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) "
+        "AS high_line_count, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) "
+        "AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate > o_orderdate GROUP BY l_linestatus"
+    )
+
+
+def q_brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive predicate join: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) conjunct
+    groups. The part side of each disjunct (brand+size) is pushed into
+    the broadcast build; the mixed fact/dim conjuncts evaluate post-join
+    — Catalyst extracts the part-only OR (brand ∈ {1,2,3}) below the
+    join so the build side stays small."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d1 = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 60)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(d1 | d2 | d3)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _oracle_brand_disjunctive_revenue() -> str:
+    return (
+        "SELECT COUNT(*) AS n_lines, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        " AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+        " AND l_quantity BETWEEN 10 AND 40) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+        " AND l_quantity BETWEEN 20 AND 60)"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: every-10th frame index per asset, exploded
     one row per frame (operators/multimodal.frame_sample_plan — decode
@@ -1844,6 +2024,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_errors": q_events_session_errors,
     "events_props_stats": q_events_props_stats,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "nation_pair_flow": q_nation_pair_flow,
+    "market_share_by_year": q_market_share_by_year,
+    "priority_line_counts": q_priority_line_counts,
+    "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
@@ -1906,6 +2090,10 @@ def oracles() -> dict[str, str]:
         "events_session_errors": _oracle_events_session_errors(),
         "events_props_stats": _oracle_events_props_stats(),
         "small_quantity_revenue": _oracle_small_quantity_revenue(),
+        "nation_pair_flow": _oracle_nation_pair_flow(),
+        "market_share_by_year": _oracle_market_share_by_year(),
+        "priority_line_counts": _oracle_priority_line_counts(),
+        "brand_disjunctive_revenue": _oracle_brand_disjunctive_revenue(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),
