@@ -15,3 +15,7 @@ from overpaint_spark.streaming.attribution import (  # noqa: F401
 from overpaint_spark.streaming.alerts import (  # noqa: F401
     write_rule_alerts_stream,
 )
+from overpaint_spark.streaming.topk import (  # noqa: F401
+    streaming_top_tokens,
+    top_k_snapshot,
+)

@@ -298,6 +298,39 @@ def test_streaming_rule_alerts(spark, events_dir, tmp_path):
     assert all(r.batch_id >= 0 for r in alerts)
 
 
+def test_streaming_top_tokens_matches_batch(spark, tmp_path):
+    """Stateful streaming top-k: documents arrive in TWO micro-batches
+    (maxFilesPerTrigger=1), per-bucket Misra-Gries state merges across
+    them, and the latest snapshot equals the exact batch leaderboard —
+    proving state survives and accumulates between triggers."""
+    from overpaint_spark.operators.heavyhitters import approx_top_tokens
+    from overpaint_spark.sources.catalog import load_table
+    from overpaint_spark.streaming.topk import streaming_top_tokens, top_k_snapshot
+
+    docs = load_table(spark, f"{SF}/documents.parquet").select("doc_id", "text")
+    d = str(tmp_path / "docs_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_top_tokens(stream, n_buckets=8, capacity=100_000, emit_k=25)
+    q = (
+        out.writeStream.format("memory").queryName("toptok")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    sink = spark.sql("select * from toptok")
+    # two micro-batches → at least one bucket reached version 2
+    assert sink.agg(F.max("version")).collect()[0][0] == 2
+    got = [(r.token, r.n) for r in top_k_snapshot(sink, 25).collect()]
+    want = [(r.token, r.n) for r in approx_top_tokens(docs, k=25).collect()]
+    assert got == want
+
+
 def test_stream_static_enrichment(spark, events_dir):
     """Stream-static join: a streaming fact enriched against a static
     dimension (broadcast per micro-batch, no streaming state at all) —
