@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ann_topk_numpy",
     "multimodal_metadata",
     "multimodal_features",
+    "multimodal_audio_energy",
 ]
 
 

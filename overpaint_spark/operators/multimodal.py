@@ -163,6 +163,74 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
 
 
+def pcm_window_plan(assets: DataFrame, win: int = 50, hop: int = 25) -> DataFrame:
+    """Audio framing plan: window start offsets for a payload interpreted
+    as mono little-endian 16-bit PCM — ``n_samples = byte_len // 2``,
+    starts at 0, hop, 2·hop, … while a full window fits.
+
+    Entirely JVM-side (length → sequence → explode). Payload bytes are
+    read once to measure length, then dropped BEFORE the explode — the
+    window relation carries only (asset_id, start_sample), never a
+    payload copy per window. (A real ingest persists byte_len in the
+    metadata struct, letting this plan skip the payload column
+    entirely.) Assets shorter than one window emit no rows.
+    """
+    n_samples = (F.length(F.col("payload")) / 2).cast("long")
+    return (
+        assets.select("asset_id", n_samples.alias("n_samples"))
+        .filter(F.col("n_samples") >= win)
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_samples") - win, F.lit(hop))
+            ).alias("start_sample"),
+        )
+    )
+
+
+def pcm_frame_energy(assets: DataFrame, win: int = 50, hop: int = 25) -> DataFrame:
+    """Per-window audio energy over raw PCM payloads — the REAL audio
+    compute path (``np.frombuffer`` IS the decoder for uncompressed
+    s16le PCM; no codec library involved).
+
+    Arrow-batched ``mapInPandas``: each batch reinterprets payload bytes
+    as int16 samples, then a cumulative-sum-of-squares makes every
+    window's energy O(1). Output is exact integer math (int64 sum of
+    squares, max 32767²·win ≪ 2⁶³) so the whole stage — including the
+    pandas/numpy inner loop — hash-matches a SQL oracle that recomputes
+    samples byte-by-byte. Compressed formats would add one stubbed
+    decode call before ``frombuffer``; the framing/energy shape is
+    identical. No shuffle: windows explode inside the map stage.
+    """
+    import numpy as np
+
+    out_schema = "asset_id long, start_sample long, energy long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            starts: list = []
+            energies: list = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload) // 2
+                if n < win:
+                    continue
+                x = np.frombuffer(payload[: 2 * n], dtype="<i2").astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(x * x)))
+                win_starts = range(0, n - win + 1, hop)
+                ids.extend([aid] * len(win_starts))
+                starts.extend(win_starts)
+                energies.extend(
+                    int(csum[s + win] - csum[s]) for s in win_starts
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "start_sample": starts, "energy": energies},
+                dtype="int64" if not ids else None,
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """STUB (video path) — plan frame sampling as an exploded index range
     derived from fake stream length; a real build decodes with pyav.

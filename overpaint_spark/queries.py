@@ -1538,6 +1538,54 @@ def _oracle_multimodal_frames() -> str:
     )
 
 
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plan (operators/multimodal.pcm_window_plan):
+    payload-as-PCM window offsets, computed JVM-side without touching a
+    payload byte (length → sequence → explode)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = MM.attach_payload(d, "doc_id", "text", media_type="audio/pcm-s16le")
+    return MM.pcm_window_plan(assets, win=50, hop=25)
+
+
+def _oracle_multimodal_audio_windows() -> str:
+    # payload = utf-8 text (ASCII corpus): n_samples = LENGTH(text) // 2
+    return (
+        "SELECT doc_id AS asset_id, "
+        "UNNEST(GENERATE_SERIES(0, LENGTH(text) // 2 - 50, 25)) AS start_sample "
+        "FROM documents WHERE LENGTH(text) // 2 >= 50"
+    )
+
+
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PCM energy (operators/multimodal.pcm_frame_energy):
+    the Arrow-batched numpy stage is hash-verified against a SQL oracle
+    that reconstructs each int16 sample byte-by-byte — exact integer
+    math end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    assets = MM.attach_payload(d, "doc_id", "text", media_type="audio/pcm-s16le")
+    return MM.pcm_frame_energy(assets, win=50, hop=25)
+
+
+def _oracle_multimodal_audio_energy() -> str:
+    # sample i of an s16le payload of ASCII text = byte(2i+1) + 256*byte(2i+2)
+    # (high byte < 128, so unsigned reconstruction equals signed int16)
+    return (
+        "WITH w AS ("
+        "SELECT doc_id, "
+        "UNNEST(GENERATE_SERIES(0, LENGTH(text) // 2 - 50, 25)) AS start_sample "
+        "FROM documents WHERE LENGTH(text) // 2 >= 50), "
+        "s AS (SELECT doc_id, start_sample, "
+        "UNNEST(GENERATE_SERIES(start_sample, start_sample + 49)) AS i FROM w), "
+        "v AS (SELECT s.doc_id, s.start_sample, "
+        "CAST(ASCII(SUBSTRING(d.text, CAST(2*s.i+1 AS INT), 1)) "
+        " + 256*ASCII(SUBSTRING(d.text, CAST(2*s.i+2 AS INT), 1)) AS BIGINT) AS v "
+        "FROM s JOIN documents d ON s.doc_id = d.doc_id) "
+        "SELECT doc_id AS asset_id, start_sample, "
+        "CAST(SUM(v*v) AS BIGINT) AS energy "
+        "FROM v GROUP BY doc_id, start_sample"
+    )
+
+
 def q_documents_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py):
     per-language rates (en 50%, de 25%, everything else 10%), membership
@@ -2062,6 +2110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
+    "multimodal_audio_energy": q_multimodal_audio_energy,
 }
 
 
@@ -2127,4 +2177,6 @@ def oracles() -> dict[str, str]:
         # ann_topk_lsh: approximate → rows-only check by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
+        "multimodal_audio_windows": _oracle_multimodal_audio_windows(),
+        "multimodal_audio_energy": _oracle_multimodal_audio_energy(),
     }

@@ -50,6 +50,39 @@ def test_resize_stub_deterministic_shape(spark, assets):
         assert again[r.asset_id] == r.payload
 
 
+def test_pcm_window_plan_offsets_and_pruning(spark, assets):
+    # doc 0 text = "document number 0 " (18 bytes → 9 samples): too short
+    # doc 5: 18 + 35 = 53 bytes → 26 samples → starts 0, 8, 16 with win=10/hop=8
+    plan = MM.pcm_window_plan(assets, win=10, hop=8)
+    rows = {}
+    for r in plan.collect():
+        rows.setdefault(r.asset_id, []).append(r.start_sample)
+    assert 0 not in rows  # shorter than one window → no rows
+    assert rows[5] == [0, 8, 16]
+    # payload is dropped before the explode: no per-window payload copies
+    assert plan.columns == ["asset_id", "start_sample"]
+    assert "payload" not in plan._jdf.queryExecution().optimizedPlan().toString().split("Generate")[0]
+
+
+def test_pcm_frame_energy_matches_numpy(spark, assets):
+    import numpy as np
+
+    win, hop = 10, 8
+    got = {
+        (r.asset_id, r.start_sample): r.energy
+        for r in MM.pcm_frame_energy(assets, win=win, hop=hop).collect()
+    }
+    want = {}
+    for r in assets.select("asset_id", "payload").collect():
+        n = len(r.payload) // 2
+        if n < win:
+            continue
+        x = np.frombuffer(bytes(r.payload)[: 2 * n], dtype="<i2").astype(np.int64)
+        for s in range(0, n - win + 1, hop):
+            want[(r.asset_id, s)] = int((x[s : s + win] ** 2).sum())
+    assert got == want and len(got) > 0
+
+
 def test_extract_features_range_and_chain(spark, assets):
     feats = MM.extract_features(assets)
     rows = feats.collect()
