@@ -49,6 +49,14 @@ BENCH_QUERIES = [
     "market_share_by_year",
     "priority_line_counts",
     "brand_disjunctive_revenue",
+    "shipping_priority",
+    "part_profit_by_nation",
+    "returned_revenue_by_customer",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_by_quarter",
+    "large_order_customers",
+    "idle_rich_customers",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

@@ -1520,6 +1520,328 @@ def _oracle_brand_disjunctive_revenue() -> str:
     )
 
 
+def _ts_ntz(s: str):
+    """Timestamp-NTZ literal (fixture date columns are timestamp_ntz;
+    a bare string literal would compare as TimestampType and shift by
+    the session zone)."""
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style shipping priority: top-10 unshipped BUILDING-segment
+    orders by outstanding revenue (ordered before the cutoff, with
+    lines still shipping after it).
+
+    Scale shape: both fact filters (o_orderdate, l_shipdate) are pushed
+    to the parquet scans BEFORE the orderkey shuffle, customer is a
+    broadcast semi-filter, and the top-10 is a TakeOrdered (per-partition
+    heap + driver merge of 10-row heads — never a global sort). The
+    order date is emitted as a yyyy-MM-dd string so the oracle compare
+    is timezone-proof."""
+    cutoff = "1998-06-01"
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts_ntz(cutoff))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts_ntz(cutoff))
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(F.expr(_REV)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _oracle_shipping_priority() -> str:
+    return (
+        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, "
+        f"o_orderpriority, CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    )
+
+
+def q_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product profit: revenue from parts matching a name
+    pattern, grouped by supplier nation and ship year. The LIKE filter
+    shrinks part BEFORE the broadcast build, so the fact scan is pruned
+    by the hash probe; supplier and nation are broadcast too — zero
+    fact-side shuffles before the final (tiny) group-by exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.expr(_REV)).cast("double").alias("profit"))
+    )
+
+
+def _oracle_part_profit_by_nation() -> str:
+    return (
+        "SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS INT) AS l_year, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%widget%' "
+        "GROUP BY n_name, CAST(YEAR(l_shipdate) AS INT)"
+    )
+
+
+def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item report: top-20 customers by revenue lost
+    to returns ('R' lines) on orders placed in one quarter.
+
+    The returnflag filter prunes lineitem at the scan; revenue is
+    pre-aggregated per orderkey before the orders join (shuffles one
+    row per order, not per line); customer and nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts_ntz("1997-01-01"))
+        & (F.col("o_orderdate") < _ts_ntz("1997-04-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_orderkey").agg(F.sum(F.expr(_REV)).alias("rev"))
+    return (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _oracle_returned_revenue_by_customer() -> str:
+    return (
+        "SELECT c_custkey, c_name, n_name AS nation, c_acctbal, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01' "
+        "GROUP BY c_custkey, c_name, n_name, c_acctbal "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style customer distribution: histogram of customers by how
+    many non-urgent orders they placed (customers with zero orders kept
+    by the outer join).
+
+    Scale shape: orders are pre-aggregated to one row per custkey
+    BEFORE the outer join — the classic `LEFT JOIN then COUNT` form
+    shuffles every order row; this shuffles one count per customer.
+    The second aggregation's input is |customers| rows and its output
+    is tiny (distinct order counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        c.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _oracle_customer_order_distribution() -> str:
+    return (
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) GROUP BY c_count"
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promotion effect: PROMO parts' percentage of one
+    month's revenue — conditional aggregate over the month's lines ÷
+    total, single pass, part broadcast. Both sums stay decimal until
+    one double÷double division so the quotient is the same IEEE op in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-03-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1997-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.expr(_REV)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+def _oracle_promo_revenue_share() -> str:
+    return (
+        "SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+        f"{_REV} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS promo_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01'"
+    )
+
+
+def q_top_supplier_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style top supplier: the supplier(s) whose revenue over one
+    quarter equals the maximum. The scalar max is a 1-row aggregate
+    broadcast-crossed into the per-supplier relation (never a window
+    over a single partition, which would serialize at scale); the
+    equality compares the same double on both sides so ties are
+    engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1997-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(_REV)).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _oracle_top_supplier_by_quarter() -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"
+    )
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total quantity
+    exceeds a threshold, with their customers. The HAVING filter runs
+    on the per-orderkey pre-aggregate (map-side partials, one row per
+    order into the shuffle); the surviving set is small so AQE turns
+    the orders join into a broadcast at runtime; customer broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 180.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def _oracle_large_order_customers() -> str:
+    return (
+        "SELECT c_custkey, c_name, o_orderkey, "
+        "STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, "
+        "o_totalprice, total_qty "
+        "FROM (SELECT l_orderkey, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING total_qty > 180.0) big "
+        "JOIN orders ON big.l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style sales opportunity: per market segment, the count and
+    total balance of above-average-balance customers with no recent
+    orders. The scalar average is a 1-row aggregate broadcast-crossed
+    into the customer scan (a constant-key equi-join does not survive
+    Catalyst's constant folding — it re-plans as the same 1-row
+    BroadcastNestedLoopJoin, which against one row is a per-row
+    comparison, not a cross product; whitelisted as such in the plan
+    tests). Decimal sum ÷ double count is one IEEE division, identical
+    in both engines. The no-recent-orders predicate is an anti join
+    against the distinct recent-customer set (pre-distincted so the
+    anti join probes one row per customer, not per order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= _ts_ntz("1999-01-01"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    recent = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+def _oracle_idle_rich_customers() -> str:
+    return (
+        "WITH ab AS (SELECT "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE) AS avg_bal "
+        "FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+        "FROM customer, ab WHERE c_acctbal > ab.avg_bal "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01') "
+        "GROUP BY c_mktsegment"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: every-10th frame index per asset, exploded
     one row per frame (operators/multimodal.frame_sample_plan — decode
@@ -2076,6 +2398,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share_by_year": q_market_share_by_year,
     "priority_line_counts": q_priority_line_counts,
     "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
+    "shipping_priority": q_shipping_priority,
+    "part_profit_by_nation": q_part_profit_by_nation,
+    "returned_revenue_by_customer": q_returned_revenue_by_customer,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_by_quarter": q_top_supplier_by_quarter,
+    "large_order_customers": q_large_order_customers,
+    "idle_rich_customers": q_idle_rich_customers,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
@@ -2144,6 +2474,14 @@ def oracles() -> dict[str, str]:
         "market_share_by_year": _oracle_market_share_by_year(),
         "priority_line_counts": _oracle_priority_line_counts(),
         "brand_disjunctive_revenue": _oracle_brand_disjunctive_revenue(),
+        "shipping_priority": _oracle_shipping_priority(),
+        "part_profit_by_nation": _oracle_part_profit_by_nation(),
+        "returned_revenue_by_customer": _oracle_returned_revenue_by_customer(),
+        "customer_order_distribution": _oracle_customer_order_distribution(),
+        "promo_revenue_share": _oracle_promo_revenue_share(),
+        "top_supplier_by_quarter": _oracle_top_supplier_by_quarter(),
+        "large_order_customers": _oracle_large_order_customers(),
+        "idle_rich_customers": _oracle_idle_rich_customers(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),

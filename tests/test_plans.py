@@ -59,6 +59,47 @@ def test_no_accidental_cross_products(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shipping_priority_filters_pushed_and_topk(spark):
+    plan = plan_of(spark, "shipping_priority")
+    # Both fact-side date filters sit directly on the scans (DataFilters).
+    # Spark's DSv2 parquet translation does not convert timestamp_ntz
+    # comparisons into PushedFilters (no row-group pruning) — if a Spark
+    # upgrade starts pushing them, the stronger assert below should be
+    # tightened to PushedFilters.
+    assert "(l_shipdate" in plan and "> 1998-06-01" in plan
+    assert "(o_orderdate" in plan and "< 1998-06-01" in plan
+    # top-10 is a TakeOrderedAndProject, never a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_part_profit_all_dims_broadcast(spark):
+    plan = plan_of(spark, "part_profit_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the LIKE filter prunes part before the broadcast build
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_customer_order_distribution_preaggregates(spark):
+    plan = plan_of(spark, "customer_order_distribution")
+    # orders are reduced to one row per custkey BEFORE the outer join:
+    # partial agg must appear below the join in the plan
+    assert "HashAggregate" in plan
+    # only the two needed columns are read from orders
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l]
+    assert read and "o_totalprice" not in read[0]
+
+
+def test_idle_rich_scalar_is_broadcast_and_anti_join_deduped(spark):
+    plan = plan_of(spark, "idle_rich_customers")
+    # the ONLY nested-loop join is the 1-row scalar-average broadcast
+    # (formatted explain mentions each operator twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    # the recent-customers set is distinct-ed BEFORE the anti join probe
+    assert "LeftAnti" in plan
+
+
 def test_asof_join_single_shuffle(spark):
     plan = plan_of(spark, "events_asof_attribution")
     # union + one window: exactly one exchange feeds the window sort
@@ -68,9 +109,11 @@ def test_asof_join_single_shuffle(spark):
 
 
 # Queries whose semantics REQUIRE a non-equi join of two relations
-# (exact brute-force scoring of queries × corpus) — everything else must
-# never plan a cartesian/nested-loop join.
-_CROSS_OK = {"ann_topk_bruteforce"}
+# (exact brute-force scoring of queries × corpus), or a scalar 1-row
+# broadcast subquery (a BroadcastNestedLoopJoin whose build side is one
+# aggregate row is a per-row comparison, not a cross product) —
+# everything else must never plan a cartesian/nested-loop join.
+_CROSS_OK = {"ann_topk_bruteforce", "idle_rich_customers"}
 
 
 def test_no_query_plans_a_cartesian_product(spark):
