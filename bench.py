@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "profile_percentiles",
     "profile_null_distinct",
     "profile_incremental",
+    "profile_top_values",
+    "profile_text_lengths",
     # rules engine
     "validation_metrics",
     # analytics

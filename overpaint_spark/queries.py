@@ -373,6 +373,133 @@ def _oracle_profile_null_distinct() -> str:
     return " UNION ALL ".join(parts)
 
 
+# Low-cardinality string columns worth a most-common-values profile —
+# the categorical generalization of the reference's boolean histograms
+# (listTables.tsx:310-325 counts only true/false; this is the same idea
+# for any enum-ish column, the pg_stats.most_common_vals analog).
+_CATEGORICAL_COLS: list[tuple[str, list[str]]] = [
+    ("customer", ["c_mktsegment"]),
+    ("documents", ["lang", "source"]),
+    ("events", ["event_type"]),
+    ("lineitem", ["l_returnflag", "l_linestatus"]),
+    ("nation", ["n_name"]),
+    ("orders", ["o_orderstatus", "o_orderpriority"]),
+    ("part", ["p_brand", "p_type"]),
+    ("region", ["r_name"]),
+]
+
+
+def q_profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-values profile: top-5 values (count desc, value asc)
+    for every declared categorical column — pg_stats.most_common_vals
+    as a first-class relation. NULLs are excluded, matching the
+    reference's boolean histograms (listTables.tsx:314-315: NULLs in
+    neither bucket).
+
+    Scale shape: each table contributes one stack projection (no
+    per-column jobs); the single shuffle carries (table, column, value)
+    triples whose post-partial-agg cardinality is Σ distinct values —
+    tiny for categorical columns regardless of row count. The window
+    ranks within (table, column) groups of that same tiny relation.
+    For genuinely high-cardinality columns the approximate path is
+    operators/heavyhitters.approx_top_tokens (bounded state, no
+    vocabulary-sized shuffle)."""
+    parts = []
+    for tbl, cols in _CATEGORICAL_COLS:
+        df = _t(spark, sf_dir, tbl)
+        stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+        parts.append(
+            df.selectExpr(
+                f"stack({len(cols)}, {stack_args}) as (column_name, value)"
+            ).select(F.lit(tbl).alias("table_name"), "column_name", "value")
+        )
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionByName(p)
+    counts = (
+        allv.filter(F.col("value").isNotNull())
+        .groupBy("table_name", "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("table_name", "column_name").orderBy(
+        F.col("n").desc(), F.col("value")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("table_name", "column_name", "value", "n", "rk")
+    )
+
+
+def _oracle_profile_top_values() -> str:
+    parts = []
+    for tbl, cols in _CATEGORICAL_COLS:
+        for c in cols:
+            parts.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column_name, value, n, rk "
+                f"FROM (SELECT {c} AS value, COUNT(*) AS n, "
+                f"ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, {c}) AS rk "
+                f"FROM {tbl} WHERE {c} IS NOT NULL GROUP BY {c}) WHERE rk <= 5"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_text_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-length profile: min/max/avg character length for every
+    string column, one aggregate pass per table (the same single-scan
+    cost model as the min/max profiler — the reference can't profile
+    text columns at all, listTables.tsx:94-98 show them blank).
+
+    Integer length sums are order-independent, so avg needs no decimal
+    detour: int64 sum ÷ int64 count as one double division."""
+    parts = []
+    for tbl, spec in sorted(_SCHEMA_SPEC.items()):
+        cols = [c for c, ty in spec if ty == "string"]
+        if not cols:
+            continue
+        df = _t(spark, sf_dir, tbl)
+        aggs = []
+        for c in cols:
+            ln = F.length(F.col(c))
+            aggs.append(F.min(ln).cast("long").alias(f"mn_{c}"))
+            aggs.append(F.max(ln).cast("long").alias(f"mx_{c}"))
+            aggs.append(
+                (
+                    F.sum(ln.cast("long")).cast("double")
+                    / F.count(F.col(c)).cast("double")
+                ).alias(f"av_{c}")
+            )
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(f"'{c}', `mn_{c}`, `mx_{c}`, `av_{c}`" for c in cols)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(cols)}, {stack_args}) "
+                "as (column_name, min_len, max_len, avg_len)"
+            ).select(F.lit(tbl).alias("table_name"), "column_name",
+                     "min_len", "max_len", "avg_len")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_profile_text_lengths() -> str:
+    parts = []
+    for tbl, spec in sorted(_SCHEMA_SPEC.items()):
+        for c, ty in spec:
+            if ty != "string":
+                continue
+            parts.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column_name, "
+                f"CAST(MIN(LENGTH({c})) AS BIGINT) AS min_len, "
+                f"CAST(MAX(LENGTH({c})) AS BIGINT) AS max_len, "
+                f"CAST(SUM(LENGTH({c})) AS DOUBLE) / "
+                f"CAST(COUNT({c}) AS DOUBLE) AS avg_len FROM {tbl}"
+            )
+    return " UNION ALL ".join(parts)
+
+
 def q_profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path: HLL++ ``approx_count_distinct`` per
     orders column in one pass (bounded memory; the exact twin is
@@ -2380,6 +2507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_null_distinct": q_profile_null_distinct,
     "profile_approx_distinct": q_profile_approx_distinct,
     "profile_incremental": q_profile_incremental,
+    "profile_top_values": q_profile_top_values,
+    "profile_text_lengths": q_profile_text_lengths,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -2456,6 +2585,8 @@ def oracles() -> dict[str, str]:
         "profile_percentiles": _oracle_profile_percentiles(),
         "profile_null_distinct": _oracle_profile_null_distinct(),
         "profile_incremental": _oracle_profile_incremental(),
+        "profile_top_values": _oracle_profile_top_values(),
+        "profile_text_lengths": _oracle_profile_text_lengths(),
         "validation_metrics": _oracle_validation_metrics(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
