@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "text_top_tokens",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "decontaminate_overlap",
+    "dataset_pack_concat",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash",

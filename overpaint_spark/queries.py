@@ -1038,6 +1038,75 @@ def _oracle_dedup_ngram_jaccard() -> str:
     )
 
 
+def _duck_shingles_k(k: int) -> str:
+    """DuckDB twin of functions/text.shingles for arbitrary k (the
+    module-level _DUCK_SHINGLES is the k=3 instance)."""
+    return (
+        f"CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {k} THEN "
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {k - 1}), "
+        f"i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{k - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination report: training docs (doc_id % 20 ≠ 0)
+    sharing any word 5-gram with the held-out eval split (doc_id % 20 =
+    0) — the cross-corpus containment probe every pretraining corpus
+    runs against its benchmark suite. Eval grams broadcast; the
+    training side is never shuffled to meet them
+    (operators/decontaminate.py)."""
+    from overpaint_spark.operators.decontaminate import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(tr, ev, k=5)
+
+
+def _oracle_decontaminate_overlap() -> str:
+    sh5 = _duck_shingles_k(5)
+    return (
+        f"WITH sh0 AS (SELECT doc_id, {sh5} AS shingles FROM documents "
+        "WHERE doc_id % 20 <> 0), "
+        "trd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh0), "
+        f"ev0 AS (SELECT doc_id, {sh5} AS shingles FROM documents "
+        "WHERE doc_id % 20 = 0), "
+        "ev AS (SELECT DISTINCT UNNEST(shingles) AS shingle FROM ev0), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM trd GROUP BY doc_id), "
+        "shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM trd "
+        "WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id) "
+        "SELECT s.doc_id, n_shared, n_shingles, "
+        "CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS containment "
+        "FROM shared s JOIN sizes z ON s.doc_id = z.doc_id WHERE n_shared >= 1"
+    )
+
+
+def q_dataset_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing of the corpus into 256-token
+    training sequences over 8 independent bucket streams
+    (operators/packing.py) — all-integer window arithmetic, so the
+    whole plan is exactly SQL-reproducible."""
+    from overpaint_spark.operators.packing import concat_pack_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return concat_pack_plan(
+        d, TX.n_words(F.col("text")), budget=256, n_buckets=8
+    )
+
+
+def _oracle_dataset_pack_concat() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, doc_id % 8 AS bucket, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, bucket, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens "
+        "AS start_off FROM t) "
+        "SELECT doc_id, bucket, n_tokens, start_off // 256 AS pack_id, "
+        "start_off % 256 AS tok_offset FROM c"
+    )
+
+
 _MINHASH_K = 12
 _MINHASH_BANDS = 4
 
@@ -2563,6 +2632,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "dataset_split": q_dataset_split,
     "corpus_clean": q_corpus_clean,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "dataset_pack_concat": q_dataset_pack_concat,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_numpy": q_ann_topk_numpy,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -2641,6 +2712,8 @@ def oracles() -> dict[str, str]:
         "dedup_survivors": _oracle_dedup_survivors(),
         "dataset_split": _oracle_dataset_split(),
         "corpus_clean": _oracle_corpus_clean(),
+        "decontaminate_overlap": _oracle_decontaminate_overlap(),
+        "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
         # ann_topk_lsh: approximate → rows-only check by design
