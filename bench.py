@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "top_orders_by_revenue",
     "revenue_by_nation",
     "pricing_rollup",
+    "pricing_grouping_sets",
+    "customer_balance_rank",
+    "events_type_value_salted",
     "priority_order_counts",
     "top_orders_per_customer",
     "events_hourly_rollup",

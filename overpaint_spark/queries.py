@@ -2038,6 +2038,87 @@ def _oracle_idle_rich_customers() -> str:
     )
 
 
+def q_customer_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST distribution windows: each customer's
+    balance percentile within their market segment. Both functions are
+    pure rank arithmetic ((rank-1)/(n-1), rank_hi/n) — one integer
+    division per row, identical IEEE ops in both engines. One shuffle
+    on the segment key; per-partition sort only."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+def _oracle_customer_balance_rank() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment, c_acctbal, "
+        "PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) "
+        "AS bal_pct_rank, "
+        "CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) "
+        "AS bal_cume_dist FROM customer"
+    )
+
+
+def q_pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (neither rollup nor cube): per-returnflag
+    totals and per-linestatus totals in ONE pass — the two one-axis
+    marginals without the combined cells. Disjoint NULL patterns
+    distinguish the sets; one expand + one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+    )
+
+
+def _oracle_pricing_grouping_sets() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, "
+        f"CAST(SUM({_REV}) AS DOUBLE) AS revenue "
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
+def q_events_type_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salting operator
+    (operators/skew.py): per event_type counts and value sums via the
+    two-phase (key, salt) → key plan, declared as an oracle-checked
+    query to prove salting is result-transparent. The sum stays
+    decimal through BOTH phases (reassociation-safe), cast to double
+    only at the end — two-phase double sums would diverge."""
+    from overpaint_spark.operators.skew import salted_groupby_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_groupby_agg(
+        e,
+        ["event_type"],
+        {"n_events": ("event_id", "count"), "sum_value": ("value_dec", "sum")},
+        salt_col="event_id",
+        n_salt=16,
+    )
+    return out.select(
+        "event_type", "n_events", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+def _oracle_events_type_value_salted() -> str:
+    return (
+        "SELECT event_type, COUNT(event_id) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan: every-10th frame index per asset, exploded
     one row per frame (operators/multimodal.frame_sample_plan — decode
@@ -2607,7 +2688,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
+    "pricing_grouping_sets": q_pricing_grouping_sets,
     "customer_balance_quartiles": q_customer_balance_quartiles,
+    "customer_balance_rank": q_customer_balance_rank,
+    "events_type_value_salted": q_events_type_value_salted,
     "events_value_histogram": q_events_value_histogram,
     "events_rolling_value": q_events_rolling_value,
     "users_click_no_purchase": q_users_click_no_purchase,
@@ -2687,7 +2771,10 @@ def oracles() -> dict[str, str]:
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),
+        "pricing_grouping_sets": _oracle_pricing_grouping_sets(),
         "customer_balance_quartiles": _oracle_customer_balance_quartiles(),
+        "customer_balance_rank": _oracle_customer_balance_rank(),
+        "events_type_value_salted": _oracle_events_type_value_salted(),
         "events_value_histogram": _oracle_events_value_histogram(),
         "events_rolling_value": _oracle_events_rolling_value(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
