@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     parser.add_argument("--exact", action="store_true", help="exact COUNT(*) per table")
+    parser.add_argument(
+        "--top-values", type=int, default=0, metavar="K",
+        help="histogram the top-K values of low-cardinality string columns "
+        "in the values column (cardinality measured inside the main pass; "
+        "at most one extra job per table)",
+    )
     parser.add_argument("--snapshot-dir", help="persist the profile as a Parquet snapshot")
     parser.add_argument("--run-id", help="snapshot run id (required with --snapshot-dir)")
     parser.add_argument(
@@ -79,7 +85,10 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if args.rules:
                 return _run_validation(spark, args.data_root, args.rules)
-            profiles = profile_data_root(spark, args.data_root, exact=args.exact)
+            profiles = profile_data_root(
+                spark, args.data_root, exact=args.exact,
+                top_values_k=args.top_values,
+            )
             mode = "exact" if args.exact else "estimated"
             if args.format == "json":
                 sys.stdout.write(_render_json(profiles))

@@ -51,6 +51,21 @@ def boolean_values_cell(true_count: int | None, false_count: int | None) -> str:
     )
 
 
+def top_values_cell(
+    values: list[tuple[str, int]] | None, non_null: int | None
+) -> str:
+    """Categorical generalization of the boolean cell: ``val N (x%) |
+    ...`` — the reference only histograms booleans (listTables.tsx:
+    310-325); this applies the same format and the same bigint permille
+    math to any low-cardinality column, percenting over the non-null
+    denominator (NULLs excluded, matching :314-315)."""
+    if not values or not non_null:
+        return ""
+    return " | ".join(
+        f"{v} {n} ({format_percent_one_decimal(n, non_null)})" for v, n in values
+    )
+
+
 def _fmt_month_year(v: _dt.date | _dt.datetime) -> str:
     """listTables.tsx:158-161 — ``Jan 2020`` style."""
     return f"{('Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec')[v.month - 1]} {v.year}"

@@ -46,6 +46,10 @@ class ColumnProfile:
     max_value: Any = None
     true_count: int | None = None
     false_count: int | None = None
+    # categorical extension (beyond-reference): top-k (value, count) of a
+    # low-cardinality string column + its non-null denominator
+    top_values: list[tuple[str, int]] | None = None
+    non_null_count: int | None = None
 
     @property
     def human_type(self) -> str:
@@ -72,7 +76,9 @@ class TableProfile:
         return len(self.columns)
 
 
-def stat_exprs(schema: T.StructType, exact: bool = False) -> list:
+def stat_exprs(
+    schema: T.StructType, exact: bool = False, categorical: bool = False
+) -> list:
     """Build the flat aggregate-expression list for one table.
 
     Aliases are positional (``mn_0``/``mx_0``/``tc_3``/``fc_3``) keyed by
@@ -80,6 +86,10 @@ def stat_exprs(schema: T.StructType, exact: bool = False) -> list:
     MIN/MAX are cast to string transport later, not here — values stay
     typed so temporal formatting can dispatch on real datetimes
     (SURVEY §2 E7 "keep values typed and skip parsing", the preferred path).
+
+    With ``categorical`` the same single pass also measures every string
+    column's approximate cardinality + non-null count, so deciding WHICH
+    columns deserve a top-values histogram costs no extra scan.
     """
     exprs = []
     for i, f_ in enumerate(schema.fields):
@@ -91,17 +101,59 @@ def stat_exprs(schema: T.StructType, exact: bool = False) -> list:
             # count_if == COUNT(*) FILTER (WHERE c IS TRUE) — NULL-safe
             exprs.append(F.count_if(c).alias(f"tc_{i}"))
             exprs.append(F.count_if(~c).alias(f"fc_{i}"))
+        elif categorical and isinstance(f_.dataType, T.StringType):
+            exprs.append(F.approx_count_distinct(c).alias(f"acd_{i}"))
+            exprs.append(F.count(c).alias(f"nn_{i}"))
     if exact:
         exprs.append(F.count(F.lit(1)).alias("n_rows"))
     return exprs
+
+
+# a string column qualifies for a top-values histogram only when its
+# (approximate) cardinality says "enum-ish" — free-text columns would
+# produce a meaningless all-count-1 histogram and a vocabulary-sized
+# shuffle at scale
+TOP_VALUES_MAX_DISTINCT = 50
+
+
+def _top_values_for(
+    df: DataFrame, cols: list[str], k: int
+) -> dict[str, list[tuple[str, int]]]:
+    """One job: top-``k`` (value, count) for the given string columns —
+    a stack projection into a distinct-values-sized shuffle + window
+    rank (same plan as the declared ``profile_top_values`` query)."""
+    from pyspark.sql.window import Window
+
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+    pairs = df.selectExpr(f"stack({len(cols)}, {stack_args}) as (cname, value)")
+    w = Window.partitionBy("cname").orderBy(F.col("n").desc(), F.col("value"))
+    rows = (
+        pairs.filter(F.col("value").isNotNull())
+        .groupBy("cname", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("cname", "rk")
+        .collect()
+    )
+    out: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        out.setdefault(r["cname"], []).append((r["value"], int(r["n"])))
+    return out
 
 
 def profile_table(
     spark: SparkSession,
     handle: TableHandle,
     exact: bool = False,
+    top_values_k: int = 0,
 ) -> TableProfile:
-    """Profile one table in a single aggregate job (plus a metadata read)."""
+    """Profile one table in a single aggregate job (plus a metadata read).
+
+    ``top_values_k > 0`` adds at most ONE extra job for the table: a
+    top-k histogram over the string columns whose cardinality (measured
+    for free inside the main pass) is enum-ish (≤
+    ``TOP_VALUES_MAX_DISTINCT``)."""
     prof = TableProfile(schema=handle.schema, name=handle.name)
     try:
         df = load_table(spark, handle)
@@ -114,7 +166,7 @@ def profile_table(
     except Exception:
         prof.estimated_rows = None
 
-    exprs = stat_exprs(df.schema, exact=exact)
+    exprs = stat_exprs(df.schema, exact=exact, categorical=top_values_k > 0)
     if not exprs:
         return prof
     try:
@@ -123,6 +175,7 @@ def profile_table(
         # per-table isolation: stats stay None; exact mode renders `error`
         prof.error = str(exc)
         return prof
+    categorical_cols: list[str] = []
     for i, col in enumerate(prof.columns):
         if typeclass.is_numeric(col.data_type) or typeclass.is_temporal(col.data_type):
             col.min_value = row.get(f"mn_{i}")
@@ -131,9 +184,22 @@ def profile_table(
             tc, fc = row.get(f"tc_{i}"), row.get(f"fc_{i}")
             col.true_count = int(tc) if tc is not None else None
             col.false_count = int(fc) if fc is not None else None
+        elif top_values_k > 0 and f"acd_{i}" in row:
+            acd, nn = row.get(f"acd_{i}"), row.get(f"nn_{i}")
+            if acd is not None and nn and acd <= TOP_VALUES_MAX_DISTINCT:
+                col.non_null_count = int(nn)
+                categorical_cols.append(col.name)
     if exact:
         n = row.get("n_rows")
         prof.exact_rows = int(n) if n is not None else None
+    if categorical_cols:
+        try:
+            tops = _top_values_for(df, categorical_cols, top_values_k)
+        except Exception:  # isolation: histograms stay blank, stats kept
+            tops = {}
+        for col in prof.columns:
+            if col.name in tops:
+                col.top_values = tops[col.name]
     return prof
 
 
@@ -141,9 +207,13 @@ def profile_data_root(
     spark: SparkSession,
     data_root: str,
     exact: bool = False,
+    top_values_k: int = 0,
 ) -> list[TableProfile]:
     """Profile every table under a data root, ordered by name (F1)."""
-    return [profile_table(spark, h, exact=exact) for h in discover_tables(data_root)]
+    return [
+        profile_table(spark, h, exact=exact, top_values_k=top_values_k)
+        for h in discover_tables(data_root)
+    ]
 
 
 # ---------------------------------------------------------------------------

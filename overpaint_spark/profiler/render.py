@@ -33,6 +33,8 @@ def _range_cell(col: ColumnProfile) -> str:
 def _values_cell(col: ColumnProfile) -> str:
     if typeclass.is_boolean(col.data_type):
         return formatting.boolean_values_cell(col.true_count, col.false_count)
+    if col.top_values is not None:
+        return formatting.top_values_cell(col.top_values, col.non_null_count)
     return ""
 
 

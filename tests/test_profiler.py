@@ -5,6 +5,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from overpaint_spark.profiler import profile_data_root, profile_table, render_tables
 from overpaint_spark.profiler.profile import TableProfile, stat_exprs
@@ -45,6 +46,38 @@ def test_boolean_nulls_in_neither_bucket(spark):
     col = p.columns[0]
     # 5 NULLs excluded from both buckets and from the percent denominator
     assert (col.true_count, col.false_count) == (3, 2)
+
+
+def test_top_values_enum_columns_only(spark):
+    """--top-values histograms enum-ish string columns, skips free text
+    and IDs, and counts exactly (verified vs groupBy)."""
+    h = next(h for h in discover_tables(SF) if h.name == "customer")
+    p = profile_table(spark, h, top_values_k=3)
+    cols = {c.name: c for c in p.columns}
+    assert cols["c_name"].top_values is None  # unique-ish → skipped
+    seg = cols["c_mktsegment"]
+    assert seg.top_values is not None and len(seg.top_values) == 3
+    assert seg.non_null_count == 150
+    # exact counts, ordered desc with value tie-break
+    from overpaint_spark.sources.catalog import load_table
+
+    df = load_table(spark, h)
+    truth = {
+        r["c_mktsegment"]: r["n"]
+        for r in df.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = [n for _, n in seg.top_values]
+    assert counts == sorted(counts, reverse=True)
+    for v, n in seg.top_values:
+        assert truth[v] == n
+
+
+def test_top_values_render_cell():
+    from overpaint_spark.functions.formatting import top_values_cell
+
+    assert top_values_cell([("A", 2), ("B", 1)], 4) == "A 2 (50.0%) | B 1 (25.0%)"
+    assert top_values_cell(None, 10) == ""
+    assert top_values_cell([("A", 1)], 0) == ""
 
 
 def test_empty_table_blank_ranges(spark):
