@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "events_session_errors",
     "events_props_stats",
     "events_rolling_value",
+    "events_trailing_hour",
     "users_click_no_purchase",
     "events_type_pivot",
     "nation_pair_flow",

@@ -2038,6 +2038,44 @@ def _oracle_idle_rich_customers() -> str:
     )
 
 
+def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window: per user, count and value sum of
+    events in the trailing hour (the ROWS-frame twin is
+    events_rolling_value). The frame is defined over integer epoch
+    MICROseconds on both engines — the fixture is nanos parquet, Spark
+    truncates to µs while DuckDB keeps ns, so framing over the raw
+    timestamp would make near-tie rows peers in one engine and not the
+    other. RANGE peers (equal µs) share frames identically once both
+    order by the same integer."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum(dec).over(w).cast("double").alias("sum_trailing_hour"),
+    )
+
+
+def _oracle_events_trailing_hour() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "COUNT(*) OVER w AS n_trailing_hour, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+        "AS sum_trailing_hour "
+        "FROM (SELECT *, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    )
+
+
 def q_customer_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK / CUME_DIST distribution windows: each customer's
     balance percentile within their market segment. Both functions are
@@ -2694,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_value_salted": q_events_type_value_salted,
     "events_value_histogram": q_events_value_histogram,
     "events_rolling_value": q_events_rolling_value,
+    "events_trailing_hour": q_events_trailing_hour,
     "users_click_no_purchase": q_users_click_no_purchase,
     "users_click_and_purchase": q_users_click_and_purchase,
     "events_next_gap": q_events_next_gap,
@@ -2777,6 +2816,7 @@ def oracles() -> dict[str, str]:
         "events_type_value_salted": _oracle_events_type_value_salted(),
         "events_value_histogram": _oracle_events_value_histogram(),
         "events_rolling_value": _oracle_events_rolling_value(),
+        "events_trailing_hour": _oracle_events_trailing_hour(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
         "users_click_and_purchase": _oracle_users_click_and_purchase(),
         "events_next_gap": _oracle_events_next_gap(),

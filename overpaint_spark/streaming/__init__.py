@@ -19,3 +19,6 @@ from overpaint_spark.streaming.topk import (  # noqa: F401
     streaming_top_tokens,
     top_k_snapshot,
 )
+from overpaint_spark.streaming.drift import (  # noqa: F401
+    write_drift_monitor_stream,
+)

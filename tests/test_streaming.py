@@ -298,6 +298,50 @@ def test_streaming_rule_alerts(spark, events_dir, tmp_path):
     assert all(r.batch_id >= 0 for r in alerts)
 
 
+def test_streaming_drift_monitor(spark, events_dir, tmp_path):
+    """Per-batch PSI vs a frozen baseline: a stream of the SAME data is
+    stable (PSI ≈ 0); a location-shifted stream lands in 'action'."""
+    from overpaint_spark.rules.psi import HistogramSpec
+    from overpaint_spark.streaming import (
+        read_events_stream,
+        write_drift_monitor_stream,
+    )
+
+    spec = HistogramSpec("events", "value", 0.0, 200.0, 10)
+    baseline = spark.read.parquet(events_dir)
+
+    # same distribution → stable
+    q = write_drift_monitor_stream(
+        read_events_stream(spark, events_dir),
+        baseline,
+        spec,
+        str(tmp_path / "drift_same"),
+        str(tmp_path / "ckpt_same"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "drift_same")).collect()
+    assert len(rows) >= 1
+    assert all(r.band == "stable" and abs(r.psi) < 0.01 for r in rows)
+    assert sum(r.n_rows for r in rows) == baseline.count()
+
+    # shifted distribution (value + 150 pushes mass into overflow) → action
+    shift_dir = str(tmp_path / "events_shifted")
+    baseline.withColumn("value", F.col("value") + 150.0).write.parquet(shift_dir)
+    q2 = write_drift_monitor_stream(
+        read_events_stream(spark, shift_dir),
+        baseline,
+        spec,
+        str(tmp_path / "drift_shift"),
+        str(tmp_path / "ckpt_shift"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    shifted = spark.read.parquet(str(tmp_path / "drift_shift")).collect()
+    assert len(shifted) >= 1
+    assert all(r.band == "action" and r.psi > 0.25 for r in shifted)
+
+
 def test_streaming_top_tokens_matches_batch(spark, tmp_path):
     """Stateful streaming top-k: documents arrive in TWO micro-batches
     (maxFilesPerTrigger=1), per-bucket Misra-Gries state merges across
