@@ -2684,6 +2684,283 @@ def _oracle_profile_incremental() -> str:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style forecasting-revenue-change: a pure filter + global agg
+    with ZERO joins and zero shuffles beyond the single-row final agg.
+    The whole predicate (date range, discount band, quantity cap) sits
+    on the scan, so at 100 TB this reads only the four referenced
+    columns and row-groups whose min/max stats overlap the predicate.
+    Decimal product sum for cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts_ntz("1998-01-01"))
+            & (F.col("l_shipdate") < _ts_ntz("1999-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice * l_discount AS DECIMAL(18,6))"))
+            .cast("double")
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _oracle_forecast_revenue_change() -> str:
+    return (
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS revenue_effect, COUNT(*) AS n_lines "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style suppliers-who-kept-orders-waiting: the classic
+    EXISTS / NOT-EXISTS double self-join, decorrelated into ONE
+    per-order aggregate (distinct-supplier count + distinct-LATE-
+    supplier count) joined back to the late lines — two shuffles on
+    the same l_orderkey key (exchange reusable) instead of the naive
+    triple self-join. "late" compares integer epoch-microsecond
+    deltas (> 90 days) so both engines frame identically. Top-25 is
+    totally ordered (count desc, name asc)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            > F.lit(7_776_000_000_000)
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        j.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+def _oracle_waiting_suppliers() -> str:
+    return (
+        "WITH j AS (SELECT l_orderkey, l_suppkey, "
+        "(EPOCH_US(CAST(l_shipdate AS TIMESTAMP)) - "
+        "EPOCH_US(CAST(o_orderdate AS TIMESTAMP))) > 7776000000000 AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F'), "
+        "po AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp, "
+        "COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp "
+        "FROM j GROUP BY l_orderkey) "
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM j JOIN po USING (l_orderkey) "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE late AND n_supp > 1 AND n_late_supp = 1 "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"
+    )
+
+
+def q_min_balance_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style per-group-minimum join-back: the minimum-balance
+    supplier(s) of every EUROPE nation, ties preserved. The per-nation
+    MIN relation is ≤ #nations rows → broadcast back onto the supplier
+    scan (no second supplier shuffle); nation/region dims broadcast.
+    MIN of double is order-independent, so the double equality in the
+    join-back is deterministic in both engines."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    mins = (
+        s.groupBy(F.col("s_nationkey").alias("mk"))
+        .agg(F.min("s_acctbal").alias("min_bal"))
+    )
+    return (
+        s.join(
+            F.broadcast(mins),
+            (F.col("s_nationkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "s_name", "min_bal")
+    )
+
+
+def _oracle_min_balance_supplier_per_nation() -> str:
+    return (
+        "WITH m AS (SELECT s_nationkey AS mk, MIN(s_acctbal) AS min_bal "
+        "FROM supplier GROUP BY s_nationkey) "
+        "SELECT n_name, s_name, min_bal "
+        "FROM supplier JOIN m ON s_nationkey = mk AND s_acctbal = min_bal "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE'"
+    )
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style important-stock report: parts whose revenue from one
+    nation's suppliers exceeds 0.1% of that nation's total. The total
+    is NOT re-aggregated from the per-part doubles (float sum order
+    would diverge) — both the per-part values and the grand total are
+    exact decimal sums over the same rows, compared as doubles only at
+    the final threshold. The 1-row total broadcasts (plan-whitelisted
+    BroadcastNestedLoopJoin, a per-row comparison not a cross
+    product); the supplier-key filter broadcasts onto the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sk = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    j = li.join(F.broadcast(sk), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = j.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("value_dec"))
+    total = j.agg(F.sum(F.expr(_REV)).alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+def _oracle_part_value_share() -> str:
+    return (
+        "WITH j AS (SELECT l_partkey, "
+        f"{_REV} AS rev "
+        "FROM lineitem WHERE l_suppkey IN "
+        "(SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_7')), "
+        "pp AS (SELECT l_partkey, SUM(rev) AS value_dec FROM j GROUP BY l_partkey), "
+        "t AS (SELECT SUM(rev) AS total_dec FROM j) "
+        "SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value "
+        "FROM pp, t "
+        "WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001"
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier-variety report: distinct suppliers per
+    (brand, type, size) bucket, excluding blacklisted suppliers
+    (negative balance — the fixture's analog of Q16's complaint
+    comment). The tiny blacklist broadcasts as an anti join BEFORE the
+    part join, so excluded rows never reach the distinct agg; part
+    filter prunes the broadcast build. COUNT(DISTINCT) expands
+    per-key, shuffling (bucket, suppkey) pairs — bounded by the real
+    pair cardinality, never the raw row count."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7, 10, 15, 23)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _oracle_part_supplier_variety() -> str:
+    return (
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#45' AND p_size IN (1,4,7,10,15,23) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size"
+    )
+
+
+def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style excess-stock suppliers: suppliers who shipped more
+    than half of a red-part's 1998 volume — a nested semi-join chain
+    (part prune → pair pre-agg → part-total join-back → distinct
+    supplier set → semi join into supplier). Quantity sums stay
+    decimal end-to-end (the part total is the exact sum of the exact
+    pair sums); the 0.5 share test is the only double op. The final
+    distinct supplier set is tiny → broadcast left-semi, so the
+    supplier table is never shuffled."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1998-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1999-01-01"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    pq = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
+    )
+    pt = pq.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    excess = (
+        pq.join(pt, "l_partkey")
+        .filter(
+            F.col("pair_qty").cast("double")
+            > F.lit(0.5) * F.col("part_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def _oracle_excess_share_suppliers() -> str:
+    return (
+        "WITH pq AS (SELECT l_partkey, l_suppkey, "
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE 'red%' "
+        "AND l_shipdate >= TIMESTAMP '1998-01-01' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01' "
+        "GROUP BY l_partkey, l_suppkey), "
+        "pt AS (SELECT l_partkey, SUM(pair_qty) AS part_qty FROM pq GROUP BY l_partkey), "
+        "ex AS (SELECT DISTINCT l_suppkey FROM pq JOIN pt USING (l_partkey) "
+        "WHERE CAST(pair_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE)) "
+        "SELECT s_suppkey, s_name, n_name FROM supplier "
+        "JOIN ex ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_tables": q_profile_tables,
     "profile_columns": q_profile_columns,
@@ -2723,6 +3000,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_by_quarter": q_top_supplier_by_quarter,
     "large_order_customers": q_large_order_customers,
     "idle_rich_customers": q_idle_rich_customers,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "waiting_suppliers": q_waiting_suppliers,
+    "min_balance_supplier_per_nation": q_min_balance_supplier_per_nation,
+    "part_value_share": q_part_value_share,
+    "part_supplier_variety": q_part_supplier_variety,
+    "excess_share_suppliers": q_excess_share_suppliers,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
@@ -2807,6 +3090,12 @@ def oracles() -> dict[str, str]:
         "top_supplier_by_quarter": _oracle_top_supplier_by_quarter(),
         "large_order_customers": _oracle_large_order_customers(),
         "idle_rich_customers": _oracle_idle_rich_customers(),
+        "forecast_revenue_change": _oracle_forecast_revenue_change(),
+        "waiting_suppliers": _oracle_waiting_suppliers(),
+        "min_balance_supplier_per_nation": _oracle_min_balance_supplier_per_nation(),
+        "part_value_share": _oracle_part_value_share(),
+        "part_supplier_variety": _oracle_part_supplier_variety(),
+        "excess_share_suppliers": _oracle_excess_share_suppliers(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),

@@ -113,7 +113,7 @@ def test_asof_join_single_shuffle(spark):
 # broadcast subquery (a BroadcastNestedLoopJoin whose build side is one
 # aggregate row is a per-row comparison, not a cross product) —
 # everything else must never plan a cartesian/nested-loop join.
-_CROSS_OK = {"ann_topk_bruteforce", "idle_rich_customers"}
+_CROSS_OK = {"ann_topk_bruteforce", "idle_rich_customers", "part_value_share"}
 
 
 def test_no_query_plans_a_cartesian_product(spark):
