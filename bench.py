@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "top_supplier_by_quarter",
     "large_order_customers",
     "idle_rich_customers",
+    "forecast_revenue_change",
+    "waiting_suppliers",
+    "min_balance_supplier_per_nation",
+    "part_value_share",
+    "part_supplier_variety",
+    "excess_share_suppliers",
     # LLM-pipeline operators
     "text_stats",
     "text_langid",

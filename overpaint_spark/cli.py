@@ -136,8 +136,30 @@ def main(argv: list[str] | None = None) -> int:
                                 f"{val:.4f} ({band})\n"
                             )
                 if args.drift_against:
+                    from overpaint_spark.rules.drift import schema_drift
+
                     cur = read_profile_snapshot(spark, args.snapshot_dir, args.run_id)
                     prev = read_profile_snapshot(spark, args.snapshot_dir, args.drift_against)
+                    schema_rows = (
+                        schema_drift(cur, prev)
+                        .orderBy("table_name", "column_name")
+                        .collect()
+                    )
+                    if schema_rows:
+                        sys.stdout.write(
+                            f"\nSchema drift vs run {args.drift_against} "
+                            f"({len(schema_rows)} changes):\n"
+                        )
+                        for r in schema_rows:
+                            detail = {
+                                "added": f"+ {r.curr_type}",
+                                "removed": f"- {r.prev_type}",
+                                "type_changed": f"{r.prev_type} -> {r.curr_type}",
+                            }[r.status]
+                            sys.stdout.write(
+                                f"! {r.table_name}.{r.column_name} "
+                                f"{r.status}: {detail}\n"
+                            )
                     rows = (
                         snapshot_drift(cur, prev)
                         .orderBy("table_name", "column_name", "metric")

@@ -45,6 +45,9 @@ def profiles_to_rows(profiles: list[TableProfile]) -> list[tuple]:
             for metric, v in (("true_count", c.true_count), ("false_count", c.false_count)):
                 if v is not None:
                     rows.append((p.name, c.name, metric, str(v), float(v)))
+            # schema fact: the humanized type (listTables.tsx:81-123) rides
+            # in value_str so schema_drift() can diff runs structurally
+            rows.append((p.name, c.name, "data_type", c.human_type, None))
     return rows
 
 
@@ -119,4 +122,100 @@ def snapshot_drift(
         "table_name", "column_name", "metric", "prev_value", "curr_value",
         pct.alias("pct_change"),
         alert.alias("drift_alert"),
+    )
+
+
+def schema_drift(current: DataFrame, previous: DataFrame) -> DataFrame:
+    """Structural drift between two snapshots: columns added, removed,
+    or type-changed (the failure mode a numeric-metric diff is blind
+    to — a column recreated as a different type keeps its row counts).
+
+    Compares the snapshots' ``data_type`` rows on (table, column) with a
+    full outer join; both inputs are one pruned snapshot partition each,
+    O(#columns) rows, so this never scans data.
+    """
+    # explicit aliases: current and previous may be the SAME DataFrame
+    # (a self-diff is the "no structural change" assertion), which a
+    # bare column-object join would reject as ambiguous
+    cur = current.filter(F.col("metric") == "data_type").select(
+        "table_name", "column_name", F.col("value_str").alias("curr_type")
+    ).alias("cur")
+    prev = previous.filter(F.col("metric") == "data_type").select(
+        "table_name", "column_name", F.col("value_str").alias("prev_type")
+    ).alias("prev")
+    cond = (
+        F.col("cur.table_name").eqNullSafe(F.col("prev.table_name"))
+        & F.col("cur.column_name").eqNullSafe(F.col("prev.column_name"))
+    )
+    j = cur.join(prev, cond, "full_outer").select(
+        F.coalesce(F.col("cur.table_name"), F.col("prev.table_name")).alias("table_name"),
+        F.coalesce(F.col("cur.column_name"), F.col("prev.column_name")).alias("column_name"),
+        "prev_type",
+        "curr_type",
+    )
+    status = (
+        F.when(F.col("prev_type").isNull(), F.lit("added"))
+        .when(F.col("curr_type").isNull(), F.lit("removed"))
+        .when(F.col("prev_type") != F.col("curr_type"), F.lit("type_changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "table_name", "column_name", "prev_type", "curr_type",
+        status.alias("status"),
+    ).filter(F.col("status") != "unchanged")
+
+
+def metric_zscores(
+    history: DataFrame,
+    threshold: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Anomaly scores for every numeric metric across a snapshot-run
+    series: each run's value is z-scored against the rolling mean/std
+    of all PRIOR runs (strictly-before frame, so the anomalous run
+    cannot mask itself by inflating its own baseline).
+
+    ``anomaly`` fires when |z| ≥ ``threshold`` and at least
+    ``min_history`` prior runs exist (no alerts from a cold start).
+    A zero-variance baseline with a changed value is an anomaly by
+    definition (any change from a constant history) — flagged with
+    NULL z.
+
+    One window pass partitioned by (table, column, metric) ordered by
+    run_id; state per group is O(1) aggregates, so a years-long run
+    history stays a single cheap shuffle of metric rows, never data.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("table_name", "column_name", "metric")
+        .orderBy("run_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h = history.filter(F.col("value_num").isNotNull()).select(
+        "run_id", "table_name", "column_name", "metric", "value_num"
+    )
+    h = h.withColumn("prior_n", F.count("value_num").over(w)).withColumn(
+        "prior_mean", F.avg("value_num").over(w)
+    ).withColumn("prior_std", F.stddev_samp("value_num").over(w))
+    z = F.when(
+        (F.col("prior_std").isNotNull()) & (F.col("prior_std") > 0),
+        (F.col("value_num") - F.col("prior_mean")) / F.col("prior_std"),
+    )
+    enough = F.col("prior_n") >= F.lit(min_history)
+    const_break = (
+        (F.col("prior_std").isNotNull())
+        & (F.col("prior_std") == 0)
+        & (F.col("value_num") != F.col("prior_mean"))
+    )
+    anomaly = enough & (
+        F.coalesce(F.abs(z) >= F.lit(threshold), F.lit(False)) | const_break
+    )
+    return h.select(
+        "run_id", "table_name", "column_name", "metric", "value_num",
+        F.col("prior_n").alias("n_history"),
+        F.col("prior_mean").alias("history_mean"),
+        F.col("prior_std").alias("history_std"),
+        z.alias("zscore"),
+        anomaly.alias("anomaly"),
     )

@@ -48,6 +48,91 @@ def test_drift_presence_change_alerts(spark):
     assert not rows[("t", "c", "min")].drift_alert     # unchanged
 
 
+_SNAP_SCHEMA = (
+    "table_name string, column_name string, metric string, "
+    "value_str string, value_num double"
+)
+
+
+def test_schema_drift_add_remove_type_change(spark):
+    from overpaint_spark.rules.drift import schema_drift
+
+    prev = spark.createDataFrame(
+        [
+            ("t", "a", "data_type", "int", None),
+            ("t", "b", "data_type", "text", None),
+            ("t", "c", "data_type", "float8", None),
+        ],
+        _SNAP_SCHEMA,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("t", "a", "data_type", "bigint", None),  # type changed
+            ("t", "b", "data_type", "text", None),    # unchanged
+            ("t", "d", "data_type", "bool", None),    # added (c removed)
+            # numeric rows must be ignored by the structural diff
+            ("t", "a", "min", "0", 0.0),
+        ],
+        _SNAP_SCHEMA,
+    )
+    rows = {(r.table_name, r.column_name): r for r in schema_drift(cur, prev).collect()}
+    assert rows[("t", "a")].status == "type_changed"
+    assert rows[("t", "a")].prev_type == "int" and rows[("t", "a")].curr_type == "bigint"
+    assert rows[("t", "c")].status == "removed"
+    assert rows[("t", "d")].status == "added"
+    assert ("t", "b") not in rows  # unchanged columns are filtered out
+
+
+def test_snapshot_records_data_types_end_to_end(spark, tmp_path):
+    from overpaint_spark.rules.drift import schema_drift
+
+    out = str(tmp_path / "snapshots")
+    write_profile_snapshot(spark, SF1, out, run_id="r1")
+    s1 = read_profile_snapshot(spark, out, "r1")
+    types = {
+        (r.table_name, r.column_name): r.value_str
+        for r in s1.filter(s1.metric == "data_type").collect()
+    }
+    assert types[("lineitem", "l_orderkey")] == "bigint"
+    assert types[("events", "ts")] == "ts-ntz"
+    # same snapshot diffed against itself → structurally clean
+    assert schema_drift(s1, s1).count() == 0
+
+
+def test_metric_zscores_flags_jump_not_cold_start(spark):
+    from overpaint_spark.rules.drift import metric_zscores
+
+    hist_schema = "run_id string, " + _SNAP_SCHEMA
+    rows = [
+        (f"r{i}", "t", "c", "rows", str(v), float(v))
+        for i, v in enumerate([100, 102, 98, 101, 99, 500])
+    ]
+    hist = spark.createDataFrame(rows, hist_schema)
+    out = {r.run_id: r for r in metric_zscores(hist, threshold=3.0).collect()}
+    # cold start: runs 0-2 have < 3 prior runs → never anomalous
+    assert not out["r0"].anomaly and not out["r1"].anomaly and not out["r2"].anomaly
+    # stable runs with enough history → not anomalous
+    assert not out["r3"].anomaly and not out["r4"].anomaly
+    # the 5× jump is anomalous, scored against PRIOR runs only
+    assert out["r5"].anomaly and out["r5"].zscore > 3.0
+    assert abs(out["r5"].history_mean - 100.0) < 1e-9
+
+
+def test_metric_zscores_constant_history_break(spark):
+    from overpaint_spark.rules.drift import metric_zscores
+
+    hist_schema = "run_id string, " + _SNAP_SCHEMA
+    rows = [
+        (f"r{i}", "t", "c", "rows", str(v), float(v))
+        for i, v in enumerate([7, 7, 7, 7, 8])
+    ]
+    hist = spark.createDataFrame(rows, hist_schema)
+    out = {r.run_id: r for r in metric_zscores(hist, threshold=3.0).collect()}
+    # zero-variance baseline: any change is an anomaly (z undefined → NULL)
+    assert out["r4"].anomaly and out["r4"].zscore is None
+    assert not out["r3"].anomaly
+
+
 # --- PSI (rules/psi.py) ----------------------------------------------------
 
 
