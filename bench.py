@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dataset_split",
+    "dataset_mixture",
+    "events_user_retention",
     "corpus_clean",
     "documents_sample_stratified",
     "pricing_cube",

@@ -71,3 +71,73 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def mixture_thresholds(
+    counts: dict[str, int],
+    weights: dict[str, int],
+    budget: int | None = None,
+) -> dict[str, int]:
+    """Bucket thresholds realizing a target corpus mixture.
+
+    ``weights`` are INTEGER mixture parts (e.g. ``{"en": 3, "de": 2}``
+    targets a 3:2 blend); strata not listed are dropped. The largest
+    feasible total T satisfies ``T·w_s/W ≤ count_s`` for every stratum
+    (the scarcest stratum binds); ``budget`` optionally caps T. Each
+    stratum's keep-threshold is then
+
+        thr_s = (2^16 · T · w_s) // (W · count_s)
+
+    ALL integer arithmetic — floor division end-to-end, no float in the
+    path — so the identical formula runs in any SQL engine and selects
+    the identical rows (the declared `dataset_mixture` query is
+    value-hash-checked against DuckDB on exactly this).
+    """
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"weights name strata absent from counts: {missing}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    total_w = sum(weights.values())
+    if total_w == 0:
+        raise ValueError("at least one weight must be positive")
+    t_max = min(
+        counts[s] * total_w // w for s, w in weights.items() if w > 0
+    )
+    if budget is not None:
+        t_max = min(t_max, budget)
+    return {
+        s: (_BUCKETS * t_max * w) // (total_w * counts[s]) if counts[s] else 0
+        for s, w in weights.items()
+        if w > 0
+    }
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    key_col: str,
+    salt: str = "",
+    budget: int | None = None,
+) -> DataFrame:
+    """Resample a corpus to a target mixture (domain/language blending —
+    the "data recipe" step of a training pipeline).
+
+    One tiny count aggregate per call (collected: #strata rows), then the
+    same zero-shuffle hash predicate as :func:`stratified_hash_sample`
+    with per-stratum integer thresholds from :func:`mixture_thresholds`.
+    Rows in strata without a weight are dropped. Membership stays a pure
+    function of (key, salt, weights, counts) — reruns and engine changes
+    keep the exact same corpus.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights
+    }
+    thresholds = mixture_thresholds(counts, weights, budget)
+    thr: Column = F.lit(-1)  # unweighted strata never match (bucket ≥ 0)
+    for value, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key_col), salt) < thr)

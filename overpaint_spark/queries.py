@@ -2684,6 +2684,88 @@ def _oracle_profile_incremental() -> str:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture resampling (operators/sampling.py
+    mixture_resample): blend documents to a 5:2:1 en:de:fr recipe, the
+    scarcest stratum binding the total. Thresholds are pure integer
+    floor-division over the observed counts, so the identical formula
+    (and identical kept set) reproduces in the SQL oracle; the filter
+    itself is the zero-shuffle md5 predicate."""
+    from overpaint_spark.operators.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_resample(
+        d, "lang", _MIXTURE_WEIGHTS, key_col="doc_id", salt="mix1"
+    ).select("doc_id", "lang")
+
+
+_MIXTURE_WEIGHTS = {"en": 5, "de": 2, "fr": 1}
+
+
+def _oracle_dataset_mixture() -> str:
+    hx = "0123456789abcdef"
+    h = "MD5('mix1:' || CAST(doc_id AS VARCHAR))"
+    bucket = " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    total_w = sum(_MIXTURE_WEIGHTS.values())
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIXTURE_WEIGHTS.items()))
+    return (
+        f"WITH w(lang, wt) AS (SELECT * FROM (VALUES {values})), "
+        "cnt AS (SELECT lang, COUNT(*) AS c FROM documents "
+        "WHERE lang IN (SELECT lang FROM w) GROUP BY lang), "
+        f"t AS (SELECT MIN(c * {total_w} // wt) AS tm "
+        "FROM cnt JOIN w USING (lang)), "
+        f"thr AS (SELECT lang, (65536 * tm * wt) // ({total_w} * c) AS th "
+        "FROM cnt JOIN w USING (lang) CROSS JOIN t) "
+        "SELECT doc_id, lang FROM documents JOIN thr USING (lang) "
+        f"WHERE ({bucket}) < th"
+    )
+
+
+def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort day, day offset). Two aggs over the same
+    (user, day) relation — the distinct-ed activity set is built ONCE,
+    its user_id shuffle reused by the min-cohort agg and the join back
+    (same key), then the final count groups by the tiny (date, offset)
+    key space. Day arithmetic is date-typed (no timezone: session UTC,
+    fixture ntz), identical in both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    )
+    act = e.distinct()
+    firsts = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff(F.col("d"), F.col("cohort_d")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        # ISO string transport: Spark DATE arrives as datetime64, DuckDB
+        # DATE as python date — stringify so the value hash is comparable
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+def _oracle_events_user_retention() -> str:
+    return (
+        "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+        "firsts AS (SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY user_id) "
+        "SELECT CAST(cohort_d AS VARCHAR) AS cohort_day, "
+        "DATEDIFF('day', cohort_d, d) AS day_offset, "
+        "COUNT(DISTINCT act.user_id) AS n_users "
+        "FROM act JOIN firsts ON act.user_id = firsts.user_id "
+        "GROUP BY cohort_d, day_offset"
+    )
+
+
 def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6-style forecasting-revenue-change: a pure filter + global agg
     with ZERO joins and zero shuffles beyond the single-row final agg.
@@ -3006,6 +3088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_value_share": q_part_value_share,
     "part_supplier_variety": q_part_supplier_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
+    "dataset_mixture": q_dataset_mixture,
+    "events_user_retention": q_events_user_retention,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
     "pricing_cube": q_pricing_cube,
@@ -3096,6 +3180,8 @@ def oracles() -> dict[str, str]:
         "part_value_share": _oracle_part_value_share(),
         "part_supplier_variety": _oracle_part_supplier_variety(),
         "excess_share_suppliers": _oracle_excess_share_suppliers(),
+        "dataset_mixture": _oracle_dataset_mixture(),
+        "events_user_retention": _oracle_events_user_retention(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
         "pricing_cube": _oracle_pricing_cube(),

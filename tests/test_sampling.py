@@ -62,3 +62,46 @@ def test_stratified_rates(spark, sf_dir):
     assert set(rates) <= {"en", "de"}
     assert abs(rates["en"] / totals["en"] - 0.5) < 0.15
     assert abs(rates["de"] / totals["de"] - 0.25) < 0.15
+
+
+def test_mixture_thresholds_binding_stratum():
+    from overpaint_spark.operators.sampling import mixture_thresholds
+
+    counts = {"en": 1000, "de": 100, "fr": 50}
+    # 5:2:1 target → fr binds: T = 50*8//1 = 400
+    thr = mixture_thresholds(counts, {"en": 5, "de": 2, "fr": 1})
+    # en keeps 400*5/8 = 250 of 1000 → threshold 25% of bucket space
+    assert thr["en"] == (65536 * 400 * 5) // (8 * 1000) == 16384
+    # de keeps 400*2/8 = 100 of 100 → keep everything
+    assert thr["de"] == 65536
+    assert thr["fr"] == (65536 * 400 * 1) // (8 * 50) == 65536
+
+
+def test_mixture_thresholds_budget_and_validation():
+    import pytest
+
+    from overpaint_spark.operators.sampling import mixture_thresholds
+
+    counts = {"en": 1000, "de": 100}
+    capped = mixture_thresholds(counts, {"en": 1, "de": 1}, budget=50)
+    # T capped at 50 → each stratum contributes 25
+    assert capped["en"] == (65536 * 50) // (2 * 1000)
+    assert capped["de"] == (65536 * 50) // (2 * 100)
+    with pytest.raises(ValueError, match="absent"):
+        mixture_thresholds({"en": 10}, {"xx": 1})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_thresholds(counts, {"en": 0, "de": 0})
+
+
+def test_mixture_resample_achieves_blend(spark, sf_dir):
+    from overpaint_spark.operators.sampling import mixture_resample
+
+    d = load_table(spark, f"{sf_dir}/documents.parquet")
+    out = mixture_resample(d, "lang", {"en": 2, "de": 1}, key_col="doc_id")
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {"en", "de"}
+    # hash granularity wobbles counts slightly; the 2:1 recipe must hold
+    assert abs(got["en"] / got["de"] - 2.0) < 0.4
