@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "profile_incremental",
     "profile_top_values",
     "profile_text_lengths",
+    "profile_key_skew",
+    "profile_correlations",
     # rules engine
     "validation_metrics",
     # analytics

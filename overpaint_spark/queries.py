@@ -517,6 +517,166 @@ def q_profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Join-key columns worth a skew profile — the scale-health check: a hot
+# key here is the partition that OOMs a 1000-executor shuffle join.
+_SKEW_KEYS: list[tuple[str, str]] = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile for declared join keys: rows, distinct keys,
+    hottest key's row count, and the hot key's share of the table.
+
+    Two-level aggregation per key — per-key counts (shuffle is
+    O(distinct keys), map-side partials shrink it first), then a
+    single-row fold. ``hot_share`` (hottest key ÷ rows) and
+    ``avg_rows_per_key`` are one integer-sourced IEEE division each,
+    deterministic in both engines. This is the number AQE's skew-join
+    threshold should be checked against before a fact⋈fact join ships."""
+    parts = []
+    for tname, key in _SKEW_KEYS:
+        counts = (
+            _t(spark, sf_dir, tname)
+            .filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("kn"))
+        )
+        parts.append(
+            counts.agg(
+                F.sum("kn").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("kn").alias("max_key_rows"),
+            ).select(
+                F.lit(tname).alias("table_name"),
+                F.lit(key).alias("column_name"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                (F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double"))
+                .alias("hot_share"),
+                (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+                .alias("avg_rows_per_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_profile_key_skew() -> str:
+    parts = []
+    for tname, key in _SKEW_KEYS:
+        parts.append(
+            f"SELECT '{tname}' AS table_name, '{key}' AS column_name, "
+            "n_rows, n_keys, max_key_rows, "
+            "CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS hot_share, "
+            "CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_rows_per_key "
+            "FROM (SELECT SUM(kn) AS n_rows, COUNT(*) AS n_keys, "
+            f"MAX(kn) AS max_key_rows FROM (SELECT {key}, COUNT(*) AS kn "
+            f"FROM {tname} WHERE {key} IS NOT NULL GROUP BY {key}))"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of lineitem's numeric columns — the
+    pg_stats-style dependency profile, computed cross-engine-exactly.
+
+    Built-in ``corr`` streams float partials whose merge order differs
+    between engines; instead ONE aggregate pass collects exact decimal
+    moments (Σx shared across pairs, Σxy per pair — values quantized to
+    decimal(18,6), products exact at scale 12) and the closed form
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    runs in the final 6-row projection, double ops in a fixed order.
+    At 100 TB the decimal sums hold to ~10^25 before overflow — beyond
+    any real table; the plan stays one scan + one single-row fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in _CORR_COLS}
+    aggs = []
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"sp_{a}_{b}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    wide = li.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        den = F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb))
+        # the moments are exact, but decimal→double conversion rounds
+        # differently across engines (~1 ulp); 12 decimals is far above
+        # the noise and far below any analytical use of r
+        return F.round(num / den, 12)
+
+    rows = [
+        wide.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            r_expr(a, b).alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_profile_correlations() -> str:
+    # DECIMAL(19,6) (not 18): DuckDB stores p≤18 decimals in int64 and
+    # multiplies before widening — overflow on big values. p=19 forces
+    # int128 storage; the quantized VALUES are identical either way.
+    moments = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"SUM(CAST({c} AS DECIMAL(19,6))) AS s_{c}")
+        moments.append(
+            f"SUM(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6))) AS ss_{c}"
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        moments.append(
+            f"SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6))) "
+            f"AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        n = "CAST(n AS DOUBLE)"
+        sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+        sp = f"CAST(sp_{a}_{b} AS DOUBLE)"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND(({n} * {sp} - {sa} * {sb}) / "
+            f"SQRT(({n} * {ssa} - {sa} * {sa}) * ({n} * {ssb} - {sb} * {sb})), 12) "
+            "AS pearson_r FROM m"
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(moments)} FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rules engine: every rule folded into one aggregate pass per
     table; output is the monitoring metrics relation."""
@@ -3056,6 +3216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_incremental": q_profile_incremental,
     "profile_top_values": q_profile_top_values,
     "profile_text_lengths": q_profile_text_lengths,
+    "profile_key_skew": q_profile_key_skew,
+    "profile_correlations": q_profile_correlations,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -3148,6 +3310,8 @@ def oracles() -> dict[str, str]:
         "profile_incremental": _oracle_profile_incremental(),
         "profile_top_values": _oracle_profile_top_values(),
         "profile_text_lengths": _oracle_profile_text_lengths(),
+        "profile_key_skew": _oracle_profile_key_skew(),
+        "profile_correlations": _oracle_profile_correlations(),
         "validation_metrics": _oracle_validation_metrics(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
