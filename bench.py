@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_quality",
     "text_top_tokens",
+    "text_repetition",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "decontaminate_overlap",

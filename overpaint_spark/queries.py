@@ -2844,6 +2844,57 @@ def _oracle_profile_incremental() -> str:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    per doc, total & distinct word-bigram counts, the dominant bigram's
+    share, and the distinct ratio — boilerplate/spam detectors a quality
+    gate thresholds on. Two-level agg over exploded bigrams: the
+    (doc, gram) shuffle shrinks map-side first, the per-doc fold is
+    O(distinct grams). Shares are single int-sourced IEEE divisions."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(TX.shingles(F.col("text"), 2)).alias("g"))
+    per = sh.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("cnt").alias("top_gram_rows"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            (
+                F.col("top_gram_rows").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("top_gram_share"),
+            (
+                F.col("n_distinct_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+def _oracle_text_repetition() -> str:
+    duck_bigrams = (
+        "CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 2 THEN "
+        "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1), "
+        "i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+1], ' ')) "
+        "ELSE [] END"
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, UNNEST({duck_bigrams}) AS g FROM documents), "
+        "per AS (SELECT doc_id, g, COUNT(*) AS cnt FROM sh GROUP BY doc_id, g) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, "
+        "COUNT(*) AS n_distinct_grams, "
+        "CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_share, "
+        "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio "
+        "FROM per GROUP BY doc_id"
+    )
+
+
 def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture resampling (operators/sampling.py
     mixture_resample): blend documents to a 5:2:1 en:de:fr recipe, the
@@ -3273,6 +3324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_normalized": q_text_normalized,
     "text_top_tokens": q_text_top_tokens,
+    "text_repetition": q_text_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3367,6 +3419,7 @@ def oracles() -> dict[str, str]:
         "text_quality": _oracle_text_quality(),
         "text_normalized": _oracle_text_normalized(),
         "text_top_tokens": _oracle_text_top_tokens(),
+        "text_repetition": _oracle_text_repetition(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),
