@@ -40,6 +40,8 @@ from overpaint_spark.rules import (
     min_length,
     not_null,
     row_count_at_least,
+    sql_check,
+    sql_metric,
     unique,
 )
 from overpaint_spark.sources.catalog import footer_row_count, load_table
@@ -299,13 +301,18 @@ def _oracle_profile_rowcounts_exact() -> str:
 # Validation rules (SURVEY §7.3)
 # ---------------------------------------------------------------------------
 
+_SQL_CHECK_PRED = "l_extendedprice > 0 AND l_tax >= 0"
+_SQL_METRIC_EXPR = "count(distinct user_id)"
+
+
 def _rule_suite():
     return {
         "customer": [in_range("c_acctbal", -1000.0, 10000.0)],
         "documents": [min_length("text", 20), unique("doc_id")],
-        "events": [freshness_within("ts", "2024-01-01 00:00:00"), row_count_at_least(100)],
+        "events": [freshness_within("ts", "2024-01-01 00:00:00"), row_count_at_least(100),
+                   sql_metric(_SQL_METRIC_EXPR, min_value=10)],
         "lineitem": [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.1),
-                     in_range("l_quantity", 1.0, 50.0)],
+                     in_range("l_quantity", 1.0, 50.0), sql_check(_SQL_CHECK_PRED)],
         "orders": [not_null("o_custkey"), unique("o_orderkey"),
                    accepted_values("o_orderstatus", ["F", "O", "P"])],
     }
@@ -703,6 +710,9 @@ def _oracle_validation_metrics() -> str:
         "CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT), "
         "CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) >= CAST(FLOOR(EPOCH(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) FROM events",
         "SELECT 'events', 'row_count', '*', COUNT(*), COUNT(*) >= 100 FROM events",
+        f"SELECT 'events', 'sql_metric', '{_SQL_METRIC_EXPR}', "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT), "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) >= 10 FROM events",
         # lineitem
         "SELECT 'lineitem', 'not_null', 'l_orderkey', "
         "COUNT(*) FILTER (WHERE l_orderkey IS NULL), "
@@ -713,6 +723,9 @@ def _oracle_validation_metrics() -> str:
         "SELECT 'lineitem', 'in_range', 'l_quantity', "
         "COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0), "
         "COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0) = 0 FROM lineitem",
+        f"SELECT 'lineitem', 'sql_check', '{_SQL_CHECK_PRED}', "
+        f"COUNT(*) FILTER (WHERE NOT (({_SQL_CHECK_PRED}) IS TRUE)), "
+        f"COUNT(*) FILTER (WHERE NOT (({_SQL_CHECK_PRED}) IS TRUE)) = 0 FROM lineitem",
         # orders
         "SELECT 'orders', 'not_null', 'o_custkey', "
         "COUNT(*) FILTER (WHERE o_custkey IS NULL), "

@@ -7,6 +7,8 @@ from overpaint_spark.rules.rules import (  # noqa: F401
     min_length,
     not_null,
     row_count_at_least,
+    sql_check,
+    sql_metric,
     unique,
 )
 from overpaint_spark.rules.drift import (  # noqa: F401

@@ -33,18 +33,24 @@ from overpaint_spark.rules.rules import (
     min_length,
     not_null,
     row_count_at_least,
+    sql_check,
+    sql_metric,
     unique,
 )
 
-# rule name → (constructor, required config keys passed positionally)
+# rule name → (constructor, required keys passed positionally,
+#              optional keys passed by name when present)
 _RULE_SPECS = {
-    "not_null": (not_null, ("column",)),
-    "unique": (unique, ("column",)),
-    "in_range": (in_range, ("column", "lo", "hi")),
-    "accepted_values": (accepted_values, ("column", "values")),
-    "min_length": (min_length, ("column", "n")),
-    "freshness_within": (freshness_within, ("column", "not_before")),
-    "row_count_at_least": (row_count_at_least, ("n",)),
+    "not_null": (not_null, ("column",), ()),
+    "unique": (unique, ("column",), ()),
+    "in_range": (in_range, ("column", "lo", "hi"), ()),
+    "accepted_values": (accepted_values, ("column", "values"), ()),
+    "min_length": (min_length, ("column", "n"), ()),
+    "freshness_within": (freshness_within, ("column", "not_before"), ()),
+    "row_count_at_least": (row_count_at_least, ("n",), ()),
+    "sql_check": (sql_check, ("predicate",), ("name",)),
+    "sql_metric": (sql_metric, ("metric_sql",),
+                   ("min_value", "max_value", "name")),
 }
 
 
@@ -54,11 +60,12 @@ def rule_from_spec(spec: dict) -> Rule:
         raise ValueError(
             f"unknown rule {kind!r}; known: {sorted(_RULE_SPECS)}"
         )
-    ctor, keys = _RULE_SPECS[kind]
+    ctor, keys, optional = _RULE_SPECS[kind]
     missing = [k for k in keys if k not in spec]
     if missing:
         raise ValueError(f"rule {kind!r} missing parameters: {missing}")
-    return ctor(*[spec[k] for k in keys])
+    kwargs = {k: spec[k] for k in optional if k in spec}
+    return ctor(*[spec[k] for k in keys], **kwargs)
 
 
 def suite_from_config(cfg: dict) -> dict[str, list[Rule]]:

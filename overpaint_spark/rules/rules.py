@@ -95,6 +95,52 @@ def freshness_within(column: str, not_before: str) -> Rule:
     )
 
 
+def sql_check(predicate: str, name: str = "sql_check") -> Rule:
+    """Violations = rows where an arbitrary SQL predicate is not TRUE.
+
+    The escape hatch the north star's "Spark SQL validation rules"
+    promises: any boolean Spark SQL expression over the table's columns
+    becomes a rule, still folded into the same single per-table pass.
+    NULL predicate results count as violations (the ``IS TRUE`` reading
+    — 3VL parity with listTables.tsx:314-315), so a predicate over a
+    NULLable column can't silently pass.
+    """
+    return Rule(
+        name, predicate,
+        lambda: F.count_if(~F.expr(predicate).eqNullSafe(F.lit(True))),
+        _violations_pass,
+    )
+
+
+def sql_metric(
+    metric_sql: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    name: str = "sql_metric",
+) -> Rule:
+    """metric = an arbitrary SQL *aggregate* expression; passes iff the
+    value lands in [min_value, max_value] (either bound optional).
+
+    Covers assertion shapes no violation-count rule can express —
+    "avg(value) ≤ 120", "count(distinct user_id) ≥ 10". The metrics
+    relation carries values as long (fractional metrics truncate there;
+    bounds are checked on the cast value, so pass/fail and the recorded
+    metric always agree).
+    """
+    if min_value is None and max_value is None:
+        raise ValueError("sql_metric needs min_value and/or max_value")
+
+    def passes(m: Column) -> Column:
+        c = F.lit(True)
+        if min_value is not None:
+            c = c & (m >= F.lit(min_value))
+        if max_value is not None:
+            c = c & (m <= F.lit(max_value))
+        return c
+
+    return Rule(name, metric_sql, lambda: F.expr(metric_sql), passes)
+
+
 def row_count_at_least(n: int) -> Rule:
     """metric = exact row count; passes iff ≥ n."""
     return Rule(

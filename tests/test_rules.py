@@ -98,3 +98,52 @@ def test_rule_config_validation_errors():
         rule_from_spec({"rule": "in_range", "column": "c", "lo": 0})
     with _pytest.raises(ValueError, match="JSON object"):
         suite_from_config([1, 2])
+
+
+def test_sql_check_null_predicate_is_violation(spark):
+    from overpaint_spark.rules import sql_check
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,)], "v double"
+    )
+    out = evaluate_rules(spark, {"t": df}, {"t": [sql_check("v > 0")]}).collect()
+    (r,) = out
+    # -2.0 fails the predicate; NULL evaluates to NULL → also a violation
+    assert r.metric_value == 2 and not r.passed
+    assert r.column_name == "v > 0"
+
+
+def test_sql_metric_bounds(spark):
+    import pytest as _pytest
+
+    from overpaint_spark.rules import sql_metric
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "v long")
+    rules = [
+        sql_metric("count(distinct v)", min_value=5, name="enough_distinct"),
+        sql_metric("max(v)", max_value=3, name="max_capped"),
+    ]
+    out = {r.rule_name: r for r in
+           evaluate_rules(spark, {"t": df}, {"t": rules}).collect()}
+    assert out["enough_distinct"].passed and out["enough_distinct"].metric_value == 7
+    assert not out["max_capped"].passed and out["max_capped"].metric_value == 6
+    with _pytest.raises(ValueError, match="min_value"):
+        sql_metric("count(*)")
+
+
+def test_sql_rules_from_json_config(spark):
+    from overpaint_spark.rules.config import suite_from_config
+
+    suite = suite_from_config(
+        {
+            "t": [
+                {"rule": "sql_check", "predicate": "v >= 0", "name": "nonneg"},
+                {"rule": "sql_metric", "metric_sql": "sum(v)", "min_value": 3},
+            ]
+        }
+    )
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    out = {r.rule_name: r for r in
+           evaluate_rules(spark, {"t": df}, suite).collect()}
+    assert out["nonneg"].passed
+    assert out["sql_metric"].passed and out["sql_metric"].metric_value == 3
