@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
         help="print drift vs an earlier snapshot run (needs --snapshot-dir/--run-id)",
     )
     parser.add_argument(
+        "--anomaly", action="store_true",
+        help="score this run's metrics against the rolling history of ALL "
+        "prior snapshot runs (z-score, 3-run warmup) and print anomalies "
+        "(needs --snapshot-dir/--run-id)",
+    )
+    parser.add_argument(
         "--rules", metavar="RULES_JSON",
         help="validation mode: evaluate a JSON rule suite ({table: [rule "
         "specs]}) instead of profiling; exit 3 when any rule fails",
@@ -71,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--snapshot-dir requires --run-id")
     if args.drift_against and not args.snapshot_dir:
         parser.error("--drift-against requires --snapshot-dir and --run-id")
+    if args.anomaly and not args.snapshot_dir:
+        parser.error("--anomaly requires --snapshot-dir and --run-id")
 
     try:
         # unreachable data root = unreachable database (listTables.tsx:526-529)
@@ -135,6 +143,32 @@ def main(argv: list[str] | None = None) -> int:
                                 f"{flag} PSI {t}.{c} vs {args.drift_against}: "
                                 f"{val:.4f} ({band})\n"
                             )
+                if args.anomaly:
+                    from pyspark.sql import functions as F
+
+                    from overpaint_spark.rules.drift import metric_zscores
+
+                    history = spark.read.parquet(args.snapshot_dir)
+                    hits = (
+                        metric_zscores(history)
+                        .filter(
+                            (F.col("run_id") == args.run_id) & F.col("anomaly")
+                        )
+                        .orderBy("table_name", "column_name", "metric")
+                        .collect()
+                    )
+                    sys.stdout.write(
+                        f"\nAnomaly scan run {args.run_id} "
+                        f"({len(hits)} anomalies):\n"
+                    )
+                    for r in hits:
+                        col = r.column_name or "-"
+                        z = "z=const-break" if r.zscore is None else f"z={r.zscore:+.1f}"
+                        sys.stdout.write(
+                            f"! {r.table_name}.{col} {r.metric}: "
+                            f"{r.value_num} vs mean {r.history_mean:.2f} "
+                            f"({z}, n={r.n_history})\n"
+                        )
                 if args.drift_against:
                     from overpaint_spark.rules.drift import schema_drift
 

@@ -208,6 +208,31 @@ def test_cli_histogram_psi_flow(spark, tmp_path, capsys):
     assert "PSI events.value vs r1: 0.0000 (stable)" in out
 
 
+def test_cli_anomaly_flow(spark, tmp_path, capsys):
+    """Monitoring loop with --anomaly: three stable runs build history,
+    a 10× data jump on the fourth is flagged; the stable runs are not."""
+    from overpaint_spark import cli
+
+    snaps = str(tmp_path / "snaps")
+    for rid in ("r1", "r2", "r3"):
+        assert cli.main([
+            "/root/testdata/sf0.001", "--snapshot-dir", snaps, "--run-id", rid,
+        ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "/root/testdata/sf0.01", "--snapshot-dir", snaps, "--run-id", "r4",
+        "--anomaly",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Anomaly scan run r4" in out
+    assert "estimated_rows" in out and "const-break" in out
+    # a fifth run over the SAME data as r4's history is itself anomalous
+    # relative to the mixed history, but scanning r2 against r1-only
+    # history must be silent — covered by unit tests; here assert the
+    # flag summary counted at least the row-count breaks
+    assert "(0 anomalies)" not in out
+
+
 def test_histogram_spec_parse():
     import pytest as _pytest
 
