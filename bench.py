@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_top_tokens",
     "text_repetition",
+    "text_redacted",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "decontaminate_overlap",

@@ -201,3 +201,36 @@ def minhash_component(sh: Column, seed: int) -> Column:
     makes the LSH pipeline oracle-checkable end to end."""
     hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary")))
     return F.array_min(hashed)
+
+
+# Sequential redaction passes: (name, pattern, replacement). Order is
+# load-bearing (IP digits must be consumed before any digit-run rule a
+# caller appends) and each pattern counts on the PREVIOUS pass's output —
+# the SQL oracle chains CTEs in the identical order. Patterns stick to
+# character classes and \b (identical semantics in Java regex and RE2).
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+", "<email>"),
+    ("ip", "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+", "<ip>"),
+    ("entity", "\\b(customer|supplier)\\b", "<entity>"),
+]
+
+
+def redactions(
+    text: Column,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> tuple[Column, dict[str, Column]]:
+    """PII/denylist scrubbing — the redaction stage of a training-data
+    pipeline. Each pattern is counted on the current text, then replaced
+    globally; returns (redacted_text, {name: match_count}).
+
+    All JVM-side (regexp_count/regexp_replace in one codegen stage,
+    zero shuffle); the counts make the scrub auditable — a corpus-level
+    sum of them is the redaction report.
+    """
+    pats = REDACTION_PATTERNS if patterns is None else patterns
+    out = text
+    counts: dict[str, Column] = {}
+    for name, pat, repl in pats:
+        counts[name] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    return out, counts

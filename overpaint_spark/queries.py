@@ -2908,6 +2908,42 @@ def _oracle_text_repetition() -> str:
     )
 
 
+def q_text_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/denylist redaction (functions/text.py redactions): email and
+    IP shapes plus a denylist-term pattern, counted then replaced in
+    sequence, all in one codegen stage — zero shuffle, and the per-doc
+    counts are the audit trail. The oracle chains the identical
+    passes as CTEs (RE2 and Java regex agree on these patterns)."""
+    d = _t(spark, sf_dir, "documents")
+    red, counts = TX.redactions(F.col("text"))
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
+def _oracle_text_redacted() -> str:
+    from overpaint_spark.functions.text import REDACTION_PATTERNS
+
+    prev, ctes, count_cols = "s0", ["s0 AS (SELECT doc_id, text AS t FROM documents)"], []
+    for i, (name, pat, repl) in enumerate(REDACTION_PATTERNS, 1):
+        carried = ", ".join(f"n_{n}" for n in count_cols)
+        carried = f"{carried}, " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"LEN(REGEXP_EXTRACT_ALL(t, '{pat}')) AS n_{name}, "
+            f"REGEXP_REPLACE(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        count_cols.append(name)
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{n}" for n in count_cols)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, t AS redacted, {cols} FROM {prev}"
+    )
+
+
 def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture resampling (operators/sampling.py
     mixture_resample): blend documents to a 5:2:1 en:de:fr recipe, the
@@ -3338,6 +3374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalized": q_text_normalized,
     "text_top_tokens": q_text_top_tokens,
     "text_repetition": q_text_repetition,
+    "text_redacted": q_text_redacted,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3433,6 +3470,7 @@ def oracles() -> dict[str, str]:
         "text_normalized": _oracle_text_normalized(),
         "text_top_tokens": _oracle_text_top_tokens(),
         "text_repetition": _oracle_text_repetition(),
+        "text_redacted": _oracle_text_redacted(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),

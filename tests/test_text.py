@@ -84,3 +84,31 @@ def test_quality_components_and_score(docs):
         assert 0.0 <= r["q"] <= 1.0
     # prose with stopwords scores above keyword soup of the same length
     assert rows[1]["q"] > rows[3]["q"]
+
+
+def test_redactions_sequential_counts(spark):
+    from overpaint_spark.functions.text import redactions
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com from 10.0.0.1 about customer x"),
+            (2, "supplier customer supplier"),
+            (3, "clean text"),
+        ],
+        "id long, text string",
+    )
+    red, counts = redactions(F.col("text"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", red.alias("t"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1].n_email == 1 and out[1].n_ip == 1 and out[1].n_entity == 1
+    assert out[1].t == "mail <email> from <ip> about <entity> x"
+    # global replacement, not first-match
+    assert out[2].n_entity == 3 and out[2].t == "<entity> <entity> <entity>"
+    assert out[3].n_email == out[3].n_ip == out[3].n_entity == 0
+    assert out[3].t == "clean text"
