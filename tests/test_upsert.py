@@ -99,3 +99,46 @@ def test_upsert_empty_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], SCHEMA)
     assert upsert_partitioned(spark, path, empty, ["k"], "day", "ts") == []
     assert spark.read.parquet(path).count() == 4
+
+
+def test_streaming_upsert_applies_batches_in_order(spark, tmp_path):
+    """Two change-file drops processed as separate micro-batches keep the
+    table current: later batches override earlier ones per key, and only
+    touched partitions rewrite."""
+    import time as _time
+
+    from overpaint_spark.streaming.upsert import write_upsert_stream
+
+    path = str(tmp_path / "tbl")
+    changes_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    _base(spark).write.partitionBy("day").parquet(path)
+
+    drops = [
+        [(2, "d1", "b2", 20), (9, "d2", "new", 15)],
+        [(2, "d1", "b3", 30), (1, "d1", "a2", 30)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_dir)
+        _time.sleep(1.2)  # distinct mtimes → stable file order
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_dir)
+    )
+    q = write_upsert_stream(
+        stream, path, ["k"], "day", "ts", ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: (r.day, r.v, r.ts) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("d1", "a2", 30),
+        2: ("d1", "b3", 30),
+        3: ("d2", "c", 10),
+        4: ("d3", "d", 10),
+        9: ("d2", "new", 15),
+    }
