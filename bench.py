@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "events_rolling_value",
     "events_trailing_hour",
     "users_click_no_purchase",
+    "users_conversion_lag",
     "events_type_pivot",
     "nation_pair_flow",
     "market_share_by_year",

@@ -2908,6 +2908,56 @@ def _oracle_text_repetition() -> str:
     )
 
 
+def q_users_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the lag from first click to the first
+    purchase AFTER it. Two tiny per-user min-aggregates (each one
+    shuffle of its filtered slice), then an equi-join on user — never a
+    row-level self-join of the event stream. Lag compares integer epoch
+    MICROseconds (the fixture is nanos parquet: Spark truncates to µs,
+    DuckDB keeps ns — raw timestamp math would diverge; see
+    events_trailing_hour)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    first_purchase_after = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"), F.min("click_us").alias("click_us"))
+    )
+    # integer floor division (div/`//`), NOT double-divide-then-cast:
+    # DuckDB's double→bigint cast rounds while Spark's truncates
+    return first_purchase_after.selectExpr(
+        "user_id",
+        "(purchase_us - click_us) div 1000000 as lag_seconds",
+    )
+
+
+def _oracle_users_conversion_lag() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_type, "
+        "EPOCH_US(CAST(ts AS TIMESTAMP)) AS us FROM events), "
+        "fc AS (SELECT user_id, MIN(us) AS click_us FROM e "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "fp AS (SELECT e.user_id, MIN(us) AS purchase_us, "
+        "MIN(click_us) AS click_us "
+        "FROM e JOIN fc ON e.user_id = fc.user_id "
+        "WHERE event_type = 'purchase' AND us >= click_us "
+        "GROUP BY e.user_id) "
+        "SELECT user_id, "
+        "(purchase_us - click_us) // 1000000 AS lag_seconds "
+        "FROM fp"
+    )
+
+
 def q_text_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/denylist redaction (functions/text.py redactions): email and
     IP shapes plus a denylist-term pattern, counted then replaced in
@@ -3364,6 +3414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trailing_hour": q_events_trailing_hour,
     "users_click_no_purchase": q_users_click_no_purchase,
     "users_click_and_purchase": q_users_click_and_purchase,
+    "users_conversion_lag": q_users_conversion_lag,
     "events_next_gap": q_events_next_gap,
     "events_type_pivot": q_events_type_pivot,
     "text_stats": q_text_stats,
@@ -3460,6 +3511,7 @@ def oracles() -> dict[str, str]:
         "events_trailing_hour": _oracle_events_trailing_hour(),
         "users_click_no_purchase": _oracle_users_click_no_purchase(),
         "users_click_and_purchase": _oracle_users_click_and_purchase(),
+        "users_conversion_lag": _oracle_users_conversion_lag(),
         "events_next_gap": _oracle_events_next_gap(),
         "events_type_pivot": _oracle_events_type_pivot(),
         "text_stats": _oracle_text_stats(),
