@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "profile_text_lengths",
     "profile_key_skew",
     "profile_correlations",
+    "profile_functional_deps",
+    "events_daily_gapfill",
     # rules engine
     "validation_metrics",
     # analytics

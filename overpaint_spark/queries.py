@@ -684,6 +684,103 @@ def _oracle_profile_correlations() -> str:
     )
 
 
+# Candidate functional dependencies (determinant → dependent) worth
+# checking — key-discovery profiling, the pg_stats-has-nothing-like-it
+# depth: a violated FD on a supposed natural key is a data bug.
+_FD_CHECKS: list[tuple[str, str, str]] = [
+    ("nation", "n_nationkey", "n_name"),      # holds: nationkey is a key
+    ("orders", "o_orderkey", "o_custkey"),    # holds: orderkey is a key
+    ("lineitem", "l_orderkey", "l_suppkey"),  # violated: multi-supplier orders
+    ("part", "p_brand", "p_type"),            # violated: brands span types
+]
+
+
+def q_profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check per declared (determinant →
+    dependent) pair: the FD holds iff distinct(det) == distinct(det,
+    dep); the violation count is how many extra (det, dep) combinations
+    exist. One aggregate per table pair — two distinct counts sharing
+    the same scan; NULL handling matches composite-distinct semantics
+    (rows with a NULL on either side are out of scope on both engines)."""
+    parts = []
+    for tname, det, dep in _FD_CHECKS:
+        t = _t(spark, sf_dir, tname)
+        parts.append(
+            t.agg(
+                F.countDistinct(F.col(det)).alias("n_det"),
+                F.countDistinct(F.col(det), F.col(dep)).alias("n_pairs"),
+            ).select(
+                F.lit(tname).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det",
+                "n_pairs",
+                (F.col("n_pairs") - F.col("n_det")).alias("violations"),
+                (F.col("n_pairs") == F.col("n_det")).alias("fd_holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_profile_functional_deps() -> str:
+    parts = []
+    for tname, det, dep in _FD_CHECKS:
+        parts.append(
+            f"SELECT '{tname}' AS table_name, '{det}' AS determinant, "
+            f"'{dep}' AS dependent, n_det, n_pairs, "
+            "n_pairs - n_det AS violations, n_pairs = n_det AS fd_holds "
+            f"FROM (SELECT COUNT(DISTINCT {det}) AS n_det, "
+            f"(SELECT COUNT(*) FROM (SELECT DISTINCT {det}, {dep} "
+            f"FROM {tname} WHERE {det} IS NOT NULL AND {dep} IS NOT NULL)) "
+            f"AS n_pairs FROM {tname})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per user, a dense daily series from
+    first to last active day with zero-filled quiet days — the
+    regularization step before any rolling statistic or forecast.
+    ``sequence()`` generates each user's date range JVM-side (cost ∝
+    span, data-independent) and the left join back to the per-day
+    counts is one shuffle on (user, day)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    )
+    act = e.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("n"))
+    rng = e.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = rng.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    return (
+        days.join(act, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").cast("string").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def _oracle_events_daily_gapfill() -> str:
+    return (
+        "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), "
+        "act AS (SELECT user_id, d, COUNT(*) AS n FROM e GROUP BY user_id, d), "
+        "rng AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM e GROUP BY user_id), "
+        "days AS (SELECT user_id, UNNEST(GENERATE_SERIES(d0, d1, "
+        "INTERVAL 1 DAY))::DATE AS d FROM rng) "
+        "SELECT days.user_id, CAST(days.d AS VARCHAR) AS day, "
+        "COALESCE(n, 0) AS n_events "
+        "FROM days LEFT JOIN act ON days.user_id = act.user_id AND days.d = act.d"
+    )
+
+
 def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rules engine: every rule folded into one aggregate pass per
     table; output is the monitoring metrics relation."""
@@ -3368,6 +3465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_text_lengths": q_profile_text_lengths,
     "profile_key_skew": q_profile_key_skew,
     "profile_correlations": q_profile_correlations,
+    "profile_functional_deps": q_profile_functional_deps,
+    "events_daily_gapfill": q_events_daily_gapfill,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -3465,6 +3564,8 @@ def oracles() -> dict[str, str]:
         "profile_text_lengths": _oracle_profile_text_lengths(),
         "profile_key_skew": _oracle_profile_key_skew(),
         "profile_correlations": _oracle_profile_correlations(),
+        "profile_functional_deps": _oracle_profile_functional_deps(),
+        "events_daily_gapfill": _oracle_events_daily_gapfill(),
         "validation_metrics": _oracle_validation_metrics(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_orders_by_revenue": _oracle_top_orders_by_revenue(),
