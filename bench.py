@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dataset_split",
     "dataset_mixture",
+    "documents_chunked",
     "events_user_retention",
     "corpus_clean",
     "documents_sample_stratified",

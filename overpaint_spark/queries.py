@@ -3091,6 +3091,48 @@ def _oracle_text_redacted() -> str:
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 50, 40  # 10-word overlap
+
+
+def q_documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping word windows (size 50, stride 40)
+    — the context-window preprocessing step of a training/RAG pipeline.
+    All JVM-side array expressions (split → sequence of starts → slice
+    per start → explode): cost ∝ output tokens, no UDF, no shuffle
+    until a downstream op needs one. chunk_idx derives from the start
+    offset by integer math so both engines number identically."""
+    c, s = _CHUNK_SIZE, _CHUNK_STRIDE
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    # last start ≤ max(1, n - c + 1), aligned to the stride grid
+    n_chunks = F.floor((F.greatest(n - F.lit(c), F.lit(0))).cast("double") / s).cast("int") + 1
+    starts = F.sequence(F.lit(1), (n_chunks - 1) * s + 1, F.lit(s))
+    return (
+        d.select("doc_id", n.alias("n_words"), F.explode(starts).alias("start"), w.alias("w"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / s).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(F.col("w"), F.col("start"), c), " ").alias("chunk_text"),
+            F.least(F.lit(c), F.col("n_words") - F.col("start") + 1).alias("chunk_words"),
+        )
+    )
+
+
+def _oracle_documents_chunked() -> str:
+    c, s = _CHUNK_SIZE, _CHUNK_STRIDE
+    return (
+        "WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w, "
+        "LEN(STRING_SPLIT(text, ' ')) AS n FROM documents), "
+        "st AS (SELECT doc_id, w, n, UNNEST(GENERATE_SERIES(1, "
+        f"CAST(FLOOR(CAST(GREATEST(n - {c}, 0) AS DOUBLE) / {s}) AS INT) * {s} + 1, "
+        f"{s})) AS start FROM d) "
+        f"SELECT doc_id, CAST((start - 1) // {s} AS INT) AS chunk_idx, "
+        f"ARRAY_TO_STRING(w[start:start + {c} - 1], ' ') AS chunk_text, "
+        f"LEAST({c}, n - start + 1) AS chunk_words FROM st"
+    )
+
+
 def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture resampling (operators/sampling.py
     mixture_resample): blend documents to a 5:2:1 en:de:fr recipe, the
@@ -3500,6 +3542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_supplier_variety": q_part_supplier_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
     "dataset_mixture": q_dataset_mixture,
+    "documents_chunked": q_documents_chunked,
     "events_user_retention": q_events_user_retention,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
@@ -3599,6 +3642,7 @@ def oracles() -> dict[str, str]:
         "part_supplier_variety": _oracle_part_supplier_variety(),
         "excess_share_suppliers": _oracle_excess_share_suppliers(),
         "dataset_mixture": _oracle_dataset_mixture(),
+        "documents_chunked": _oracle_documents_chunked(),
         "events_user_retention": _oracle_events_user_retention(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
