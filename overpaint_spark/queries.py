@@ -3105,8 +3105,10 @@ def q_documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     n = F.size(w)
-    # last start ≤ max(1, n - c + 1), aligned to the stride grid
-    n_chunks = F.floor((F.greatest(n - F.lit(c), F.lit(0))).cast("double") / s).cast("int") + 1
+    # ceil, not floor: the final stride-aligned window must REACH the
+    # document tail (floor silently drops up to s-1 trailing words —
+    # caught by the reconstruction property test)
+    n_chunks = F.ceil((F.greatest(n - F.lit(c), F.lit(0))).cast("double") / s).cast("int") + 1
     starts = F.sequence(F.lit(1), (n_chunks - 1) * s + 1, F.lit(s))
     return (
         d.select("doc_id", n.alias("n_words"), F.explode(starts).alias("start"), w.alias("w"))
@@ -3125,7 +3127,7 @@ def _oracle_documents_chunked() -> str:
         "WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w, "
         "LEN(STRING_SPLIT(text, ' ')) AS n FROM documents), "
         "st AS (SELECT doc_id, w, n, UNNEST(GENERATE_SERIES(1, "
-        f"CAST(FLOOR(CAST(GREATEST(n - {c}, 0) AS DOUBLE) / {s}) AS INT) * {s} + 1, "
+        f"CAST(CEIL(CAST(GREATEST(n - {c}, 0) AS DOUBLE) / {s}) AS INT) * {s} + 1, "
         f"{s})) AS start FROM d) "
         f"SELECT doc_id, CAST((start - 1) // {s} AS INT) AS chunk_idx, "
         f"ARRAY_TO_STRING(w[start:start + {c} - 1], ' ') AS chunk_text, "

@@ -78,3 +78,31 @@ def test_connected_components_paths_agree(spark, edges):
         for r in connected_components(df, driver_threshold=10**6).collect()
     }
     assert dist == fast
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Dropping each chunk's overlap prefix (all but the first) and
+    concatenating must reproduce the original token stream exactly —
+    the no-token-lost/no-token-duplicated invariant of the chunker."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    sf = "/root/testdata/sf0.001"
+    chunks = Q.QUERIES["documents_chunked"](spark, sf).collect()
+    originals = {
+        r.doc_id: r.text
+        for r in Q._t(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        words: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.chunk_words
+            words.extend(toks if i == 0 else toks[overlap:])
+        assert " ".join(words) == originals[doc_id]
