@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "dataset_mixture",
     "documents_chunked",
+    "corpus_source_stats",
     "events_user_retention",
     "corpus_clean",
     "documents_sample_stratified",

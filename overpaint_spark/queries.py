@@ -3091,6 +3091,39 @@ def _oracle_text_redacted() -> str:
     )
 
 
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per source: volume, size, language
+    spread, and mean quality — the numbers a data-recipe decision reads
+    before setting mixture weights. One group-agg (quality is a pure
+    codegen expression, so folding it in costs no extra pass); the mean
+    divides an exact decimal sum by the count."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text")).cast("decimal(18,6)")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum(q).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_quality"),
+        )
+    )
+
+
+def _oracle_corpus_source_stats() -> str:
+    quality = _oracle_text_quality()
+    return (
+        f"WITH q AS ({quality}) "
+        "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
+        "COUNT(DISTINCT lang) AS n_langs, "
+        "CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE) AS avg_quality "
+        "FROM documents d JOIN q USING (doc_id) "
+        "GROUP BY source"
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 50, 40  # 10-word overlap
 
 
@@ -3545,6 +3578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "excess_share_suppliers": q_excess_share_suppliers,
     "dataset_mixture": q_dataset_mixture,
     "documents_chunked": q_documents_chunked,
+    "corpus_source_stats": q_corpus_source_stats,
     "events_user_retention": q_events_user_retention,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
@@ -3645,6 +3679,7 @@ def oracles() -> dict[str, str]:
         "excess_share_suppliers": _oracle_excess_share_suppliers(),
         "dataset_mixture": _oracle_dataset_mixture(),
         "documents_chunked": _oracle_documents_chunked(),
+        "corpus_source_stats": _oracle_corpus_source_stats(),
         "events_user_retention": _oracle_events_user_retention(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),
