@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "events_user_retention",
     "corpus_clean",
     "documents_sample_stratified",
+    "documents_sample_weighted",
     "pricing_cube",
     "customer_balance_quartiles",
     "ann_topk_bruteforce",

@@ -141,3 +141,24 @@ def mixture_resample(
     for value, t in sorted(thresholds.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: each row's keep probability IS its weight
+    (clamped to [0, 1]) — e.g. quality-weighted corpus subsampling,
+    where a 0.9-quality document survives 9× as often as a 0.1 one.
+
+    Same determinism contract as the uniform sampler: membership is a
+    pure function of (key, salt, weight expression), zero shuffle. The
+    per-row threshold floor(weight · 2^16) keeps the comparison in
+    integers once the weight itself is engine-exact.
+    """
+    thr = F.floor(
+        F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * F.lit(float(_BUCKETS))
+    )
+    return df.filter(sample_bucket(F.col(key_col), salt) < thr)

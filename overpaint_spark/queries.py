@@ -3091,6 +3091,37 @@ def _oracle_text_redacted() -> str:
     )
 
 
+def q_documents_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (operators/sampling.py
+    weighted_hash_sample): each document's keep probability is its
+    quality score, so the sample tilts toward clean text while staying
+    a pure deterministic function of (doc_id, salt) — reproducible and
+    zero-shuffle like every hash sampler here."""
+    from overpaint_spark.operators.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_hash_sample(
+        d, TX.quality_score(F.col("text")), key_col="doc_id", salt="w1"
+    )
+    return out.select("doc_id", "lang")
+
+
+def _oracle_documents_sample_weighted() -> str:
+    quality = _oracle_text_quality()
+    hx = "0123456789abcdef"
+    h = "MD5('w1:' || CAST(doc_id AS VARCHAR))"
+    bucket = " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return (
+        f"WITH q AS ({quality}) "
+        "SELECT doc_id, lang FROM documents JOIN q USING (doc_id) "
+        f"WHERE ({bucket}) < "
+        "FLOOR(LEAST(GREATEST(quality_score, 0.0), 1.0) * 65536.0)"
+    )
+
+
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report per source: volume, size, language
     spread, and mean quality — the numbers a data-recipe decision reads
@@ -3579,6 +3610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "documents_chunked": q_documents_chunked,
     "corpus_source_stats": q_corpus_source_stats,
+    "documents_sample_weighted": q_documents_sample_weighted,
     "events_user_retention": q_events_user_retention,
     "multimodal_frames": q_multimodal_frames,
     "documents_sample_stratified": q_documents_sample_stratified,
@@ -3680,6 +3712,7 @@ def oracles() -> dict[str, str]:
         "dataset_mixture": _oracle_dataset_mixture(),
         "documents_chunked": _oracle_documents_chunked(),
         "corpus_source_stats": _oracle_corpus_source_stats(),
+        "documents_sample_weighted": _oracle_documents_sample_weighted(),
         "events_user_retention": _oracle_events_user_retention(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "documents_sample_stratified": _oracle_documents_sample_stratified(),

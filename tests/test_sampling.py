@@ -105,3 +105,20 @@ def test_mixture_resample_achieves_blend(spark, sf_dir):
     assert set(got) == {"en", "de"}
     # hash granularity wobbles counts slightly; the 2:1 recipe must hold
     assert abs(got["en"] / got["de"] - 2.0) < 0.4
+
+
+def test_weighted_sample_rates_scale_with_weight(spark):
+    from overpaint_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k").withColumn(
+        "w", F.when(F.col("k") % 2 == 0, F.lit(0.8)).otherwise(F.lit(0.2))
+    )
+    kept = weighted_hash_sample(df, F.col("w"), "k").groupBy("w").count()
+    rates = {round(r.w, 1): r["count"] / 10_000 for r in kept.collect()}
+    assert abs(rates[0.8] - 0.8) < 0.05
+    assert abs(rates[0.2] - 0.2) < 0.05
+    # weights outside [0,1] clamp rather than misbehave
+    all_kept = weighted_hash_sample(
+        spark.range(100).withColumnRenamed("id", "k"), F.lit(5.0), "k"
+    ).count()
+    assert all_kept == 100
