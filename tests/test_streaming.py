@@ -411,3 +411,41 @@ def test_stream_static_enrichment(spark, events_dir):
         .collect()
     }
     assert got == want and sum(got.values()) == 1000
+
+
+def test_corpus_intake_gate(spark, tmp_path):
+    """The composed ingest gate: redaction counts on ORIGINAL text,
+    quality gate on redacted text, duplicate collapsed within the
+    watermark, low-quality row dropped."""
+    import datetime as dt
+
+    from overpaint_spark.streaming.corpus import corpus_intake_gate
+
+    schema = "doc_id long, ts timestamp, text string"
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the customer "
+        "walks in with a question about the order that was placed last week "
+        "and everyone is quite happy about it because the answer is simple"
+    )
+    t0 = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, good),                                   # kept
+        (2, t0 + dt.timedelta(minutes=5), good),         # dup → collapsed
+        (3, t0 + dt.timedelta(minutes=6), "!!! ??? ..."),  # low quality → dropped
+    ]
+    d = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = corpus_intake_gate(stream, quality_threshold=0.4, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("intake")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from intake").collect()
+    assert len(got) == 1
+    (r,) = got
+    assert r.doc_id == 1
+    assert r.n_entity == 1 and "<entity>" in r.text and "customer" not in r.text
+    assert r.quality_score >= 0.4
