@@ -156,7 +156,11 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return list(_nanos_timestamp_cols_cached(path, _mtime_key(path)))
 
 
-def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    handle: TableHandle | str,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read one table as a DataFrame (columnar, lazy).
 
     Spark 4 rejects Parquet ``TIMESTAMP(NANOS)`` outright
@@ -164,6 +168,12 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` escape hatch as raw
     nanosecond longs and converted to ``timestamp_ntz`` (truncating
     ns→µs, the same truncation DuckDB/pandas apply).
+
+    ``merge_schema`` unions the schemas of every file in a directory
+    table (columns added by schema evolution appear, NULL for older
+    files) instead of trusting one footer. Off by default: merging
+    reads every footer, which matters on a 100 TB many-file table —
+    turn it on for evolved tables, or after schema_drift flags one.
     """
     path = handle.path if isinstance(handle, TableHandle) else handle
     fmt = handle.fmt if isinstance(handle, TableHandle) else "parquet"
@@ -173,7 +183,7 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
     cache: dict[str, DataFrame] = getattr(spark, "_overpaint_df_cache", None) or {}
     if not hasattr(spark, "_overpaint_df_cache"):
         spark._overpaint_df_cache = cache
-    key = f"{path}@{_mtime_key(path)}"
+    key = f"{path}@{_mtime_key(path)}@{merge_schema}"
     if key in cache:
         return cache[key]
     if fmt == "csv":
@@ -185,15 +195,15 @@ def load_table(spark: SparkSession, handle: TableHandle | str) -> DataFrame:
         cache[key] = df
         return df
     if fmt == "orc":
-        df = spark.read.orc(path)
+        df = spark.read.orc(path, mergeSchema=merge_schema)
         cache[key] = df
         return df
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(path, mergeSchema=merge_schema)
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(path, mergeSchema=merge_schema)
         for c in nanos:
             df = df.withColumn(
                 c,

@@ -276,3 +276,24 @@ def test_approx_distinct_accuracy(spark):
     assert set(approx) == set(exact)
     for col, est in approx.items():
         assert abs(est - exact[col]) <= max(3, 0.06 * exact[col]), (col, est, exact[col])
+
+
+def test_merge_schema_surfaces_evolved_columns(spark, tmp_path):
+    """A directory table whose later files added a column: the default
+    read trusts one footer (fast path), merge_schema unions all footers
+    so the new column profiles with NULLs for pre-evolution rows."""
+    from overpaint_spark.sources.catalog import load_table
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    merged = load_table(spark, d, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # distinct cache entries: the unmerged read is not poisoned
+    plain = load_table(spark, d)
+    assert set(plain.columns) <= {"id", "v", "score"}
