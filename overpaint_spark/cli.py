@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
         help="print drift vs an earlier snapshot run (needs --snapshot-dir/--run-id)",
     )
     parser.add_argument(
+        "--merge-schema", action="store_true",
+        help="union every file's footer schema per directory table "
+        "(schema-evolved tables profile their added columns; reads all "
+        "footers, so off by default)",
+    )
+    parser.add_argument(
         "--anomaly", action="store_true",
         help="score this run's metrics against the rolling history of ALL "
         "prior snapshot runs (z-score, 3-run warmup) and print anomalies "
@@ -96,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             profiles = profile_data_root(
                 spark, args.data_root, exact=args.exact,
                 top_values_k=args.top_values,
+                merge_schema=args.merge_schema,
             )
             mode = "exact" if args.exact else "estimated"
             if args.format == "json":

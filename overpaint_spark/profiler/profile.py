@@ -147,6 +147,7 @@ def profile_table(
     handle: TableHandle,
     exact: bool = False,
     top_values_k: int = 0,
+    merge_schema: bool = False,
 ) -> TableProfile:
     """Profile one table in a single aggregate job (plus a metadata read).
 
@@ -156,7 +157,7 @@ def profile_table(
     ``TOP_VALUES_MAX_DISTINCT``)."""
     prof = TableProfile(schema=handle.schema, name=handle.name)
     try:
-        df = load_table(spark, handle)
+        df = load_table(spark, handle, merge_schema=merge_schema)
     except Exception as exc:  # unreadable table → error sentinel, keep going
         prof.error = str(exc)
         return prof
@@ -208,10 +209,14 @@ def profile_data_root(
     data_root: str,
     exact: bool = False,
     top_values_k: int = 0,
+    merge_schema: bool = False,
 ) -> list[TableProfile]:
     """Profile every table under a data root, ordered by name (F1)."""
     return [
-        profile_table(spark, h, exact=exact, top_values_k=top_values_k)
+        profile_table(
+            spark, h, exact=exact, top_values_k=top_values_k,
+            merge_schema=merge_schema,
+        )
         for h in discover_tables(data_root)
     ]
 

@@ -297,3 +297,19 @@ def test_merge_schema_surfaces_evolved_columns(spark, tmp_path):
     # distinct cache entries: the unmerged read is not poisoned
     plain = load_table(spark, d)
     assert set(plain.columns) <= {"id", "v", "score"}
+
+
+def test_cli_merge_schema_profiles_evolved_table(spark, tmp_path, capsys):
+    from overpaint_spark import cli
+
+    root = str(tmp_path / "root")
+    d = os.path.join(root, "evolved")
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    assert cli.main([root, "--merge-schema"]) == 0
+    out = capsys.readouterr().out
+    assert "score" in out  # the evolved column profiles
+    assert cli.main([root]) == 0  # default path still works
