@@ -90,7 +90,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_survivors",
     "dataset_split",
     "dataset_mixture",
     "documents_chunked",
@@ -112,6 +115,11 @@ BENCH_QUERIES = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # stdout carries EXACTLY one JSON line (the driver parses it); route
+    # everything else — Spark banners, progress, stray prints — to stderr
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
 
     from overpaint_spark import queries as Q
     from overpaint_spark.session import get_spark
@@ -156,7 +164,9 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf_val,
             }
-        )
+        ),
+        file=real_stdout,
+        flush=True,
     )
     spark.stop()
     return 0

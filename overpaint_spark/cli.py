@@ -116,9 +116,13 @@ def main(argv: list[str] | None = None) -> int:
                     write_profile_snapshot,
                 )
 
+                # reuse the displayed profiles so the persisted snapshot
+                # can't silently disagree with stdout (merge-schema,
+                # exact, and top-values settings all carry over)
                 write_profile_snapshot(
                     spark, args.data_root, args.snapshot_dir, args.run_id,
-                    exact=args.exact,
+                    exact=args.exact, merge_schema=args.merge_schema,
+                    profiles=profiles,
                 )
                 sys.stdout.write(
                     f"\nSnapshot written: run_id={args.run_id} -> {args.snapshot_dir}\n"

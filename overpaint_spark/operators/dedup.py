@@ -82,6 +82,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keepers, id_col, "left_semi")
 
 
+# Web-scale default for the inverted-index join: a shingle appearing in
+# more than this many docs is a stop-shingle whose df² posting-list
+# self-join cost dwarfs its near-dup signal. Dropping it bounds the
+# worst bucket at max_doc_freq² pairs regardless of corpus size.
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def distinct_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -110,7 +117,7 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-duplicate pairs by k-shingle Jaccard ≥ threshold.
 
@@ -126,9 +133,11 @@ def jaccard_pairs(
     the optimizer broadcasts while small and shuffle-joins at scale —
     both fine because pair cardinality ≪ posting cardinality.
 
-    ``max_doc_freq`` (e.g. 1000) bounds the worst posting list at scale
-    (drops stop-shingles whose df² blows up); leave None for exact
-    semantics (oracle mode).
+    ``max_doc_freq`` bounds the worst posting list at scale (drops
+    stop-shingles whose df² blows up) and DEFAULTS ON
+    (``DEFAULT_MAX_DOC_FREQ``): without it one stop-shingle's posting
+    list goes quadratic on a web corpus. Pass ``None`` explicitly for
+    exact semantics (oracle mode) — small corpora only.
     """
     sh = distinct_shingles(docs, id_col, text_col, k)
     if max_doc_freq is not None:
@@ -374,13 +383,15 @@ def embedding_near_dup_pairs_numpy(
 ) -> DataFrame:
     """Exact near-dup pairs via Arrow-batched BLAS (``mapInPandas``).
 
-    The full (id, vector) matrix is shipped once to every partition
-    (N×dim doubles — fine while one side fits in executor memory, the
-    same broadcast regime as ``similarity.brute_force_topk_numpy``);
-    each Arrow batch of rows then scores against it with one GEMM and
-    emits only the ``a_id < b_id`` pairs above threshold. Compared to a
-    per-pair cosine fold over a nested-loop join this is ~20× faster at
-    5k vectors. Beyond broadcast scale, use
+    The full (id, vector) matrix is collected to the driver and shipped
+    once to every partition (N×dim doubles — fine only while the WHOLE
+    table fits in driver memory); each Arrow batch of rows then scores
+    against it with one GEMM and emits only the ``a_id < b_id`` pairs
+    above threshold. Compared to a per-pair cosine fold over a
+    nested-loop join this is ~20× faster at 5k vectors, but the
+    driver-side ``collect()`` makes it a small-table utility ONLY: the
+    exact distributed path is :func:`embedding_near_dup_pairs_blocked`
+    (no collect, same output), and the approximate scale path is
     :func:`embedding_near_dup_pairs_bucketed`.
     """
     import numpy as np
@@ -407,6 +418,86 @@ def embedding_near_dup_pairs_numpy(
                 )
 
     return emb.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def embedding_near_dup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs via distributed block GEMM.
+
+    Block nested-loop in DataFrame form: each vector is assigned a block
+    (crc32 of its id mod ``n_blocks``) and replicated to every block
+    *pair* it participates in (B replicas per row — one explode, one
+    shuffle of N·B (id, vec) rows). Each of the B(B+1)/2 groups then
+    holds exactly the two blocks of one pair and scores them with one
+    BLAS GEMM inside ``applyInPandas``; a pair of distinct vectors lands
+    in exactly one group, so the output is the exact all-pairs result —
+    no driver ``collect()``, no task-closure matrix, executor memory
+    bounded at 2·N/B vectors per task regardless of total N. Raise
+    ``n_blocks`` with corpus size (memory/row-count per task scales as
+    1/B; replication cost as B). Same output schema as
+    :func:`embedding_near_dup_pairs`, so the variants are drop-in
+    interchangeable; exact all-pairs work is inherently O(N²) — beyond
+    that budget use the LSH-bucketed approximate path below.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from overpaint_spark.functions import vectors as V
+
+    blk = F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
+    pair_structs = [
+        F.struct(
+            F.least(F.col("_blk"), F.lit(j)).alias("bi"),
+            F.greatest(F.col("_blk"), F.lit(j)).alias("bj"),
+        )
+        for j in range(n_blocks)
+    ]
+    replicated = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            V.as_double(F.col(vec_col)).alias("_vec"),
+            blk.alias("_blk"),
+        )
+        .select("*", F.explode(F.array(*pair_structs)).alias("_bp"))
+        .select("_id", "_vec", "_blk", F.col("_bp.bi").alias("_bi"), F.col("_bp.bj").alias("_bj"))
+    )
+
+    out_schema = "a_id long, b_id long, cosine_sim double"
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine_sim": []})
+
+    def gemm(key, pdf):
+        bi, bj = key
+        left = pdf[pdf["_blk"] == bi]
+        right = pdf[pdf["_blk"] == bj]
+        if left.empty or right.empty:
+            return empty
+        ids_l = left["_id"].to_numpy(dtype=np.int64)
+        ids_r = right["_id"].to_numpy(dtype=np.int64)
+        mat_l = np.array(list(left["_vec"]), dtype=np.float64)
+        mat_r = np.array(list(right["_vec"]), dtype=np.float64)
+        sims = (mat_l @ mat_r.T) / (
+            np.linalg.norm(mat_l, axis=1)[:, None] * np.linalg.norm(mat_r, axis=1)[None, :]
+        )
+        mask = sims >= threshold
+        if bi == bj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(mask)
+        if not len(li):
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ids_l[li], ids_r[ri]),
+                "b_id": np.maximum(ids_l[li], ids_r[ri]),
+                "cosine_sim": sims[li, ri],
+            }
+        )
+
+    return replicated.groupBy("_bi", "_bj").applyInPandas(gemm, out_schema)
 
 
 def embedding_near_dup_pairs_bucketed(
@@ -450,7 +541,9 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 
 
 def simhash_fingerprints(
@@ -458,16 +551,35 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash over the distinct-word set.
+    """(doc_id, simhash) — 64-bit SimHash over the distinct 3-shingle set.
 
-    Bit j is the sign of Σ_words ±1, where the ±1 is the high bit of hex
-    digit j of md5(word). Computed as one explode + groupBy (scales to
-    arbitrarily long docs; the per-word md5 is computed once, not 16×).
+    Bit j is the sign of Σ_features ±1, where the ±1 is the high bit of
+    hex digit j of md5(f)||md5('1:'||f) (two md5s = 64 hex digits = 64
+    independent sign bits). Computed as one explode + groupBy (scales to
+    arbitrarily long docs; the per-feature hashes are computed once, not
+    64×). Features are k=3 shingles — the same family the Jaccard and
+    MinHash dedups use — NOT unigrams: docs from a shared vocabulary
+    have near-identical word *sets* even when their text differs, which
+    correlates every unigram fingerprint and turns the band join
+    near-quadratic; shingle sets only overlap for genuinely similar
+    text. 64 bits — not fewer — so the band join below has enough
+    bucket entropy at corpus scale. Docs with < 3 words have no
+    shingles and produce no fingerprint row (the SQL twin filters the
+    same way).
     """
     w = (
         _parallelize_input(docs)
-        .select(F.col(id_col), F.explode(F.array_distinct(TX.words(F.col(text_col)))).alias("w"))
-        .withColumn("h", F.md5(F.col("w").cast("binary")))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(TX.shingles(F.col(text_col), 3))).alias("w"),
+        )
+        .withColumn(
+            "h",
+            F.concat(
+                F.md5(F.col("w").cast("binary")),
+                F.md5(F.concat(F.lit("1:"), F.col("w")).cast("binary")),
+            ),
+        )
     )
     bit_sums = w.groupBy(id_col).agg(
         *[
@@ -486,22 +598,27 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairs whose SimHash agrees on at least one 8-bit half (≤8-bit
+    """Pairs whose SimHash agrees on at least one 16-bit band (≤48-bit
     Hamming distance guaranteed; exact distance re-checked in the output).
 
-    Banding a fingerprint into halves is the classic Hamming-LSH: a join
-    per half on an 8-bit key, never an N² comparison.
+    Banding a fingerprint is the classic Hamming-LSH: a join per band on
+    a 16-bit key — 65,536 buckets per band, so E[candidate pairs] ≈
+    bands·N²/2¹⁶ per uniform band instead of the near-cartesian N²/2⁸
+    a 16-bit fingerprint with 8-bit halves produced (measured 31% of all
+    pairs at 500 docs — a cartesian in disguise at corpus scale).
     """
     fp = simhash_fingerprints(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("half_idx"),
+            F.substring("simhash", i * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS).alias("half"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ]
     halves = fp.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("half_idx"), F.substring("simhash", 1, 8).alias("half")),
-                F.struct(F.lit(1).alias("half_idx"), F.substring("simhash", 9, 8).alias("half")),
-            )
-        ).alias("b"),
+        F.explode(F.array(*band_structs)).alias("b"),
     ).select(id_col, "simhash", "b.half_idx", "b.half")
     a, b = halves.alias("a"), halves.alias("b")
     pairs = (

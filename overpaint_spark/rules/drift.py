@@ -57,10 +57,20 @@ def write_profile_snapshot(
     out_path: str,
     run_id: str,
     exact: bool = False,
+    merge_schema: bool = False,
+    profiles=None,
 ) -> DataFrame:
     """Profile every table under ``data_root`` and append the snapshot
-    under ``out_path/run_id=<run_id>/``. Returns the snapshot frame."""
-    profiles = profile_data_root(spark, data_root, exact=exact)
+    under ``out_path/run_id=<run_id>/``. Returns the snapshot frame.
+
+    Pass ``profiles`` (the list ``profile_data_root`` returned) to
+    persist an already-computed profile instead of re-profiling — the
+    CLI does, so the persisted snapshot is exactly what was displayed
+    (same exact/top-values/merge-schema settings)."""
+    if profiles is None:
+        profiles = profile_data_root(
+            spark, data_root, exact=exact, merge_schema=merge_schema
+        )
     rows = [(run_id, *r) for r in profiles_to_rows(profiles)]
     df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
     df.write.mode("append").partitionBy("run_id").parquet(out_path)

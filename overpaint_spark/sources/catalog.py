@@ -134,26 +134,40 @@ def footer_row_count(path: str) -> int:
 
 
 @lru_cache(maxsize=4096)
-def _nanos_timestamp_cols_cached(path: str, _mtime: float) -> tuple[str, ...]:
+def _nanos_timestamp_cols_cached(
+    path: str, _mtime: float, all_footers: bool
+) -> tuple[str, ...]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = _parquet_files(path)
     if not files:
         return ()
-    schema = pq.ParquetFile(files[0]).schema_arrow
-    return tuple(
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    )
+    if not all_footers:
+        files = files[:1]
+    seen: set[str] = set()
+    out: list[str] = []
+    for fpath in files:
+        for f in pq.ParquetFile(fpath).schema_arrow:
+            if (
+                f.name not in seen
+                and pa.types.is_timestamp(f.type)
+                and f.type.unit == "ns"
+            ):
+                seen.add(f.name)
+                out.append(f.name)
+    return tuple(out)
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as Parquet TIMESTAMP(NANOS) in the first file
-    (cached per (path, mtime) — schema sniffing is per-query driver work
-    otherwise)."""
-    return list(_nanos_timestamp_cols_cached(path, _mtime_key(path)))
+def _nanos_timestamp_cols(path: str, all_footers: bool = False) -> list[str]:
+    """Column names stored as Parquet TIMESTAMP(NANOS), cached per
+    (path, mtime, scope) — schema sniffing is per-query driver work
+    otherwise. Default scope is the first file's footer (one metadata
+    read, matching the default single-schema read); ``all_footers``
+    unions every file's footer so a nanos column ADDED by schema
+    evolution in a later file is still caught — mergeSchema reads every
+    footer anyway, so the scan pays nothing extra."""
+    return list(_nanos_timestamp_cols_cached(path, _mtime_key(path), all_footers))
 
 
 def load_table(
@@ -194,16 +208,20 @@ def load_table(
         df = spark.read.json(path)
         cache[key] = df
         return df
+    # only pass mergeSchema when requested — an explicit False would
+    # override a user-set session default (spark.sql.parquet.mergeSchema
+    # / spark.sql.orc.mergeSchema) for embedded callers
+    opts: dict[str, bool] = {"mergeSchema": True} if merge_schema else {}
     if fmt == "orc":
-        df = spark.read.orc(path, mergeSchema=merge_schema)
+        df = spark.read.orc(path, **opts)
         cache[key] = df
         return df
-    nanos = _nanos_timestamp_cols(path)
+    nanos = _nanos_timestamp_cols(path, all_footers=merge_schema)
     if not nanos:
-        df = spark.read.parquet(path, mergeSchema=merge_schema)
+        df = spark.read.parquet(path, **opts)
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path, mergeSchema=merge_schema)
+        df = spark.read.parquet(path, **opts)
         for c in nanos:
             df = df.withColumn(
                 c,

@@ -62,9 +62,30 @@ def test_minhash_signature_shape(corpus):
 def test_simhash_identical_docs_distance_zero(corpus):
     fps = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(corpus).collect()}
     assert fps[1] == fps[2]
-    assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
+    assert len(fps[1]) == DD.SIMHASH_BITS and set(fps[1]) <= {"0", "1"}
     pairs = {(r.a_id, r.b_id): r.hamming for r in DD.simhash_candidate_pairs(corpus).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_simhash_candidates_far_below_quadratic(spark):
+    # Scale regression for the band join: unrelated docs (disjoint
+    # shingle sets) must almost never share a 16-bit band. With the old
+    # 16-bit/8-bit-half scheme this corpus produced ~31% of all pairs;
+    # require < 2% — plus the planted dup pair must still collide.
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(200)
+    ]
+    rows.append(Row(doc_id=9999, text=rows[0].text))  # planted exact dup
+    docs = spark.createDataFrame(rows)
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    cand = {(r.a_id, r.b_id) for r in DD.simhash_candidate_pairs(docs).collect()}
+    assert (0, 9999) in cand
+    assert len(cand) < 0.02 * all_pairs
 
 
 def _embeddings(spark, n=40, dim=8):
@@ -96,6 +117,22 @@ def test_embedding_near_dup_bucketed_subset_of_exact(spark):
     assert approx <= exact
     # highly-similar planted pair lands in the same bucket
     assert (0, 1000) in approx
+
+
+def test_embedding_near_dup_blocked_matches_exact(spark):
+    # the distributed block-GEMM path must reproduce the exact all-pairs
+    # result (same pairs, same similarities) — it is the declared path
+    emb = _embeddings(spark)
+    exact = {(r.a_id, r.b_id): r.cosine_sim
+             for r in DD.embedding_near_dup_pairs(emb, threshold=0.5).collect()}
+    blocked = {(r.a_id, r.b_id): r.cosine_sim
+               for r in DD.embedding_near_dup_pairs_blocked(emb, threshold=0.5, n_blocks=4).collect()}
+    assert set(blocked) == set(exact)
+    for key, sim in blocked.items():
+        assert abs(exact[key] - sim) < 1e-9
+    # no pair may appear twice (each block pair owns its vector pairs)
+    out = DD.embedding_near_dup_pairs_blocked(emb, threshold=0.5, n_blocks=4)
+    assert out.count() == out.select("a_id", "b_id").distinct().count()
 
 
 def test_lsh_near_dup_verified(corpus):

@@ -444,8 +444,12 @@ def test_corpus_intake_gate(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("select * from intake").collect()
+    # dropDuplicatesWithinWatermark guarantees exactly ONE of the two
+    # identical docs survives but not WHICH (no intra-batch ordering
+    # contract) — assert the invariant, then check redaction/quality on
+    # whichever survived
     assert len(got) == 1
     (r,) = got
-    assert r.doc_id == 1
+    assert r.doc_id in (1, 2)
     assert r.n_entity == 1 and "<entity>" in r.text and "customer" not in r.text
     assert r.quality_score >= 0.4
