@@ -79,9 +79,11 @@ def _fmt_hh_mm(v: _dt.time | _dt.datetime) -> str:
 def temporal_range_cell(dt: T.DataType, vmin: Any, vmax: Any) -> str:
     """listTables.tsx:169-182 — dispatch on time-ish vs date-ish.
 
-    Spark has no time-of-day type (SURVEY §7.5), so the time branch fires
-    only for ``datetime.time`` values a caller hands in; typed date/
-    timestamp min/max take the ``Mon YYYY-Mon YYYY`` branch. None → blank.
+    TimeType columns arrive as ``datetime.time`` min/max (the profiler
+    parses the order-preserving string aggregate back) and take the
+    ``HH:MM-HH:MM`` branch — the reference's time/timetz rendering
+    (listTables.tsx:171-176); typed date/timestamp min/max take the
+    ``Mon YYYY-Mon YYYY`` branch. None → blank.
     """
     if vmin is None or vmax is None:
         return ""

@@ -31,9 +31,22 @@ def is_boolean(dt: T.DataType) -> bool:
     return isinstance(dt, T.BooleanType)
 
 
+def is_time(dt: T.DataType) -> bool:
+    """Time-of-day (no date part) — Postgres ``time``/``timetz``
+    (listTables.tsx:89-92). Spark 4.1's TimeType is the native model
+    (Parquet TIME with isAdjustedToUTC=false reads as ``time(n)``), but
+    its aggregate support is still partial (MIN/MAX raise
+    UNSUPPORTED_TIME_TYPE), so every profiling site routes time columns
+    through an order-preserving string cast — zero-padded ``HH:MM:SS[.f]``
+    compares identically to the underlying time."""
+    return isinstance(dt, T.TimeType)
+
+
 def is_temporal(dt: T.DataType) -> bool:
     """listTables.tsx:125-138 — date/timestamp[tz]/time[tz]."""
-    return isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    return isinstance(
+        dt, (T.DateType, T.TimestampType, T.TimestampNTZType, T.TimeType)
+    )
 
 
 def is_profiled(dt: T.DataType) -> bool:
@@ -72,6 +85,8 @@ def human_type(dt: T.DataType) -> str:
     simple = dt.simpleString().lower()
     if simple.startswith("decimal"):
         return "numeric"  # Postgres numeric/decimal (:106-107)
+    if simple.startswith("time("):
+        return "time-ntz"  # Postgres `time` (:89-90); Spark has no timetz
     mapped = _HUMAN_MAP.get(simple)
     if mapped is not None:
         return mapped

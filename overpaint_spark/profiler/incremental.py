@@ -73,6 +73,11 @@ STATE_SCHEMA = T.StructType(
 def column_kind(dt: T.DataType) -> str:
     if typeclass.is_numeric(dt):
         return "numeric"
+    # before the general temporal test: TimeType has no MIN/MAX support
+    # in Spark 4.1 and its range is carried in the mergeable STRING
+    # channel (zero-padded HH:MM:SS[.f] is order-preserving)
+    if typeclass.is_time(dt):
+        return "time"
     if typeclass.is_temporal(dt):
         return "temporal"
     if typeclass.is_boolean(dt):
@@ -90,6 +95,9 @@ def _sketch_input(c, dt: T.DataType):
     every null column value would count as one extra distinct."""
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType)):
         return c  # natively supported sketch inputs — no hashing needed
+    if typeclass.is_time(dt):
+        # xxhash64 rejects TimeType (Spark 4.1) — hash the string form
+        return F.when(c.isNotNull(), F.xxhash64(c.cast("string")))
     return F.when(c.isNotNull(), F.xxhash64(c))
 
 
@@ -154,8 +162,14 @@ def profile_files_df(
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
         )
+    # kinds are driven by the ORIGINAL types; TimeType columns are then
+    # projected to their order-preserving string form because Spark 4.1
+    # cannot plan an aggregate over a scan containing TimeType
+    schema = [f_ for f_ in df.schema.fields]
+    for f_ in schema:
+        if typeclass.is_time(f_.dataType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("string"))
     df = df.select("*", F.input_file_name().alias("__file"))
-    schema = [f_ for f_ in df.schema.fields if f_.name != "__file"]
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, f_ in enumerate(schema):
@@ -169,6 +183,10 @@ def profile_files_df(
             aggs.append(F.unix_micros(F.min(c).cast("timestamp")).alias(f"mnu_{i}"))
             aggs.append(F.unix_micros(F.max(c).cast("timestamp")).alias(f"mxu_{i}"))
         elif kind == "string":
+            aggs.append(F.min(c).alias(f"mns_{i}"))
+            aggs.append(F.max(c).alias(f"mxs_{i}"))
+        elif kind == "time":
+            # column already projected to string above
             aggs.append(F.min(c).alias(f"mns_{i}"))
             aggs.append(F.max(c).alias(f"mxs_{i}"))
         elif kind == "boolean":
@@ -200,8 +218,8 @@ def profile_files_df(
                     ch(i, "mxd", "double", {"numeric"}, kind),
                     ch(i, "mnu", "bigint", {"temporal"}, kind),
                     ch(i, "mxu", "bigint", {"temporal"}, kind),
-                    ch(i, "mns", "string", {"string"}, kind),
-                    ch(i, "mxs", "string", {"string"}, kind),
+                    ch(i, "mns", "string", {"string", "time"}, kind),
+                    ch(i, "mxs", "string", {"string", "time"}, kind),
                     ch(i, "nt", "bigint", {"boolean"}, kind),
                     ch(i, "nf", "bigint", {"boolean"}, kind),
                     hll,

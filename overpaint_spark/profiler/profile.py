@@ -94,7 +94,13 @@ def stat_exprs(
     exprs = []
     for i, f_ in enumerate(schema.fields):
         c = F.col(f_.name)
-        if typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
+        if typeclass.is_time(f_.dataType):
+            # Spark 4.1 MIN/MAX don't support TimeType yet — aggregate the
+            # order-preserving string form (zero-padded HH:MM:SS[.f]);
+            # profile_table parses the result back to datetime.time
+            exprs.append(F.min(c.cast("string")).alias(f"mn_{i}"))
+            exprs.append(F.max(c.cast("string")).alias(f"mx_{i}"))
+        elif typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
             exprs.append(F.min(c).alias(f"mn_{i}"))
             exprs.append(F.max(c).alias(f"mx_{i}"))
         elif typeclass.is_boolean(f_.dataType):
@@ -170,15 +176,27 @@ def profile_table(
     exprs = stat_exprs(df.schema, exact=exact, categorical=top_values_k > 0)
     if not exprs:
         return prof
+    # Spark 4.1 fails to plan ANY aggregate directly over a scan whose
+    # schema contains TimeType (UNSUPPORTED_TIME_TYPE — even for aggs on
+    # the other columns); an explicit projection casting time columns to
+    # their order-preserving string form in between unblocks the plan
+    agg_src = df
+    for f_ in df.schema.fields:
+        if typeclass.is_time(f_.dataType):
+            agg_src = agg_src.withColumn(f_.name, F.col(f_.name).cast("string"))
     try:
-        row = df.agg(*exprs).collect()[0].asDict()
+        row = agg_src.agg(*exprs).collect()[0].asDict()
     except Exception as exc:
         # per-table isolation: stats stay None; exact mode renders `error`
         prof.error = str(exc)
         return prof
     categorical_cols: list[str] = []
     for i, col in enumerate(prof.columns):
-        if typeclass.is_numeric(col.data_type) or typeclass.is_temporal(col.data_type):
+        if typeclass.is_time(col.data_type):
+            mn, mx = row.get(f"mn_{i}"), row.get(f"mx_{i}")
+            col.min_value = _dt.time.fromisoformat(mn) if mn is not None else None
+            col.max_value = _dt.time.fromisoformat(mx) if mx is not None else None
+        elif typeclass.is_numeric(col.data_type) or typeclass.is_temporal(col.data_type):
             col.min_value = row.get(f"mn_{i}")
             col.max_value = row.get(f"mx_{i}")
         elif typeclass.is_boolean(col.data_type):
@@ -241,7 +259,15 @@ def profile_minmax_df(
     parts = []
     for tname in sorted(tables):
         df = tables[tname]
-        cols = [f_.name for f_ in df.schema.fields if want(f_.dataType)]
+        # TimeType is excluded even when want() says temporal: a
+        # time-of-day range is not castable to the unified out_type
+        # (timestamp), and Spark 4.1 MIN/MAX reject TimeType anyway —
+        # time ranges surface through profile_table's typed path
+        cols = [
+            f_.name
+            for f_ in df.schema.fields
+            if want(f_.dataType) and not typeclass.is_time(f_.dataType)
+        ]
         if not cols:
             continue
         aggs = []

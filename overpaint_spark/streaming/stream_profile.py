@@ -47,13 +47,24 @@ def streaming_profile(
         if f_.name == ts_col:
             continue
         c = F.col(f_.name)
-        if typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
+        if typeclass.is_time(f_.dataType):
+            # TimeType MIN/MAX unsupported in Spark 4.1 — order-preserving
+            # string form (same convention as the batch profiler)
+            exprs.append(F.min(c.cast("string")).alias(f"min_{f_.name}"))
+            exprs.append(F.max(c.cast("string")).alias(f"max_{f_.name}"))
+        elif typeclass.is_numeric(f_.dataType) or typeclass.is_temporal(f_.dataType):
             exprs.append(F.min(c).alias(f"min_{f_.name}"))
             exprs.append(F.max(c).alias(f"max_{f_.name}"))
         elif typeclass.is_boolean(f_.dataType):
             exprs.append(F.count_if(c).alias(f"true_{f_.name}"))
             exprs.append(F.count_if(~c).alias(f"false_{f_.name}"))
     exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    # TimeType blocks aggregate planning over a raw scan (Spark 4.1) —
+    # pre-project time columns to their string form (same trick as the
+    # batch profiler)
+    for f_ in stream.schema.fields:
+        if typeclass.is_time(f_.dataType):
+            stream = stream.withColumn(f_.name, F.col(f_.name).cast("string"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"))

@@ -48,6 +48,62 @@ def test_boolean_nulls_in_neither_bucket(spark):
     assert (col.true_count, col.false_count) == (3, 2)
 
 
+def test_time_column_profiles_hhmm_range(spark, tmp_path):
+    """Postgres time/timetz parity (reference listTables.tsx:89-92,
+    150-156,171-176): a Parquet TIME column (as DuckDB/Postgres exports
+    write it, isAdjustedToUTC=false) profiles through Spark 4.1's native
+    TimeType and renders the reference's HH:MM-HH:MM range."""
+    import duckdb
+
+    d = tmp_path / "timedb"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, TIME '09:30:15'), (2, TIME '23:59:59'), (3, TIME '06:05:00'), "
+        "(4, NULL)) t(id, open_at)) "
+        f"TO '{d}/shops.parquet' (FORMAT PARQUET)"
+    )
+    p = profile_table(spark, TableHandle("public", "shops", str(d / "shops.parquet")))
+    cols = {c.name: c for c in p.columns}
+    col = cols["open_at"]
+    assert col.human_type == "time-ntz"          # humanization map (:89-90)
+    import datetime as dt
+    assert col.min_value == dt.time(6, 5)        # NULL excluded from range
+    assert col.max_value == dt.time(23, 59, 59)
+    rendered = render_tables([p], "estimated")
+    assert "06:05-23:59" in rendered             # fmtHHMM range (:171-176)
+    assert "time-ntz" in rendered
+
+
+def test_time_column_incremental_merge(spark, tmp_path):
+    """Per-file time stats merge through the string channel and the
+    merged range equals the direct profile."""
+    import duckdb
+
+    from overpaint_spark.profiler.incremental import (
+        merged_column_profile,
+        profile_files_df,
+    )
+
+    d = tmp_path / "timeparts"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (1, TIME '10:00:00'), (2, TIME '12:30:00')) "
+        f"t(id, t)) TO '{d}/a.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (3, TIME '03:15:00'), (4, TIME '11:00:00')) "
+        f"t(id, t)) TO '{d}/b.parquet' (FORMAT PARQUET)"
+    )
+    state = profile_files_df(spark, "timeparts", str(d))
+    merged = {
+        r.column_name: r
+        for r in merged_column_profile(state).collect()
+    }
+    assert merged["t"].col_kind == "time"
+    assert merged["t"].min_s == "03:15:00" and merged["t"].max_s == "12:30:00"
+
+
 def test_top_values_enum_columns_only(spark):
     """--top-values histograms enum-ish string columns, skips free text
     and IDs, and counts exactly (verified vs groupBy)."""
