@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
         "prints PSI per monitored column (repeatable)",
     )
     parser.add_argument(
+        "--boxed", action="store_true",
+        help="wrap each table in the reference's rounded-border box "
+        "(cosmetic; default is the plain 4-column layout)",
+    )
+    parser.add_argument(
         "--format", choices=["text", "json"], default="text",
         help="profile output: human layout (default) or one JSON object "
         "per table on stdout (machine-readable monitoring surface)",
@@ -108,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.format == "json":
                 sys.stdout.write(_render_json(profiles))
             else:
-                sys.stdout.write(render_tables(profiles, mode))
+                sys.stdout.write(render_tables(profiles, mode, boxed=args.boxed))
             if args.snapshot_dir:
                 from overpaint_spark.rules.drift import (
                     read_profile_snapshot,

@@ -46,25 +46,58 @@ def _rows_label(t: TableProfile, mode: str) -> str:
     return f"~{n} rows"
 
 
-def render_tables(profiles: list[TableProfile], mode: str = "estimated") -> str:
-    """Render the full report to one string (driver-side, stats rows only)."""
+def _table_lines(t: TableProfile, mode: str) -> list[str]:
+    """Title + blank + 4-column layout for one table (no chrome)."""
+    lines = [f"{t.qualified} — {_rows_label(t, mode)}, {t.column_count} cols", ""]
+    cells = [
+        (c.name, c.human_type, _range_cell(c), _values_cell(c))
+        for c in t.columns
+    ]
+    widths = [
+        max([len(h)] + [len(r[i]) for r in cells]) for i, h in enumerate(HEADERS)
+    ]
+    widths[2] = max(widths[2], 5)  # range-width floor (:427-429)
+    for row in [HEADERS, *cells]:
+        line = "  ".join(cell.ljust(widths[i]) for i, cell in enumerate(row))
+        lines.append(line.rstrip())
+    return lines
+
+
+def _boxed(lines: list[str]) -> list[str]:
+    """Wrap content lines in the reference's Ink box: rounded border
+    (``borderStyle="round"`` :388) + one cell of padding on every side
+    (``padding={1}`` :387)."""
+    inner = max((len(ln) for ln in lines), default=0) + 2  # 1-space pad L/R
+    out = ["╭" + "─" * inner + "╮", "│" + " " * inner + "│"]
+    for ln in lines:
+        out.append("│ " + ln.ljust(inner - 2) + " │")
+    out.append("│" + " " * inner + "│")
+    out.append("╰" + "─" * inner + "╯")
+    return out
+
+
+def render_tables(
+    profiles: list[TableProfile], mode: str = "estimated", boxed: bool = False
+) -> str:
+    """Render the full report to one string (driver-side, stats rows only).
+
+    ``boxed`` reproduces the reference's bordered per-table boxes
+    (listTables.tsx:384-390: rounded border, padding 1, one-line margin
+    between boxes); the default plain layout keeps the identical data
+    contract without the chrome.
+    """
     if not profiles:
         return "No tables found.\n"
     head = "~rows (estimated)" if mode == "estimated" else "rows (exact)"
-    out: list[str] = [f"Tables (schema.table) — {head}, columns:", ""]
-    for t in profiles:
-        out.append(f"{t.qualified} — {_rows_label(t, mode)}, {t.column_count} cols")
+    if boxed:
+        out = [f"Tables (schema.table) — {head}, columns:"]
+        for t in profiles:
+            out.append("")  # marginTop={1} (:386)
+            out.extend(_boxed(_table_lines(t, mode)))
         out.append("")
-        cells = [
-            (c.name, c.human_type, _range_cell(c), _values_cell(c))
-            for c in t.columns
-        ]
-        widths = [
-            max([len(h)] + [len(r[i]) for r in cells]) for i, h in enumerate(HEADERS)
-        ]
-        widths[2] = max(widths[2], 5)  # range-width floor (:427-429)
-        for row in [HEADERS, *cells]:
-            line = "  ".join(cell.ljust(widths[i]) for i, cell in enumerate(row))
-            out.append(line.rstrip())
+        return "\n".join(out) + "\n"
+    out = [f"Tables (schema.table) — {head}, columns:", ""]
+    for t in profiles:
+        out.extend(_table_lines(t, mode))
         out.append("")
     return "\n".join(out) + "\n"

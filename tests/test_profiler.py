@@ -170,6 +170,37 @@ def test_render_no_tables():
     assert render_tables([]) == "No tables found.\n"
 
 
+def test_render_boxed_contract():
+    """--boxed reproduces the Ink chrome (listTables.tsx:384-390):
+    rounded border, 1-cell padding, blank margin line between boxes —
+    with the identical inner data contract."""
+    from overpaint_spark.profiler.profile import ColumnProfile
+    from pyspark.sql import types as T
+
+    p = TableProfile(
+        schema="public", name="orders", estimated_rows=1500,
+        columns=[ColumnProfile("o_orderkey", T.LongType(), 0, 1499)],
+    )
+    out = render_tables([p], boxed=True)
+    lines = out.splitlines()
+    assert lines[0].startswith("Tables (schema.table) — ~rows (estimated)")
+    assert lines[1] == ""                                  # marginTop
+    box = lines[2:]
+    while box and not box[-1]:
+        box.pop()  # trailing blank line after the last box
+    assert box[0].startswith("╭") and box[0].endswith("╮")
+    assert set(box[0][1:-1]) == {"─"}
+    assert box[1].strip("│ ") == ""                        # padding row
+    assert box[2] == "│ " + "public.orders — ~1500 rows, 1 cols".ljust(len(box[0]) - 4) + " │"
+    assert any("o_orderkey" in ln and ln.startswith("│ ") for ln in box)
+    assert box[-1].startswith("╰") and box[-1].endswith("╯")
+    # every box line is the same width (straight right border)
+    assert len({len(ln) for ln in box if ln}) == 1
+    # plain mode unchanged (golden data contract)
+    plain = render_tables([p])
+    assert "public.orders — ~1500 rows, 1 cols" in plain and "╭" not in plain
+
+
 def test_stat_exprs_one_pass_covers_all_types(spark):
     df = spark.createDataFrame([], "a int, b string, c boolean, d timestamp_ntz")
     exprs = stat_exprs(df.schema, exact=True)
