@@ -72,6 +72,19 @@ def main(argv: list[str] | None = None) -> int:
         "prints PSI per monitored column (repeatable)",
     )
     parser.add_argument(
+        "--concurrency", type=int, default=1, metavar="N",
+        help="profile N tables at once (driver thread pool; each table "
+        "is still one aggregate job — the jobs overlap in the Spark "
+        "scheduler instead of serializing). The reference documents "
+        "this flag but never reads it; here it is real",
+    )
+    parser.add_argument(
+        "--statement-timeout-ms", type=int, default=None, metavar="MS",
+        help="per-table time budget: a table whose profile job exceeds "
+        "it is cancelled (job-group cancellation) and renders the error "
+        "sentinel; other tables are unaffected",
+    )
+    parser.add_argument(
         "--boxed", action="store_true",
         help="wrap each table in the reference's rounded-border box "
         "(cosmetic; default is the plain 4-column layout)",
@@ -108,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.data_root, exact=args.exact,
                 top_values_k=args.top_values,
                 merge_schema=args.merge_schema,
+                concurrency=args.concurrency,
+                statement_timeout_ms=args.statement_timeout_ms,
             )
             mode = "exact" if args.exact else "estimated"
             if args.format == "json":

@@ -228,69 +228,70 @@ def profile_data_root(
     exact: bool = False,
     top_values_k: int = 0,
     merge_schema: bool = False,
+    concurrency: int = 1,
+    statement_timeout_ms: int | None = None,
 ) -> list[TableProfile]:
-    """Profile every table under a data root, ordered by name (F1)."""
-    return [
-        profile_table(
+    """Profile every table under a data root, ordered by name (F1).
+
+    ``concurrency`` profiles that many tables at once from a driver
+    thread pool — each table is still ONE aggregate job, but the jobs
+    overlap in the Spark scheduler instead of serializing their
+    latencies (the reference documents ``--concurrency`` yet never reads
+    it, listTables.tsx:203-216 — here it is real). Output order stays
+    name-sorted regardless of completion order.
+
+    ``statement_timeout_ms`` bounds each table's wall time: the profile
+    job runs under a per-table job group that is cancelled on timeout,
+    and the table records the timeout as its error sentinel (per-item
+    isolation, same contract as any other per-table failure) — the
+    analog of the reference's documented-but-dead
+    ``--statement-timeout-ms``.
+    """
+    handles = discover_tables(data_root)
+
+    def one(h: TableHandle) -> TableProfile:
+        return profile_table(
             spark, h, exact=exact, top_values_k=top_values_k,
             merge_schema=merge_schema,
         )
-        for h in discover_tables(data_root)
-    ]
 
+    if concurrency <= 1 and statement_timeout_ms is None:
+        return [one(h) for h in handles]
 
-# ---------------------------------------------------------------------------
-# Relational (long-format) projections of the profile — these power the
-# declared-query manifest so the DuckDB oracle can hash-check each stat.
-# ---------------------------------------------------------------------------
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
-def profile_minmax_df(
-    spark: SparkSession,
-    tables: dict[str, DataFrame],
-    want,
-    out_type: str,
-) -> DataFrame:
-    """Long-format (table, column, min, max) over columns where ``want(dt)``.
+    sc = spark.sparkContext
+    timeout_s = None if statement_timeout_ms is None else statement_timeout_ms / 1000.0
 
-    One aggregate job per table (all columns at once), unioned. ``out_type``
-    unifies the value columns ("double" for numerics, "timestamp" for
-    temporals) so the union is well-typed.
-    """
-    parts = []
-    for tname in sorted(tables):
-        df = tables[tname]
-        # TimeType is excluded even when want() says temporal: a
-        # time-of-day range is not castable to the unified out_type
-        # (timestamp), and Spark 4.1 MIN/MAX reject TimeType anyway —
-        # time ranges surface through profile_table's typed path
-        cols = [
-            f_.name
-            for f_ in df.schema.fields
-            if want(f_.dataType) and not typeclass.is_time(f_.dataType)
-        ]
-        if not cols:
-            continue
-        aggs = []
-        for c in cols:
-            aggs.append(F.min(c).cast(out_type).alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast(out_type).alias(f"mx_{c}"))
-        wide = df.agg(*aggs)
-        # unpivot the single wide row to long form, JVM-side (stack)
-        stack_args = ", ".join(f"'{c}', `mn_{c}`, `mx_{c}`" for c in cols)
-        long = wide.selectExpr(
-            f"stack({len(cols)}, {stack_args}) as (column_name, min_value, max_value)"
-        ).select(
-            F.lit(tname).alias("table_name"),
-            "column_name",
-            "min_value",
-            "max_value",
-        )
-        parts.append(long)
-    if not parts:
-        return spark.createDataFrame(
-            [], f"table_name string, column_name string, min_value {out_type}, max_value {out_type}"
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    def one_guarded(h: TableHandle) -> TableProfile:
+        # the job group is thread-local on the driver, so each pool
+        # thread tags exactly its own table's jobs; a per-table watchdog
+        # timer cancels the group at the deadline and profile_table's
+        # per-item isolation converts the cancellation into the table's
+        # error sentinel
+        group = f"profile:{h.schema}.{h.name}"
+        sc.setJobGroup(group, f"profile {h.schema}.{h.name}", True)
+        timer: threading.Timer | None = None
+        timed_out = threading.Event()
+
+        def cancel() -> None:
+            timed_out.set()
+            sc.cancelJobGroup(group)
+
+        if timeout_s is not None:
+            timer = threading.Timer(timeout_s, cancel)
+            timer.daemon = True
+            timer.start()
+        try:
+            prof = one(h)
+        finally:
+            if timer is not None:
+                timer.cancel()
+            sc.setJobGroup("", "")
+        if timed_out.is_set() and prof.error is not None:
+            prof.error = f"statement timeout after {statement_timeout_ms} ms"
+        return prof
+
+    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+        return list(pool.map(one_guarded, handles))

@@ -170,6 +170,35 @@ def test_render_no_tables():
     assert render_tables([]) == "No tables found.\n"
 
 
+def test_concurrent_profile_matches_sequential(spark):
+    """--concurrency overlaps per-table jobs without changing results:
+    same tables, same order, same stats as the sequential run."""
+    seq = profile_data_root(spark, SF)
+    con = profile_data_root(spark, SF, concurrency=4)
+    assert [p.qualified for p in con] == [p.qualified for p in seq]
+    for a, b in zip(seq, con):
+        assert a.estimated_rows == b.estimated_rows and a.error == b.error
+        for ca, cb in zip(a.columns, b.columns):
+            assert (ca.name, ca.min_value, ca.max_value) == (
+                cb.name, cb.min_value, cb.max_value
+            )
+
+
+def test_statement_timeout_isolates_per_table(spark):
+    """A per-table deadline cancels only that table's job group: the run
+    never raises, order is preserved, and any table that missed the
+    deadline carries the timeout error sentinel (the reference's
+    documented --statement-timeout-ms contract, actually enforced)."""
+    profs = profile_data_root(spark, SF, concurrency=4, statement_timeout_ms=1)
+    names = [p.qualified for p in profs]
+    assert names == sorted(names) and len(names) == 10
+    for p in profs:
+        assert p.error is None or "statement timeout after 1 ms" in p.error
+    # a generous deadline must never trip
+    ok = profile_data_root(spark, SF, statement_timeout_ms=120_000)
+    assert all(p.error is None for p in ok)
+
+
 def test_render_boxed_contract():
     """--boxed reproduces the Ink chrome (listTables.tsx:384-390):
     rounded border, 1-cell padding, blank margin line between boxes —
