@@ -295,3 +295,60 @@ def profile_data_root(
 
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
         return list(pool.map(one_guarded, handles))
+
+
+# ---------------------------------------------------------------------------
+# Relational (long-format) projections of the profile — these power the
+# declared-query manifest so the DuckDB oracle can hash-check each stat.
+# ---------------------------------------------------------------------------
+
+def profile_minmax_df(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    want,
+    out_type: str,
+) -> DataFrame:
+    """Long-format (table, column, min, max) over columns where ``want(dt)``.
+
+    One aggregate job per table (all columns at once), unioned. ``out_type``
+    unifies the value columns ("double" for numerics, "timestamp" for
+    temporals) so the union is well-typed.
+    """
+    parts = []
+    for tname in sorted(tables):
+        df = tables[tname]
+        # TimeType is excluded even when want() says temporal: a
+        # time-of-day range is not castable to the unified out_type
+        # (timestamp), and Spark 4.1 MIN/MAX reject TimeType anyway —
+        # time ranges surface through profile_table's typed path
+        cols = [
+            f_.name
+            for f_ in df.schema.fields
+            if want(f_.dataType) and not typeclass.is_time(f_.dataType)
+        ]
+        if not cols:
+            continue
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).cast(out_type).alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast(out_type).alias(f"mx_{c}"))
+        wide = df.agg(*aggs)
+        # unpivot the single wide row to long form, JVM-side (stack)
+        stack_args = ", ".join(f"'{c}', `mn_{c}`, `mx_{c}`" for c in cols)
+        long = wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) as (column_name, min_value, max_value)"
+        ).select(
+            F.lit(tname).alias("table_name"),
+            "column_name",
+            "min_value",
+            "max_value",
+        )
+        parts.append(long)
+    if not parts:
+        return spark.createDataFrame(
+            [], f"table_name string, column_name string, min_value {out_type}, max_value {out_type}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
