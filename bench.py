@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "documents_sample_weighted",
     "pricing_cube",
     "customer_balance_quartiles",
+    "corpus_vocabulary",
+    "dataset_interleave",
+    "embedding_label_centroids",
+    "corpus_length_histogram",
     "ann_topk_bruteforce",
     "ann_topk_numpy",
     "multimodal_metadata",

@@ -3575,6 +3575,165 @@ def _oracle_excess_share_suppliers() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer prep / training-order / embedding-report operators (round 2)
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 3
+
+
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: corpus-wide token counts + doc
+    frequencies with a min-count floor, ids assigned by (count desc,
+    token) rank — the deterministic id assignment a BPE/WordPiece
+    trainer starts from. The count aggregation is map-side combined
+    (shuffle O(vocabulary), never O(corpus)); the id-assigning global
+    sort runs over the *vocabulary* relation, which is millions of rows
+    at web scale — trivially sortable — not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.col("doc_id"), F.explode(TX.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= _VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("bigint")
+    )
+
+
+def _oracle_corpus_vocabulary() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, COUNT(*) AS n_occurrences, "
+        "COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token "
+        f"HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}) "
+        "SELECT token, n_occurrences, n_docs, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) "
+        "AS token_id FROM c"
+    )
+
+
+def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: each doc gets a
+    per-source position by md5 rank (stable under repartitioning — no
+    RNG state), and the global index interleaves sources position-major
+    (round-robin). The per-source window is PARTITIONED (scales); the
+    only global pieces are the tiny source dim (broadcast, indexed by
+    its own window over DISTINCT sources) and a 1-row count crossJoin —
+    no corpus-wide sort anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    src_idx = srcs.withColumn(
+        "src_idx", F.row_number().over(Window.orderBy("source")) - 1
+    )
+    n = srcs.agg(F.count(F.lit(1)).alias("n_sources"))
+    w_pos = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    pos = d.select("doc_id", "source").withColumn(
+        "pos", F.row_number().over(w_pos) - 1
+    )
+    return (
+        pos.join(F.broadcast(src_idx), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("pos") * F.col("n_sources") + F.col("src_idx"))
+            .cast("bigint")
+            .alias("interleave_rank"),
+        )
+    )
+
+
+def _oracle_dataset_interleave() -> str:
+    return (
+        "WITH srcs AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 "
+        "AS src_idx FROM (SELECT DISTINCT source FROM documents)), "
+        "n AS (SELECT COUNT(*) AS n_sources FROM srcs), "
+        "pos AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents) "
+        "SELECT doc_id, p.source, "
+        "CAST(pos * n_sources + src_idx AS BIGINT) AS interleave_rank "
+        "FROM pos p JOIN srcs USING (source) CROSS JOIN n"
+    )
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) per component —
+    the report behind nearest-centroid classification and IVF seeding.
+    posexplode → groupBy(label, pos) runs with map-side partial
+    aggregation, so the shuffle carries one partial sum per (partition,
+    label, pos) — dim×labels rows — not N×dim; sums go through DECIMAL
+    so the mean is accumulation-order-independent and engine-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        # the decimal sum is order-independent; the final mean is rounded
+        # to 6 decimals because double→decimal conversion TIES round
+        # differently across engines (half-up vs half-even) — observed a
+        # 1.9e-12 divergence on one component without it
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    ).select(
+        "label", F.col("pos").cast("bigint").alias("pos"), "centroid", "n_vectors"
+    )
+
+
+def _oracle_embedding_label_centroids() -> str:
+    return (
+        "WITH c AS (SELECT label, UNNEST(LIST_TRANSFORM("
+        "GENERATE_SERIES(1, LEN(embedding)), "
+        "i -> struct_pack(pos := i - 1, v := embedding[i]))) AS pv "
+        "FROM embeddings) "
+        "SELECT label, CAST(pv.pos AS BIGINT) AS pos, "
+        "ROUND(CAST(SUM(CAST(CAST(pv.v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE), 6) AS centroid, COUNT(*) AS n_vectors "
+        "FROM c GROUP BY label, pv.pos"
+    )
+
+
+_LEN_BUCKET = 50
+
+
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in fixed 50-char buckets — the
+    pre-filter report for min/max-length corpus gates. Integer bucket
+    math, one map-side-combined aggregation, shuffle O(buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    lo = (F.floor(F.col("n_chars") / _LEN_BUCKET) * _LEN_BUCKET).cast("bigint")
+    return (
+        d.groupBy(lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _oracle_corpus_length_histogram() -> str:
+    return (
+        f"SELECT CAST((n_chars // {_LEN_BUCKET}) * {_LEN_BUCKET} AS BIGINT) "
+        "AS bucket_lo, COUNT(*) AS n_docs, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents GROUP BY 1"
+    )
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries, so the window must (a) cover every operator family — the
 # LLM-pipeline half (dedup/text/corpus/ANN/multimodal) leads, (b)
@@ -3686,6 +3845,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_conversion_lag": q_users_conversion_lag,
     "events_next_gap": q_events_next_gap,
     "events_type_pivot": q_events_type_pivot,
+    "corpus_vocabulary": q_corpus_vocabulary,
+    "dataset_interleave": q_dataset_interleave,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "corpus_length_histogram": q_corpus_length_histogram,
     # approximate / rows-only ops — deliberately outside the window so
     # every windowed entry has a value-hash oracle
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -3789,6 +3952,10 @@ def oracles() -> dict[str, str]:
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
+        "corpus_vocabulary": _oracle_corpus_vocabulary(),
+        "dataset_interleave": _oracle_dataset_interleave(),
+        "embedding_label_centroids": _oracle_embedding_label_centroids(),
+        "corpus_length_histogram": _oracle_corpus_length_histogram(),
         # ann_topk_lsh: approximate → rows-only check by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
