@@ -113,7 +113,38 @@ def test_asof_join_single_shuffle(spark):
 # broadcast subquery (a BroadcastNestedLoopJoin whose build side is one
 # aggregate row is a per-row comparison, not a cross product) —
 # everything else must never plan a cartesian/nested-loop join.
-_CROSS_OK = {"ann_topk_bruteforce", "idle_rich_customers", "part_value_share"}
+_CROSS_OK = {
+    "ann_topk_bruteforce",
+    "idle_rich_customers",
+    "part_value_share",
+    # round-robin interleave: the only nested-loop join is the 1-row
+    # n_sources scalar broadcast
+    "dataset_interleave",
+}
+
+
+def test_embedding_blocked_gemm_single_shuffle(spark):
+    """The declared embedding-cosine dedup path must stay fully
+    distributed: one hash exchange on the block-pair key feeding the
+    grouped GEMM, a column-pruned scan, and no driver-side collect
+    anywhere in the plan (the old numpy path shipped the whole matrix in
+    the task closure)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 2, plan  # block-pair shuffle (+ AQE coalesce)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "vec_id" in read[0] and "embedding" in read[0]
+    assert "label" not in read[0]  # pruned
+
+
+def test_simhash_pairs_band_equijoin(spark):
+    """SimHash candidates must come from the 16-bit band equi-join —
+    never a cartesian or nested-loop comparison of fingerprints."""
+    plan = plan_of(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "half_idx" in plan and "half" in plan  # the band join keys
 
 
 def test_no_query_plans_a_cartesian_product(spark):
