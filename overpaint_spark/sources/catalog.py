@@ -159,6 +159,39 @@ def _nanos_timestamp_cols_cached(
     return tuple(out)
 
 
+@lru_cache(maxsize=4096)
+def _utc_adjusted_time_cols_cached(path: str, _mtime: float) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if not files:
+        return ()
+    schema = pq.ParquetFile(files[0]).schema
+    out = []
+    for i in range(len(schema)):
+        lt = str(schema.column(i).logical_type)
+        if lt.startswith("Time(") and "isAdjustedToUTC=true" in lt:
+            out.append(schema.column(i).name)
+    return tuple(out)
+
+
+def _check_utc_adjusted_time(path: str) -> None:
+    """Spark 4 reads Parquet TIME only with isAdjustedToUTC=false (the
+    form Postgres/DuckDB exports write); the UTC-adjusted form (Arrow's
+    default for ``time64``) fails deep in scan planning with an opaque
+    PARQUET_TYPE_ILLEGAL. Surface a clear, per-table error naming the
+    columns and the rewrite instead — TimeType cannot be constructed
+    from raw values in Spark 4.1, so there is no nanosAsLong-style
+    escape hatch to apply."""
+    bad = _utc_adjusted_time_cols_cached(path, _mtime_key(path))
+    if bad:
+        raise ValueError(
+            f"columns {list(bad)} are Parquet TIME with isAdjustedToUTC=true, "
+            "which Spark cannot read; rewrite with isAdjustedToUTC=false "
+            "(e.g. COPY through DuckDB) to profile this table"
+        )
+
+
 def _nanos_timestamp_cols(path: str, all_footers: bool = False) -> list[str]:
     """Column names stored as Parquet TIMESTAMP(NANOS), cached per
     (path, mtime, scope) — schema sniffing is per-query driver work
@@ -216,6 +249,7 @@ def load_table(
         df = spark.read.orc(path, **opts)
         cache[key] = df
         return df
+    _check_utc_adjusted_time(path)
     nanos = _nanos_timestamp_cols(path, all_footers=merge_schema)
     if not nanos:
         df = spark.read.parquet(path, **opts)

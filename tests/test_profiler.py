@@ -75,6 +75,28 @@ def test_time_column_profiles_hhmm_range(spark, tmp_path):
     assert "time-ntz" in rendered
 
 
+def test_utc_adjusted_time_clear_error(spark, tmp_path):
+    """Arrow-default TIME (isAdjustedToUTC=true) is unreadable by Spark;
+    the profiler must surface a clear per-table error naming the columns
+    (not Spark's opaque PARQUET_TYPE_ILLEGAL) and keep profiling other
+    tables."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "utctime"
+    d.mkdir()
+    t = pa.table({
+        "id": [1, 2],
+        "at": pa.array([dt.time(1, 2), dt.time(3, 4)], type=pa.time64("us")),
+    })
+    pq.write_table(t, d / "clock.parquet")
+    p = profile_table(spark, TableHandle("public", "clock", str(d / "clock.parquet")))
+    assert p.error is not None and "isAdjustedToUTC=true" in p.error
+    assert "at" in p.error and "rewrite" in p.error
+
+
 def test_time_column_incremental_merge(spark, tmp_path):
     """Per-file time stats merge through the string channel and the
     merged range equals the direct profile."""
