@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
         "(needs --snapshot-dir/--run-id)",
     )
     parser.add_argument(
+        "--incremental-state", metavar="DIR",
+        help="incremental mode: profile ONLY files absent from the "
+        "mergeable per-file state under DIR, append them, and render "
+        "the profile from the merged state — steady-state cost is "
+        "proportional to new files, not table size",
+    )
+    parser.add_argument(
         "--rules", metavar="RULES_JSON",
         help="validation mode: evaluate a JSON rule suite ({table: [rule "
         "specs]}) instead of profiling; exit 3 when any rule fails",
@@ -117,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if args.rules:
                 return _run_validation(spark, args.data_root, args.rules)
+            if args.incremental_state:
+                return _run_incremental(
+                    spark, args.data_root, args.incremental_state,
+                    boxed=args.boxed,
+                )
             profiles = profile_data_root(
                 spark, args.data_root, exact=args.exact,
                 top_values_k=args.top_values,
@@ -281,6 +293,87 @@ def _render_json(profiles) -> str:
         }
         out.append(json.dumps(obj, sort_keys=True))
     return "\n".join(out) + "\n" if out else ""
+
+
+def _run_incremental(spark, data_root: str, state_dir: str, boxed: bool = False) -> int:
+    """Incremental monitoring mode: scan only NEW files into the
+    mergeable per-file state, then render the standard profile from the
+    merged state (exact row counts — the state sums per-file counts).
+
+    Steady-state cost ∝ new files since the last run: on a lake
+    ingesting into an existing 100 TB table this reads megabytes, not
+    the table."""
+    import datetime as dt
+
+    from overpaint_spark.functions import typeclass
+    from overpaint_spark.profiler.incremental import (
+        incremental_update,
+        merged_column_profile,
+    )
+    from overpaint_spark.profiler.profile import ColumnProfile, TableProfile
+    from overpaint_spark.sources.catalog import discover_tables, load_table
+
+    handles = discover_tables(data_root)
+    new_counts: dict[str, int] = {}
+    for h in handles:
+        res = incremental_update(spark, h.name, h.path, state_dir)
+        new_counts[h.name] = len(res.new_files)
+    state = spark.read.parquet(state_dir)
+    merged: dict[str, dict[str, object]] = {}
+    for r in merged_column_profile(state).collect():
+        merged.setdefault(r.table_name, {})[r.column_name] = r
+
+    profiles = []
+    for h in handles:
+        prof = TableProfile(schema=h.schema, name=h.name)
+        try:
+            df = load_table(spark, h)
+        except Exception as exc:
+            prof.error = str(exc)
+            profiles.append(prof)
+            continue
+        rows = merged.get(h.name, {})
+        if rows:
+            prof.exact_rows = int(next(iter(rows.values())).n_rows)
+            prof.estimated_rows = prof.exact_rows
+        for f_ in df.schema.fields:
+            col = ColumnProfile(f_.name, f_.dataType)
+            r = rows.get(f_.name)
+            if r is not None:
+                if typeclass.is_time(f_.dataType):
+                    col.min_value = (
+                        dt.time.fromisoformat(r.min_s) if r.min_s is not None else None
+                    )
+                    col.max_value = (
+                        dt.time.fromisoformat(r.max_s) if r.max_s is not None else None
+                    )
+                elif typeclass.is_numeric(f_.dataType):
+                    col.min_value, col.max_value = r.min_d, r.max_d
+                elif typeclass.is_temporal(f_.dataType):
+                    epoch = dt.datetime(1970, 1, 1)
+                    col.min_value = (
+                        epoch + dt.timedelta(microseconds=r.min_us)
+                        if r.min_us is not None else None
+                    )
+                    col.max_value = (
+                        epoch + dt.timedelta(microseconds=r.max_us)
+                        if r.max_us is not None else None
+                    )
+                elif typeclass.is_boolean(f_.dataType):
+                    col.true_count = int(r.n_true) if r.n_true is not None else None
+                    col.false_count = int(r.n_false) if r.n_false is not None else None
+            prof.columns.append(col)
+        profiles.append(prof)
+
+    sys.stdout.write(render_tables(profiles, "exact", boxed=boxed))
+    total_new = sum(new_counts.values())
+    sys.stdout.write(
+        f"Incremental state: {total_new} new file(s) profiled -> {state_dir}\n"
+    )
+    for name in sorted(new_counts):
+        if new_counts[name]:
+            sys.stdout.write(f"  {name}: +{new_counts[name]} file(s)\n")
+    return 0
 
 
 def _run_validation(spark, data_root: str, rules_path: str) -> int:

@@ -166,3 +166,25 @@ def test_compaction_exact_and_preserves_incrementality(spark, tmp_path):
            for r in merged_column_profile(r2.state).collect()}
     assert got["k"] == (1000, 0.0, 999.0)
     assert got["v"] == (1000, 0.0, 16.0)
+
+
+def test_cli_incremental_mode_renders_from_state(spark, tmp_path, capsys):
+    """--incremental-state: first run profiles every file, second run
+    profiles zero new files, and both render the standard exact-mode
+    display (ranges included) from the merged state."""
+    from overpaint_spark import cli
+
+    state = str(tmp_path / "state")
+    rc = cli.main(["/root/testdata/sf0.001", "--incremental-state", state])
+    out1 = capsys.readouterr().out
+    assert rc == 0
+    assert "rows (exact)" in out1
+    assert "public.orders — 1500 rows" in out1
+    assert "0-149" in out1                        # numeric range from state
+    assert "Jan 2024-Jan 2024" in out1            # temporal range from state
+    rc = cli.main(["/root/testdata/sf0.001", "--incremental-state", state])
+    out2 = capsys.readouterr().out
+    assert rc == 0
+    assert "Incremental state: 0 new file(s)" in out2
+    # display identical once state is warm
+    assert out1.split("Incremental state:")[0] == out2.split("Incremental state:")[0]
