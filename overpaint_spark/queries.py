@@ -1553,12 +1553,46 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k (Arrow-batched centroid
-    assignment, probe-limited search). Approximate by design → no SQL
-    oracle (driver records rows-only); recall vs brute force is pinned
-    in tests/test_similarity.py."""
+    """IVF-partitioned top-k (Arrow-batched centroid assignment, probe-
+    limited search). With seeded centroids (train_iters=0: the 16
+    lowest-id vectors) the whole index is DETERMINISTIC, so unlike
+    generic IVF this declared variant is fully oracle-checkable — the
+    SQL twin rebuilds the same assignment (argmax cosine, ties toward
+    the lower centroid index) and probe set. Assignment margins on the
+    fixtures are ≥ 2.3e-4 and probe margins ≥ 1.1e-3 — five orders
+    above cross-engine float noise, so no boundary can flip. Recall vs
+    brute force is additionally pinned in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    out = SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 4).alias("cosine_sim_r")
+    )
+
+
+_IVF_CENTROIDS, _IVF_PROBE = 16, 4
+
+
+def _oracle_ann_topk_ivf() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})), "
+        "asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rk FROM e CROSS JOIN cent), "
+        "assigned AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1), "
+        "probes AS (SELECT vec_id AS query_id, v AS qv, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS prk "
+        "FROM e CROSS JOIN cent WHERE vec_id < 10), "
+        f"p AS (SELECT query_id, qv, cid FROM probes WHERE prk <= {_IVF_PROBE}), "
+        "s AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "LIST_COSINE_SIMILARITY(p.qv, a.v) AS sim "
+        "FROM p JOIN assigned a USING (cid) WHERE a.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r "
+        "FROM r WHERE rank <= 5"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3952,6 +3986,7 @@ def oracles() -> dict[str, str]:
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
+        "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),
         "dataset_interleave": _oracle_dataset_interleave(),
         "embedding_label_centroids": _oracle_embedding_label_centroids(),
