@@ -1546,10 +1546,60 @@ def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signatures,
-    multiprobe). Approximate by design → no SQL oracle (driver records
-    rows-only)."""
+    multiprobe). Approximate w.r.t. brute force, but fully DETERMINISTIC
+    — the hyperplanes are integer-weighted (similarity.py
+    `_hyperplane_weight`), so the SQL twin rebuilds identical signatures
+    and probe sets. Sign margins on the fixtures are ≥ 1.3e-3
+    (min |projection| over all vector×plane), five orders above
+    cross-engine float noise, so no signature bit can flip."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+    out = SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 4).alias("cosine_sim_r")
+    )
+
+
+_LSH_DIM, _LSH_PLANES = 64, 8
+
+
+def _oracle_ann_topk_lsh() -> str:
+    from overpaint_spark.operators.similarity import _hyperplane_weight
+
+    bits = []
+    for j in range(_LSH_PLANES):
+        terms = []
+        for i in range(_LSH_DIM):
+            w = _hyperplane_weight(i, j)
+            if w == 0:
+                continue
+            # left-to-right addition matches the Spark expression order
+            terms.append(f"v[{i + 1}]*({float(w)})")
+        bits.append(f"CASE WHEN ({' + '.join(terms)}) >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    flips = []
+    for j in range(_LSH_PLANES):
+        flips.append(
+            "SELECT query_id, qv, "
+            f"SUBSTR(sig, 1, {j}) || "
+            f"(CASE WHEN SUBSTR(sig, {j + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"SUBSTR(sig, {j + 2}, {_LSH_PLANES - j - 1}) AS q_sig FROM q"
+        )
+    probes = " UNION ALL ".join(
+        ["SELECT query_id, qv, sig AS q_sig FROM q"] + flips
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"sigs AS (SELECT vec_id, v, {sig} AS sig FROM e), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id < 10), "
+        f"probes AS ({probes}), "
+        "s AS (SELECT p.query_id, c.vec_id AS neighbor_id, "
+        "LIST_COSINE_SIMILARITY(p.qv, c.v) AS sim "
+        "FROM probes p JOIN sigs c ON c.sig = p.q_sig AND c.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r "
+        "FROM r WHERE rank <= 5"
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3987,11 +4037,12 @@ def oracles() -> dict[str, str]:
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
+        "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),
         "dataset_interleave": _oracle_dataset_interleave(),
         "embedding_label_centroids": _oracle_embedding_label_centroids(),
         "corpus_length_histogram": _oracle_corpus_length_histogram(),
-        # ann_topk_lsh: approximate → rows-only check by design
+        # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_audio_windows": _oracle_multimodal_audio_windows(),
