@@ -1,9 +1,17 @@
 """Multimodal (image/audio/video) column handling (SURVEY §7.4.4).
 
 A multimodal asset is an opaque ``binary`` payload plus a typed metadata
-struct — the Spark-side contract (schema, partitioning, Arrow batch
-shape) is real and tested; the actual codec work is stubbed because the
-decode libraries are not in this environment (clearly marked below).
+struct. The Spark-side contract (schema, partitioning, Arrow batch
+shape) is real and tested, and so is the decode work for every format
+that needs no external codec library:
+
+- **audio**: s16le PCM — ``np.frombuffer`` IS the decoder,
+- **image**: PPM(P6)/PGM(P5) binary and 24-bit uncompressed BMP —
+  :func:`decode_image` below, pure numpy header+raster parsing,
+- **codec formats** (JPEG/PNG/video): need external libraries absent in
+  this environment — that single call is stubbed deterministically and
+  clearly marked; everything around it is the real pipeline.
+
 The reference's analog is its type-only treatment of ``bytea`` columns
 (listTables.tsx:117): payloads are profiled, never parsed.
 
@@ -38,14 +46,67 @@ def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str
     )
 
 
-def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic fake for the image decode step.
+def decode_image(payload: bytes):
+    """REAL image decode for library-free formats: binary PPM (``P6``,
+    RGB) / PGM (``P5``, grayscale) and 24-bit uncompressed BMP. Pure
+    numpy header + raster parsing — no codec library involved. Returns
+    an ``H×W×C uint8`` array, or ``None`` when the payload is not one of
+    these formats (JPEG/PNG etc. need external codecs — see
+    ``_fake_decode_dims``)."""
+    import numpy as np
 
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
-    .size; the decode libraries are not installed in this container, so
-    dimensions are derived deterministically from the payload length (the
-    Spark-side plumbing — batching, schema, partitioning — is what is
-    exercised and tested).
+    if payload[:2] in (b"P6", b"P5"):
+        idx, tokens = 2, []
+        while len(tokens) < 3 and idx < len(payload):
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":  # comment to end-of-line
+                while idx < len(payload) and payload[idx] != 0x0A:
+                    idx += 1
+                continue
+            start = idx
+            while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                idx += 1
+            tokens.append(payload[start:idx])
+        idx += 1  # the single whitespace byte after maxval
+        try:
+            w, h, maxval = (int(t) for t in tokens)
+        except ValueError:
+            return None
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        ch = 3 if payload[:2] == b"P6" else 1
+        raw = payload[idx : idx + w * h * ch]
+        if len(raw) < w * h * ch:
+            return None
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up, h = h > 0, abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        raw = payload[data_off : data_off + row_bytes * h]
+        if len(raw) < row_bytes * h:
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes)[:, : w * 3]
+        arr = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        if bottom_up:
+            arr = arr[::-1]
+        return np.ascontiguousarray(arr)
+    return None
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """STUB — deterministic stand-in for CODEC-format decode only
+    (JPEG/PNG/...): the libraries are not installed in this container,
+    so dimensions derive from payload length. Library-free formats never
+    reach here — :func:`decode_image` handles them for real.
     """
     n = len(payload)
     return (1 + n % 1024, 1 + (n // 1024) % 1024)
@@ -55,15 +116,22 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction via ``mapInPandas``.
 
     Output: (asset_id, byte_len, sha256, width, height). Byte length and
-    sha256 are real; width/height come from the stubbed decode. One
-    narrow pass over the payload column, no shuffle.
+    sha256 are real; width/height come from the REAL decoder for
+    PPM/PGM/BMP payloads and from the stub for codec formats. One narrow
+    pass over the payload column, no shuffle.
     """
     out_schema = "asset_id long, byte_len long, sha256 string, width int, height int"
+
+    def dims_of(p: bytes) -> tuple[int, int]:
+        arr = decode_image(p)
+        if arr is not None:
+            return (arr.shape[1], arr.shape[0])
+        return _fake_decode_dims(p)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_fake_decode_dims(p) for p in payloads]
+            dims = [dims_of(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -80,12 +148,15 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Arrow-batched image resize via ``mapInPandas``.
 
-    STUB decode: if PIL is importable the real resize runs; in this
-    container it is not, so the output payload is a deterministic fake
-    (md5-keystream bytes of exactly ``width*height`` length) — the
-    Spark-side contract (schema, batch shape, per-partition statelessness,
-    payload-column pruning) is real and tested either way.
+    REAL for PPM/PGM/BMP payloads: nearest-neighbor resample with numpy
+    index arrays on the decoded raster (output raw ``H×W×C`` bytes).
+    Codec formats fall back to PIL when importable (absent here) and
+    otherwise to a deterministic md5-keystream stand-in — the Spark-side
+    contract (schema, batch shape, per-partition statelessness,
+    payload-column pruning) is identical on every path.
     """
+    import numpy as np
+
     out_schema = "asset_id long, payload binary, width int, height int"
 
     try:  # pragma: no cover - PIL absent in this environment
@@ -104,22 +175,25 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             counter += 1
         return bytes(out[: width * height])
 
+    def resized(payload: bytes) -> bytes:
+        arr = decode_image(payload)
+        if arr is not None:
+            ys = np.arange(height) * arr.shape[0] // height
+            xs = np.arange(width) * arr.shape[1] // width
+            return arr[ys][:, xs].tobytes()
+        if have_pil:  # pragma: no cover
+            import io
+            from PIL import Image
+
+            return Image.open(io.BytesIO(payload)).resize((width, height)).tobytes()
+        return fake_resized(payload)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if have_pil:  # pragma: no cover
-                import io
-                from PIL import Image
-
-                payloads = [
-                    Image.open(io.BytesIO(p)).resize((width, height)).tobytes()
-                    for p in pdf["payload"]
-                ]
-            else:
-                payloads = [fake_resized(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "payload": payloads,
+                    "payload": [resized(p) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

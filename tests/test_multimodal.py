@@ -94,3 +94,70 @@ def test_extract_features_range_and_chain(spark, assets):
     renamed = feats.withColumnRenamed("asset_id", "vec_id").withColumnRenamed("features", "embedding")
     topk = SIM.brute_force_topk(renamed, renamed.limit(2), k=2)
     assert topk.count() > 0
+
+
+def _ppm(w, h, pixels):
+    """Binary P6 bytes for an HxWx3 uint8 array."""
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _bmp_24(arr):
+    """Bottom-up 24-bit uncompressed BMP bytes for an HxWx3 RGB array."""
+    import numpy as np
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):           # bottom-up row order
+        row = arr[y, :, ::-1].tobytes()      # RGB -> BGR
+        raster.extend(row + b"\x00" * (row_bytes - len(row)))
+    data_off = 54
+    header = (
+        b"BM" + (data_off + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_decode_image_real_formats():
+    """decode_image is a REAL decoder for PPM/PGM/BMP — no codec libs."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = MM.decode_image(_ppm(7, 5, arr))
+    assert got.shape == (5, 7, 3) and (got == arr).all()
+    got = MM.decode_image(_bmp_24(arr))
+    assert got.shape == (5, 7, 3) and (got == arr).all()
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = MM.decode_image(b"P5\n6 4\n255\n" + gray.tobytes())
+    assert got.shape == (4, 6, 1) and (got == gray).all()
+    assert MM.decode_image(b"plain text payload") is None
+
+
+def test_metadata_and_resize_real_for_uncompressed_images(spark):
+    """End-to-end through Spark: real dims from the decoder, and the
+    nearest-neighbor resize reproduces the numpy reference bytes."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    rows = [
+        Row(asset_id=1, payload=bytearray(_ppm(8, 10, arr)),
+            media_type="image/x-portable-pixmap"),
+        Row(asset_id=2, payload=bytearray(b"not an image at all"),
+            media_type="application/octet-stream"),
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA.split(", meta")[0])
+    meta = {r.asset_id: r for r in MM.extract_metadata(assets).collect()}
+    assert (meta[1].width, meta[1].height) == (8, 10)       # REAL decode
+    n = len(b"not an image at all")
+    assert (meta[2].width, meta[2].height) == (1 + n % 1024, 1 + n // 1024 % 1024)
+
+    out = {r.asset_id: r for r in MM.resize_images(assets, 4, 5).collect()}
+    ys = np.arange(5) * 10 // 5
+    xs = np.arange(4) * 8 // 4
+    assert bytes(out[1].payload) == arr[ys][:, xs].tobytes()  # numpy reference
