@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dataset_mixture",
     "documents_chunked",
     "corpus_source_stats",
+    "stream_corpus_stats",
     "events_user_retention",
     "corpus_clean",
     "documents_sample_stratified",

@@ -3243,6 +3243,50 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition report computed by STRUCTURED STREAMING:
+    the same per-source aggregation as corpus_source_stats, run as a
+    file-source stream with ``trigger(availableNow)`` into a memory
+    sink, then returned as a batch DataFrame — so the driver's oracle
+    gate verifies a real streaming aggregation end-to-end against the
+    identical DuckDB SQL as the batch twin.
+
+    Complete output mode is safe at scale: state is one row per source
+    (a tiny dimension). In production the same plan runs continuously
+    from a Kafka/files source; only the sink and trigger change."""
+    import uuid
+
+    from overpaint_spark.streaming.stream_profile import stage_stream_dir
+
+    src = stage_stream_dir(f"{sf_dir}/documents.parquet")
+    schema = _t(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = TX.quality_score(F.col("text")).cast("decimal(18,6)")
+    agg = (
+        stream.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            # COUNT(DISTINCT) is not allowed on streams; the exact
+            # streaming-safe equivalent is a set accumulator (state per
+            # source bounded by the tiny language vocabulary)
+            F.size(F.collect_set("lang")).cast("bigint").alias("n_langs"),
+            (F.sum(q).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_quality"),
+        )
+    )
+    sink = f"stream_corpus_stats_{uuid.uuid4().hex[:8]}"
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(sink)
+
+
 def _oracle_corpus_source_stats() -> str:
     quality = _oracle_text_quality()
     return (
@@ -3933,6 +3977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_interleave": q_dataset_interleave,
     "embedding_label_centroids": q_embedding_label_centroids,
     "corpus_length_histogram": q_corpus_length_histogram,
+    "stream_corpus_stats": q_stream_corpus_stats,
     # approximate / rows-only ops — deliberately outside the window so
     # every windowed entry has a value-hash oracle
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4042,6 +4087,8 @@ def oracles() -> dict[str, str]:
         "dataset_interleave": _oracle_dataset_interleave(),
         "embedding_label_centroids": _oracle_embedding_label_centroids(),
         "corpus_length_histogram": _oracle_corpus_length_histogram(),
+        # streaming twin: identical SQL oracle as the batch report
+        "stream_corpus_stats": _oracle_corpus_source_stats(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -33,6 +33,41 @@ def read_events_stream(spark: SparkSession, source_dir: str, schema: T.StructTyp
     return spark.readStream.schema(schema).parquet(source_dir)
 
 
+def stage_stream_dir(path: str) -> str:
+    """Stage a single Parquet FILE as a streaming source directory.
+
+    Spark's file stream source only accepts directories (a production
+    file stream watches a drop directory); single-file fixtures are
+    staged once per (path, mtime) as a symlinked temp directory —
+    hardlink/copy fallbacks cover cross-device temp mounts. Directories
+    pass through untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    mtime = os.path.getmtime(path)
+    key = (os.path.abspath(path), mtime)
+    cached = _STAGED_STREAM_DIRS.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    d = tempfile.mkdtemp(prefix="overpaint_stream_")
+    dst = os.path.join(d, os.path.basename(path))
+    try:
+        os.symlink(os.path.abspath(path), dst)
+    except OSError:
+        try:
+            os.link(path, dst)
+        except OSError:
+            shutil.copy2(path, dst)
+    _STAGED_STREAM_DIRS[key] = d
+    return d
+
+
+_STAGED_STREAM_DIRS: dict = {}
+
+
 def streaming_profile(
     stream: DataFrame,
     ts_col: str = "ts",
