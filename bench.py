@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "documents_sample_weighted",
     "pricing_cube",
     "customer_balance_quartiles",
+    "corpus_dup_rate_by_source",
+    "events_funnel",
     "corpus_vocabulary",
     "dataset_interleave",
     "embedding_label_centroids",

@@ -3862,6 +3862,82 @@ def _oracle_corpus_length_histogram() -> str:
     )
 
 
+def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication pressure: docs, distinct texts, duplicate
+    rows, duplicate rate — the recipe-level number that decides where
+    dedup effort goes. Shuffles 16-byte md5 hashes (never bodies), one
+    group-agg per source; the rate is a single integer/integer double
+    division (deterministic, no rounding needed)."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("source", TX.md5_fingerprint(F.col("text")).alias("th"))
+    per = h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("th").alias("n_distinct"),
+    )
+    dup = F.col("n_docs") - F.col("n_distinct")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        dup.alias("n_dup_rows"),
+        (dup.cast("double") / F.col("n_docs").cast("double")).alias("dup_rate"),
+    )
+
+
+def _oracle_corpus_dup_rate_by_source() -> str:
+    return (
+        "WITH per AS (SELECT source, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT MD5(text)) AS n_distinct FROM documents GROUP BY source) "
+        "SELECT source, n_docs, n_distinct, "
+        "n_docs - n_distinct AS n_dup_rows, "
+        "CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate "
+        "FROM per"
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel (view → click → purchase) over
+    per-user event flags: ONE shuffle on user_id builds the flag
+    relation (map-side partial bool aggregation), then a 1-row fold
+    counts users present in each prefix of the funnel and its
+    conversion rates. No joins, no step-by-step passes — the single-
+    pass funnel shape that holds at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    n_view = F.count_if(F.col("v") == 1)
+    n_vc = F.count_if((F.col("v") == 1) & (F.col("c") == 1))
+    n_vcp = F.count_if((F.col("v") == 1) & (F.col("c") == 1) & (F.col("p") == 1))
+    return flags.agg(
+        n_view.alias("n_view"),
+        n_vc.alias("n_view_click"),
+        n_vcp.alias("n_view_click_purchase"),
+        (n_vc.cast("double") / n_view.cast("double")).alias("click_rate"),
+        (n_vcp.cast("double") / n_vc.cast("double")).alias("purchase_rate"),
+    )
+
+
+def _oracle_events_funnel() -> str:
+    return (
+        "WITH flags AS (SELECT user_id, "
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
+        "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c, "
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
+        "FROM events GROUP BY user_id) "
+        "SELECT COUNT(*) FILTER (WHERE v = 1) AS n_view, "
+        "COUNT(*) FILTER (WHERE v = 1 AND c = 1) AS n_view_click, "
+        "COUNT(*) FILTER (WHERE v = 1 AND c = 1 AND p = 1) AS n_view_click_purchase, "
+        "CAST(COUNT(*) FILTER (WHERE v = 1 AND c = 1) AS DOUBLE) / "
+        "CAST(COUNT(*) FILTER (WHERE v = 1) AS DOUBLE) AS click_rate, "
+        "CAST(COUNT(*) FILTER (WHERE v = 1 AND c = 1 AND p = 1) AS DOUBLE) / "
+        "CAST(COUNT(*) FILTER (WHERE v = 1 AND c = 1) AS DOUBLE) AS purchase_rate "
+        "FROM flags"
+    )
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries, so the window must (a) cover every operator family — the
 # LLM-pipeline half (dedup/text/corpus/ANN/multimodal) leads, (b)
@@ -3978,6 +4054,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "corpus_length_histogram": q_corpus_length_histogram,
     "stream_corpus_stats": q_stream_corpus_stats,
+    "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
+    "events_funnel": q_events_funnel,
     # approximate / rows-only ops — deliberately outside the window so
     # every windowed entry has a value-hash oracle
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4089,6 +4167,8 @@ def oracles() -> dict[str, str]:
         "corpus_length_histogram": _oracle_corpus_length_histogram(),
         # streaming twin: identical SQL oracle as the batch report
         "stream_corpus_stats": _oracle_corpus_source_stats(),
+        "corpus_dup_rate_by_source": _oracle_corpus_dup_rate_by_source(),
+        "events_funnel": _oracle_events_funnel(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
