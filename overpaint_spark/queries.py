@@ -3283,7 +3283,13 @@ def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    sq.awaitTermination(300)
+    finished = sq.awaitTermination(300)
+    if not finished:
+        sq.stop()
+        raise RuntimeError(
+            "stream_corpus_stats: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial memory-sink table"
+        )
     return spark.table(sink)
 
 
@@ -3715,9 +3721,16 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies with a min-count floor, ids assigned by (count desc,
     token) rank — the deterministic id assignment a BPE/WordPiece
     trainer starts from. The count aggregation is map-side combined
-    (shuffle O(vocabulary), never O(corpus)); the id-assigning global
-    sort runs over the *vocabulary* relation, which is millions of rows
-    at web scale — trivially sortable — not the corpus."""
+    (shuffle O(vocabulary), never O(corpus)). The id assignment is
+    TWO-PHASE so no single task ever sorts the whole vocabulary (a
+    10^8–10^9-row relation for a web corpus): tokens are bucketed by
+    (n_occurrences, first char) — within one count, token-ascending
+    order is exactly the concatenation of first-char buckets in
+    ascending order, so a PARTITIONED row_number per bucket plus a
+    broadcast per-bucket prefix offset reproduces the global rank.
+    The only unpartitioned window runs over the per-bucket size
+    relation, which is O(distinct counts × alphabet) — a tiny dim,
+    same pattern as q_dataset_interleave's source index."""
     d = _t(spark, sf_dir, "documents")
     counts = (
         d.select(F.col("doc_id"), F.explode(TX.words(F.col("text"))).alias("token"))
@@ -3728,9 +3741,24 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= _VOCAB_MIN_COUNT)
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return counts.withColumn(
-        "token_id", (F.row_number().over(w) - 1).cast("bigint")
+    bucketed = counts.withColumn("tok_bkt", F.substring(F.col("token"), 1, 1))
+    sizes = bucketed.groupBy("n_occurrences", "tok_bkt").agg(
+        F.count(F.lit(1)).alias("bkt_n")
+    )
+    w_off = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("tok_bkt").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "bkt_offset", F.coalesce(F.sum("bkt_n").over(w_off), F.lit(0))
+    ).drop("bkt_n")
+    w_in = Window.partitionBy("n_occurrences", "tok_bkt").orderBy("token")
+    return (
+        bucketed.join(F.broadcast(offsets), ["n_occurrences", "tok_bkt"])
+        .withColumn(
+            "token_id",
+            (F.col("bkt_offset") + F.row_number().over(w_in) - 1).cast("bigint"),
+        )
+        .select("token", "n_occurrences", "n_docs", "token_id")
     )
 
 
@@ -3940,18 +3968,23 @@ def _oracle_events_funnel() -> str:
 
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries, so the window must (a) cover every operator family — the
-# LLM-pipeline half (dedup/text/corpus/ANN/multimodal) leads, (b)
-# contain only oracle-checkable queries (rows-only/approximate ops sit
+# LLM-pipeline half (dedup/text/corpus/ANN/streaming/multimodal)
+# leads, (b) contain only oracle-checkable queries (rows-only ops sit
 # after the window), and (c) include the profiler suite plus one
-# representative of each repaired oracle shape. Everything after entry
-# 50 is equally maintained and verified by tools/oracle_check.py.
+# representative of each repaired oracle shape. Round 3 swapped the
+# flagships ann_topk_lsh / ann_topk_ivf / stream_corpus_stats /
+# corpus_vocabulary in for near-duplicate witnesses (dedup_simhash —
+# dedup_simhash_pairs covers the operator — text_fingerprint,
+# documents_sample_weighted, multimodal_frames). Everything after
+# entry 50 is equally maintained and verified by
+# tools/oracle_check.py; tests/test_window_contract.py pins this
+# contract.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dedup family ------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
@@ -3960,7 +3993,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
     "text_quality": q_text_quality,
     "text_normalized": q_text_normalized,
     "text_top_tokens": q_text_top_tokens,
@@ -3974,15 +4006,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "documents_chunked": q_documents_chunked,
     "corpus_source_stats": q_corpus_source_stats,
-    "documents_sample_weighted": q_documents_sample_weighted,
     "documents_sample_stratified": q_documents_sample_stratified,
+    "corpus_vocabulary": q_corpus_vocabulary,
     # -- similarity search -------------------------------------------
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    # -- streaming ---------------------------------------------------
+    "stream_corpus_stats": q_stream_corpus_stats,
     # -- multimodal --------------------------------------------------
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_energy": q_multimodal_audio_energy,
-    "multimodal_frames": q_multimodal_frames,
     # -- profiler (the reference surface) ----------------------------
     "profile_tables": q_profile_tables,
     "profile_columns": q_profile_columns,
@@ -4006,6 +4041,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_line_counts": q_priority_line_counts,
     # ---------------- entries below are outside the driver's 50-query
     # window (all still oracle-checked locally) ----------------------
+    "dedup_simhash": q_dedup_simhash,
+    "text_fingerprint": q_text_fingerprint,
+    "documents_sample_weighted": q_documents_sample_weighted,
+    "multimodal_frames": q_multimodal_frames,
     "events_daily_gapfill": q_events_daily_gapfill,
     "validation_metrics": q_validation_metrics,
     "pricing_summary": q_pricing_summary,
@@ -4049,19 +4088,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_conversion_lag": q_users_conversion_lag,
     "events_next_gap": q_events_next_gap,
     "events_type_pivot": q_events_type_pivot,
-    "corpus_vocabulary": q_corpus_vocabulary,
     "dataset_interleave": q_dataset_interleave,
     "embedding_label_centroids": q_embedding_label_centroids,
     "corpus_length_histogram": q_corpus_length_histogram,
-    "stream_corpus_stats": q_stream_corpus_stats,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
-    # approximate / rows-only ops — deliberately outside the window so
-    # every windowed entry has a value-hash oracle
+    # oracle-checked approximate ops (fixture margins measured) and
+    # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
     "ann_topk_numpy": q_ann_topk_numpy,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 

@@ -164,3 +164,21 @@ def test_no_query_plans_a_cartesian_product(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_corpus_vocabulary_rank_is_partitioned(spark):
+    """token_id assignment must never sort the whole vocabulary in one
+    task (a 10^8-row relation at web scale): the row_number window is
+    partitioned by (n_occurrences, first-char bucket); the only
+    unpartitioned window allowed is the running-sum over the tiny
+    per-bucket size relation, and the offsets join is a broadcast."""
+    df = Q.QUERIES["corpus_vocabulary"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "Window" in line and "row_number()" in line
+    ]
+    assert rn_windows, plan
+    for line in rn_windows:
+        assert "tok_bkt" in line, f"unpartitioned vocabulary rank: {line}"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
