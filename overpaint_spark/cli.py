@@ -318,10 +318,13 @@ def _run_incremental(spark, data_root: str, state_dir: str, boxed: bool = False)
     for h in handles:
         res = incremental_update(spark, h.name, h.path, state_dir)
         new_counts[h.name] = len(res.new_files)
-    state = spark.read.parquet(state_dir)
     merged: dict[str, dict[str, object]] = {}
-    for r in merged_column_profile(state).collect():
-        merged.setdefault(r.table_name, {})[r.column_name] = r
+    # no tables discovered → no state was ever written; reading the
+    # state dir would raise PATH_NOT_FOUND instead of the empty profile
+    if handles:
+        state = spark.read.parquet(state_dir)
+        for r in merged_column_profile(state).collect():
+            merged.setdefault(r.table_name, {})[r.column_name] = r
 
     profiles = []
     for h in handles:

@@ -258,10 +258,23 @@ def profile_data_root(
     if concurrency <= 1 and statement_timeout_ms is None:
         return [one(h) for h in handles]
 
+    import os
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
     sc = spark.sparkContext
+    # setJobGroup thread-locality REQUIRES PySpark pinned-thread mode
+    # (each Python thread pinned to its own JVM thread — the default
+    # since Spark 3.2). With PYSPARK_PIN_THREAD=false all pool threads
+    # share one JVM thread-local, so the watchdog's cancelJobGroup
+    # could cancel a DIFFERENT table's jobs; refuse the concurrent path
+    # rather than mis-cancel.
+    if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
+        raise RuntimeError(
+            "concurrent profiling with job-group timeouts requires "
+            "PySpark pinned-thread mode; unset PYSPARK_PIN_THREAD or "
+            "run with --concurrency 1"
+        )
     timeout_s = None if statement_timeout_ms is None else statement_timeout_ms / 1000.0
 
     def one_guarded(h: TableHandle) -> TableProfile:

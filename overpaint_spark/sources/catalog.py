@@ -160,30 +160,44 @@ def _nanos_timestamp_cols_cached(
 
 
 @lru_cache(maxsize=4096)
-def _utc_adjusted_time_cols_cached(path: str, _mtime: float) -> tuple[str, ...]:
+def _utc_adjusted_time_cols_cached(
+    path: str, _mtime: float, all_footers: bool = False
+) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
     files = _parquet_files(path)
     if not files:
         return ()
-    schema = pq.ParquetFile(files[0]).schema
-    out = []
-    for i in range(len(schema)):
-        lt = str(schema.column(i).logical_type)
-        if lt.startswith("Time(") and "isAdjustedToUTC=true" in lt:
-            out.append(schema.column(i).name)
+    if not all_footers:
+        files = files[:1]
+    seen: set[str] = set()
+    out: list[str] = []
+    for fpath in files:
+        schema = pq.ParquetFile(fpath).schema
+        for i in range(len(schema)):
+            lt = str(schema.column(i).logical_type)
+            name = schema.column(i).name
+            if (
+                name not in seen
+                and lt.startswith("Time(")
+                and "isAdjustedToUTC=true" in lt
+            ):
+                seen.add(name)
+                out.append(name)
     return tuple(out)
 
 
-def _check_utc_adjusted_time(path: str) -> None:
+def _check_utc_adjusted_time(path: str, all_footers: bool = False) -> None:
     """Spark 4 reads Parquet TIME only with isAdjustedToUTC=false (the
     form Postgres/DuckDB exports write); the UTC-adjusted form (Arrow's
     default for ``time64``) fails deep in scan planning with an opaque
     PARQUET_TYPE_ILLEGAL. Surface a clear, per-table error naming the
     columns and the rewrite instead — TimeType cannot be constructed
     from raw values in Spark 4.1, so there is no nanosAsLong-style
-    escape hatch to apply."""
-    bad = _utc_adjusted_time_cols_cached(path, _mtime_key(path))
+    escape hatch to apply. ``all_footers`` mirrors the nanos-timestamp
+    sniff's mergeSchema scope: a UTC-adjusted TIME column ADDED by
+    schema evolution in a later file must hit the friendly error too."""
+    bad = _utc_adjusted_time_cols_cached(path, _mtime_key(path), all_footers)
     if bad:
         raise ValueError(
             f"columns {list(bad)} are Parquet TIME with isAdjustedToUTC=true, "
@@ -249,7 +263,7 @@ def load_table(
         df = spark.read.orc(path, **opts)
         cache[key] = df
         return df
-    _check_utc_adjusted_time(path)
+    _check_utc_adjusted_time(path, all_footers=merge_schema)
     nanos = _nanos_timestamp_cols(path, all_footers=merge_schema)
     if not nanos:
         df = spark.read.parquet(path, **opts)

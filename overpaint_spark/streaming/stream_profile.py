@@ -10,6 +10,8 @@ modes — the design goal of the rules engine.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,9 +40,13 @@ def stage_stream_dir(path: str) -> str:
 
     Spark's file stream source only accepts directories (a production
     file stream watches a drop directory); single-file fixtures are
-    staged once per (path, mtime) as a symlinked temp directory —
-    hardlink/copy fallbacks cover cross-device temp mounts. Directories
-    pass through untouched."""
+    staged as a symlinked temp directory — hardlink/copy fallbacks
+    cover cross-device temp mounts. Directories pass through untouched.
+
+    One staging dir per source path, keyed by abspath: when the file's
+    mtime changes the STALE dir is removed and restaged (not leaked),
+    and every staged dir is removed at interpreter exit — repeated runs
+    over changing fixtures never accumulate temp dirs."""
     import os
     import shutil
     import tempfile
@@ -48,24 +54,37 @@ def stage_stream_dir(path: str) -> str:
     if os.path.isdir(path):
         return path
     mtime = os.path.getmtime(path)
-    key = (os.path.abspath(path), mtime)
+    key = os.path.abspath(path)
     cached = _STAGED_STREAM_DIRS.get(key)
-    if cached and os.path.isdir(cached):
-        return cached
+    if cached and cached[1] == mtime and os.path.isdir(cached[0]):
+        return cached[0]
+    if cached:
+        shutil.rmtree(cached[0], ignore_errors=True)
     d = tempfile.mkdtemp(prefix="overpaint_stream_")
     dst = os.path.join(d, os.path.basename(path))
     try:
-        os.symlink(os.path.abspath(path), dst)
+        os.symlink(key, dst)
     except OSError:
         try:
             os.link(path, dst)
         except OSError:
             shutil.copy2(path, dst)
-    _STAGED_STREAM_DIRS[key] = d
+    _STAGED_STREAM_DIRS[key] = (d, mtime)
     return d
 
 
-_STAGED_STREAM_DIRS: dict = {}
+_STAGED_STREAM_DIRS: dict[str, tuple[str, float]] = {}
+
+
+def _cleanup_staged_stream_dirs() -> None:
+    import shutil
+
+    for d, _ in _STAGED_STREAM_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_STREAM_DIRS.clear()
+
+
+atexit.register(_cleanup_staged_stream_dirs)
 
 
 def streaming_profile(
