@@ -46,14 +46,102 @@ def attach_payload(df: DataFrame, id_col: str, content_col: str, media_type: str
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes):
+    """Library-free PNG decode: non-interlaced 8-bit gray / gray+alpha /
+    RGB / RGBA, via stdlib ``zlib`` + the five standard scanline filters
+    (None/Sub/Up/Average/Paeth) unfiltered into numpy. Palette, 16-bit,
+    and Adam7-interlaced images return ``None`` (they are codec-exotic
+    enough that a real deployment uses an image library). The per-pixel
+    filter loops are pure Python — fine for fixture-scale assets; the
+    Spark-side plumbing is identical when a native decoder is dropped
+    in."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+            np.int32
+        )
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
 def decode_image(payload: bytes):
     """REAL image decode for library-free formats: binary PPM (``P6``,
-    RGB) / PGM (``P5``, grayscale) and 24-bit uncompressed BMP. Pure
-    numpy header + raster parsing — no codec library involved. Returns
-    an ``H×W×C uint8`` array, or ``None`` when the payload is not one of
-    these formats (JPEG/PNG etc. need external codecs — see
+    RGB) / PGM (``P5``, grayscale), 24-bit uncompressed BMP, and
+    non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — stdlib zlib +
+    numpy unfiltering, :func:`_png_decode`). No codec library involved.
+    Returns an ``H×W×C uint8`` array, or ``None`` when the payload is
+    not one of these formats (JPEG/video need external codecs — see
     ``_fake_decode_dims``)."""
     import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        return _png_decode(payload)
 
     if payload[:2] in (b"P6", b"P5"):
         idx, tokens = 2, []

@@ -161,3 +161,101 @@ def test_metadata_and_resize_real_for_uncompressed_images(spark):
     ys = np.arange(5) * 10 // 5
     xs = np.arange(4) * 8 // 4
     assert bytes(out[1].payload) == arr[ys][:, xs].tobytes()  # numpy reference
+
+
+def _png(arr, filters=None):
+    """Minimal PNG writer for the decoder tests: 8-bit depth, color type
+    from channel count, one IDAT, per-row filter types as given (default
+    all 0). Forward-applies the standard filters so every decoder branch
+    is exercised against a known raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    lines = []
+    for y, ftype in enumerate(filters):
+        cur = flat[y]
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            enc = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_all_filters_and_channels():
+    """Library-free PNG decode: every scanline filter (None/Sub/Up/
+    Average/Paeth) and every 8-bit channel layout round-trips exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 6, ch), dtype=np.uint8)
+        for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5,
+                        [0, 1, 2, 3, 4]):
+            got = MM.decode_image(_png(arr, filters))
+            assert got is not None and got.shape == (5, 6, ch)
+            assert (got == arr).all(), (ch, filters)
+
+
+def test_decode_image_png_rejects_unsupported():
+    """Palette/16-bit/interlaced PNGs and truncated payloads fall back
+    to None (codec-stub path) instead of mis-decoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _png(arr)
+    assert MM.decode_image(good) is not None
+
+    def patched_ihdr(**kw):
+        vals = {"depth": 8, "color": 2, "interlace": 0}
+        vals.update(kw)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, vals["depth"], vals["color"], 0, 0,
+                           vals["interlace"])
+        crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        body = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", crc)
+        return good[:8] + body + good[8 + 12 + 13:]
+
+    assert MM.decode_image(patched_ihdr(depth=16)) is None
+    assert MM.decode_image(patched_ihdr(color=3)) is None  # palette
+    assert MM.decode_image(patched_ihdr(interlace=1)) is None
+    assert MM.decode_image(good[: len(good) // 2]) is None
