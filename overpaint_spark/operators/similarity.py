@@ -80,8 +80,15 @@ def _hyperplane_weight(i: int, j: int) -> int:
     return ((i * 31 + j * 17 + (i * i + j) * 7) % 13) - 6
 
 
-def hyperplane_signature(vec_col, dim: int, n_planes: int = 8):
-    """B-bit sign signature of ``vec · plane_j`` as a bitstring column."""
+# Above this many unrolled product terms the signature expression tree
+# risks the JVM's 64 KB codegen method limit (observed safe at the
+# fixture's 64×8; audit flagged dim ≥ 512) — switch to the fold form.
+_UNROLL_TERM_LIMIT = 2048
+
+
+def _signature_unrolled(vec_col, dim: int, n_planes: int):
+    """Whole-stage-codegen-friendly form: one explicit sum of
+    ``vec[i] * w(i, j)`` terms per plane (zero weights skipped)."""
     bits = []
     for j in range(n_planes):
         proj = None
@@ -93,6 +100,52 @@ def hyperplane_signature(vec_col, dim: int, n_planes: int = 8):
             proj = term if proj is None else proj + term
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def _signature_folded(vec_col, dim: int, n_planes: int):
+    """O(planes)-sized expression tree for HIGH-dim vectors: the weight
+    is computed from the element index inside a JVM higher-order
+    function (the same integer formula as :func:`_hyperplane_weight`),
+    so codegen never sees a dim×planes-term sum. The fold accumulates
+    in index order with the same double math as the unrolled form —
+    zero-weight terms contribute an exact ``+0.0`` — so the projection
+    sign, hence the signature, is bit-identical."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def term_fn(j: int):
+        # PySpark derives the lambda-variable count from the Python
+        # signature, so the plane index binds via closure, not a
+        # default arg (which would read as a 3-arg lambda)
+        def term(v, i):
+            w = (
+                F.pmod(i * F.lit(31) + F.lit(j * 17) + (i * i + F.lit(j)) * F.lit(7),
+                       F.lit(13))
+                - F.lit(6)
+            ).cast("double")
+            return v * w
+
+        return term
+
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col, idx, term_fn(j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 8):
+    """B-bit sign signature of ``vec · plane_j`` as a bitstring column.
+
+    Picks the unrolled (codegen-fast) form while the term count is
+    bounded and the index-computed fold form beyond it, so arbitrary
+    embedding dims never blow past JVM codegen limits."""
+    if dim * n_planes <= _UNROLL_TERM_LIMIT:
+        return _signature_unrolled(vec_col, dim, n_planes)
+    return _signature_folded(vec_col, dim, n_planes)
 
 
 def lsh_topk(

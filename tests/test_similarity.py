@@ -128,3 +128,52 @@ def test_kmeans_centroids_shape_and_determinism(spark):
     c2 = SIM.train_kmeans_centroids(e, n_centroids=8, n_iter=2)
     assert c1.shape == (8, len(e.select("embedding").first()[0]))
     assert np.array_equal(c1, c2)
+
+
+def test_signature_folded_matches_unrolled(spark):
+    """The two hyperplane-signature forms must agree bit-for-bit (the
+    fold switches in silently at high dim)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=32)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = df.select(
+        SIM._signature_unrolled(F.col("v"), 32, 8).alias("a"),
+        SIM._signature_folded(F.col("v"), 32, 8).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in out)
+
+
+def test_lsh_signature_executes_at_dim_512(spark):
+    """dim 512 × 8 planes crosses _UNROLL_TERM_LIMIT → the fold form
+    plans and executes (the unrolled tree here risks codegen blowup);
+    end-to-end lsh_topk at dim 512 returns ranked neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    assert 512 * 8 > SIM._UNROLL_TERM_LIMIT
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 512))
+    rows = []
+    for i in range(60):
+        v = base[i % 3] + rng.normal(scale=0.05, size=512)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    got = SIM.lsh_topk(df, df.limit(6), dim=512, k=3).collect()
+    assert got, "no neighbors at dim 512"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        # clustered fixtures: the top neighbor shares the query's cluster
+        top = min(rs, key=lambda r: r.rank)
+        assert top.neighbor_id % 3 == q % 3
+        assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rs)
