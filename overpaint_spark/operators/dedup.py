@@ -43,10 +43,21 @@ def _parallelize_input(docs: DataFrame) -> DataFrame:
     is under-split; a real 100 TB input already arrives with thousands
     of splits, so the guard makes this a no-op (no added exchange) at
     scale. Measured 3.4× on the LSH candidate pipeline at sf0.1 (one
-    5k-doc file)."""
+    5k-doc file).
+
+    The under-split probe reads ``inputFiles()`` — driver metadata the
+    scan relation already holds — NOT ``rdd.getNumPartitions()``, which
+    materializes a whole RDD conversion per plan build and cost ~1.5 s
+    of first-run driver time per consumer (the round-2
+    decontaminate_overlap bench regression). Non-scan inputs (no
+    files, e.g. in-memory test frames) skip the rescue."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        return docs
+    if 0 < n_files < target:
         return docs.repartition(target)
     return docs
 
