@@ -143,6 +143,12 @@ def profile_files_df(
     Catalyst does NOT prune them through the ``stack`` generator when a
     downstream reader discards the channel — measured ~2× on the
     min/max-only profile at sf0.1.
+
+    The whole per-table plan is generated as ONE SQL statement over a
+    temp view: building the ~30 aggregate channels as Column objects
+    cost ~650 py4j round-trips per table (~2.5 s of pure driver time
+    per 10-table build — the top bench cost of the incremental query);
+    string SQL is a handful of calls regardless of column count.
     """
     if files is None:
         files = [p for p, _sz in list_data_files(path)]
@@ -151,95 +157,113 @@ def profile_files_df(
     sizes = dict(list_data_files(path))
     # same TIMESTAMP(NANOS) escape hatch as sources.catalog.load_table:
     # Spark 4 rejects nanos parquet timestamps; read as raw ns longs and
-    # truncate to timestamp_ntz micros (what DuckDB/pandas do too)
+    # truncate to micros (what DuckDB/pandas do too). The raw long stays
+    # raw in the aggregate — MIN/MAX `div 1000` and xxhash64 over the
+    # derived micros long are value-identical to converting first
+    # (XxHash64 hashes a timestamp as its micros long).
     from overpaint_spark.sources.catalog import _nanos_timestamp_cols
 
-    nanos = _nanos_timestamp_cols(files[0])
+    nanos = set(_nanos_timestamp_cols(files[0]))
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(*files)
-    for c in nanos:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
-        )
-    # kinds are driven by the ORIGINAL types; TimeType columns are then
-    # projected to their order-preserving string form because Spark 4.1
-    # cannot plan an aggregate over a scan containing TimeType
-    schema = [f_ for f_ in df.schema.fields]
-    for f_ in schema:
-        if typeclass.is_time(f_.dataType):
-            df = df.withColumn(f_.name, F.col(f_.name).cast("string"))
-    df = df.select("*", F.input_file_name().alias("__file"))
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for i, f_ in enumerate(schema):
-        c = F.col(f_.name)
-        kind = column_kind(f_.dataType)
-        aggs.append(F.count(c).alias(f"nn_{i}"))
-        if kind == "numeric":
-            aggs.append(F.min(c).cast("double").alias(f"mnd_{i}"))
-            aggs.append(F.max(c).cast("double").alias(f"mxd_{i}"))
-        elif kind == "temporal":
-            aggs.append(F.unix_micros(F.min(c).cast("timestamp")).alias(f"mnu_{i}"))
-            aggs.append(F.unix_micros(F.max(c).cast("timestamp")).alias(f"mxu_{i}"))
-        elif kind == "string":
-            aggs.append(F.min(c).alias(f"mns_{i}"))
-            aggs.append(F.max(c).alias(f"mxs_{i}"))
-        elif kind == "time":
-            # column already projected to string above
-            aggs.append(F.min(c).alias(f"mns_{i}"))
-            aggs.append(F.max(c).alias(f"mxs_{i}"))
-        elif kind == "boolean":
-            aggs.append(F.count_if(c).alias(f"nt_{i}"))
-            aggs.append(F.count_if(~c).alias(f"nf_{i}"))
-        if with_hll:
-            aggs.append(
-                F.hll_sketch_agg(_sketch_input(c, f_.dataType), F.lit(lg_k)).alias(f"hll_{i}")
-            )
-    wide = df.groupBy(F.col("__file").alias("file_path")).agg(*aggs)
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
-    def ch(i: int, pref: str, typ: str, kinds: set[str], kind: str):
-        name = f"{pref}_{i}"
-        if kind in kinds:
-            return f"`{name}`"
-        return f"cast(null as {typ})"
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
 
+    # kinds are driven by the ORIGINAL types (nanos longs count as
+    # temporal); TimeType columns are projected to their
+    # order-preserving string form INSIDE the statement because Spark
+    # 4.1 cannot plan an aggregate directly over a scan containing
+    # TimeType — the explicit projection unblocks it
+    fields = [
+        (f_.name, "temporal" if f_.name in nanos else column_kind(f_.dataType),
+         typeclass.is_time(f_.dataType), f_.name in nanos, f_.dataType)
+        for f_ in df.schema.fields
+    ]
+    proj = [
+        f"CAST({bq(n)} AS STRING) AS {bq(n)}" if is_time else bq(n)
+        for n, _k, is_time, _nano, _dt in fields
+    ]
+    channels = ["count(1) AS n_rows"]
     tuples = []
-    for i, f_ in enumerate(schema):
-        kind = column_kind(f_.dataType)
-        hll = f"`hll_{i}`" if with_hll else "cast(null as binary)"
-        tuples.append(
-            ", ".join(
-                [
-                    f"'{f_.name}'",
-                    f"'{kind}'",
-                    f"`nn_{i}`",
-                    ch(i, "mnd", "double", {"numeric"}, kind),
-                    ch(i, "mxd", "double", {"numeric"}, kind),
-                    ch(i, "mnu", "bigint", {"temporal"}, kind),
-                    ch(i, "mxu", "bigint", {"temporal"}, kind),
-                    ch(i, "mns", "string", {"string", "time"}, kind),
-                    ch(i, "mxs", "string", {"string", "time"}, kind),
-                    ch(i, "nt", "bigint", {"boolean"}, kind),
-                    ch(i, "nf", "bigint", {"boolean"}, kind),
-                    hll,
-                ]
-            )
-        )
+    for i, (n, kind, is_time, is_nano, dt) in enumerate(fields):
+        c = bq(n)
+        channels.append(f"count({c}) AS nn_{i}")
+        if kind == "numeric":
+            channels.append(f"CAST(MIN({c}) AS DOUBLE) AS mnd_{i}")
+            channels.append(f"CAST(MAX({c}) AS DOUBLE) AS mxd_{i}")
+        elif kind == "temporal" and is_nano:
+            channels.append(f"MIN({c}) div 1000 AS mnu_{i}")
+            channels.append(f"MAX({c}) div 1000 AS mxu_{i}")
+        elif kind == "temporal":
+            channels.append(f"unix_micros(CAST(MIN({c}) AS TIMESTAMP)) AS mnu_{i}")
+            channels.append(f"unix_micros(CAST(MAX({c}) AS TIMESTAMP)) AS mxu_{i}")
+        elif kind in ("string", "time"):
+            channels.append(f"MIN({c}) AS mns_{i}")
+            channels.append(f"MAX({c}) AS mxs_{i}")
+        elif kind == "boolean":
+            channels.append(f"count_if({c}) AS nt_{i}")
+            channels.append(f"count_if(NOT {c}) AS nf_{i}")
+        if with_hll:
+            # identical sketch-input domains as the historical Column
+            # form — states written by either merge correctly
+            if isinstance(
+                dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType)
+            ) and not is_nano:
+                sk = c
+            elif is_time:
+                sk = f"CASE WHEN {c} IS NOT NULL THEN xxhash64({c}) END"
+            elif is_nano:
+                sk = f"CASE WHEN {c} IS NOT NULL THEN xxhash64({c} div 1000) END"
+            else:
+                sk = f"CASE WHEN {c} IS NOT NULL THEN xxhash64({c}) END"
+            channels.append(f"hll_sketch_agg({sk}, {int(lg_k)}) AS hll_{i}")
+
+        def ch(pref: str, typ: str, kinds: set) -> str:
+            return f"{pref}_{i}" if kind in kinds else f"CAST(NULL AS {typ})"
+
+        tuples.append(", ".join([
+            lit(n), lit(kind), f"nn_{i}",
+            ch("mnd", "DOUBLE", {"numeric"}), ch("mxd", "DOUBLE", {"numeric"}),
+            ch("mnu", "BIGINT", {"temporal"}), ch("mxu", "BIGINT", {"temporal"}),
+            ch("mns", "STRING", {"string", "time"}), ch("mxs", "STRING", {"string", "time"}),
+            ch("nt", "BIGINT", {"boolean"}), ch("nf", "BIGINT", {"boolean"}),
+            f"hll_{i}" if with_hll else "CAST(NULL AS BINARY)",
+        ]))
+
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    view = f"__incr_src_{re.sub(r'[^A-Za-z0-9_]', '_', table_name)}_{_VIEW_SEQ}"
+    df.createOrReplaceTempView(view)
+    size_map = "map(" + ", ".join(
+        f"{lit(p)}, {int(sz)}L" for p, sz in sizes.items()
+    ) + ")"
     stack = (
-        f"stack({len(schema)}, " + ", ".join(tuples) + ") as (column_name, col_kind, "
+        f"stack({len(fields)}, " + ", ".join(tuples) + ") AS (column_name, col_kind, "
         "n_nonnull, min_d, max_d, min_us, max_us, min_s, max_s, n_true, n_false, hll)"
     )
-    size_map = F.create_map(
-        *[F.lit(x) for kv in sizes.items() for x in kv]
+    sql = (
+        f"WITH __src AS (SELECT {', '.join(proj)}, input_file_name() AS __file "
+        f"FROM {view}), "
+        f"__agg AS (SELECT __file AS file_path, {', '.join(channels)} "
+        f"FROM __src GROUP BY __file) "
+        f"SELECT table_name, file_path, file_size, column_name, col_kind, n_rows, "
+        f"n_nonnull, min_d, max_d, min_us, max_us, min_s, max_s, n_true, n_false, hll "
+        f"FROM (SELECT {lit(table_name)} AS table_name, file_path, "
+        f"CAST({size_map}[regexp_replace(file_path, '^file:/+', '/')] AS BIGINT) "
+        f"AS file_size, n_rows, {stack} FROM __agg)"
     )
-    return wide.select(
-        F.lit(table_name).alias("table_name"),
-        F.col("file_path"),
-        size_map[F.regexp_replace("file_path", "^file:/+", "/")].alias("file_size"),
-        F.col("n_rows"),
-        F.expr(stack),
-    ).select([f_.name for f_ in STATE_SCHEMA.fields])
+    out = spark.sql(sql)
+    # the analyzed plan no longer needs the catalog entry
+    spark.catalog.dropTempView(view)
+    return out
+
+
+_VIEW_SEQ = 0
 
 
 @dataclass
