@@ -80,15 +80,12 @@ def _hyperplane_weight(i: int, j: int) -> int:
     return ((i * 31 + j * 17 + (i * i + j) * 7) % 13) - 6
 
 
-# Above this many unrolled product terms the signature expression tree
-# risks the JVM's 64 KB codegen method limit (observed safe at the
-# fixture's 64×8; audit flagged dim ≥ 512) — switch to the fold form.
-_UNROLL_TERM_LIMIT = 2048
-
-
 def _signature_unrolled(vec_col, dim: int, n_planes: int):
-    """Whole-stage-codegen-friendly form: one explicit sum of
-    ``vec[i] * w(i, j)`` terms per plane (zero weights skipped)."""
+    """Reference form kept for the equivalence test: one explicit sum of
+    ``vec[i] * w(i, j)`` terms per plane (zero weights skipped).
+    Measured 2–4× SLOWER end-to-end than the fold even at dim 64 —
+    Janino compilation of the ~500-term tree dominates — and it breaks
+    past JVM codegen limits near dim 512, so production always folds."""
     bits = []
     for j in range(n_planes):
         proj = None
@@ -140,11 +137,12 @@ def _signature_folded(vec_col, dim: int, n_planes: int):
 def hyperplane_signature(vec_col, dim: int, n_planes: int = 8):
     """B-bit sign signature of ``vec · plane_j`` as a bitstring column.
 
-    Picks the unrolled (codegen-fast) form while the term count is
-    bounded and the index-computed fold form beyond it, so arbitrary
-    embedding dims never blow past JVM codegen limits."""
-    if dim * n_planes <= _UNROLL_TERM_LIMIT:
-        return _signature_unrolled(vec_col, dim, n_planes)
+    Always the index-computed fold: its expression tree is O(planes)
+    regardless of dim — no codegen-limit cliff at high dim, and 2–4×
+    faster than the unrolled sum even at dim 64 (compiling the
+    ~500-term unrolled tree cost more than executing it; measured at
+    sf0.1). Bit-identical to the unrolled reference form
+    (test_signature_folded_matches_unrolled)."""
     return _signature_folded(vec_col, dim, n_planes)
 
 

@@ -150,13 +150,12 @@ def test_signature_folded_matches_unrolled(spark):
 
 
 def test_lsh_signature_executes_at_dim_512(spark):
-    """dim 512 × 8 planes crosses _UNROLL_TERM_LIMIT → the fold form
-    plans and executes (the unrolled tree here risks codegen blowup);
-    end-to-end lsh_topk at dim 512 returns ranked neighbors."""
+    """The fold form's expression tree is dim-independent — end-to-end
+    lsh_topk at dim 512 (where the unrolled tree would risk codegen
+    blowup) plans, executes, and returns ranked neighbors."""
     import numpy as np
     from pyspark.sql import functions as F
 
-    assert 512 * 8 > SIM._UNROLL_TERM_LIMIT
     rng = np.random.default_rng(5)
     base = rng.normal(size=(3, 512))
     rows = []
