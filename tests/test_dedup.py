@@ -148,3 +148,31 @@ def test_lsh_near_dup_verified(corpus):
               for r in DD.jaccard_pairs(corpus, threshold=0.5).collect()}
     for key, j in pairs.items():
         assert abs(direct[key] - j) < 1e-12
+
+
+def test_parallelize_input_noop_on_well_split_scans(spark, tmp_path):
+    """The small-input rescue must be a NO-OP once a table arrives with
+    at least session-parallelism splits (the 100 TB case: thousands of
+    files) — no added exchange — while a single-file scan still gets
+    repartitioned. Also: the probe must not touch .rdd (plan-build cost)."""
+    from pyspark.sql import functions as F
+
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("some words here").alias("text")
+    )
+    df.coalesce(1).write.parquet(one)
+    target = spark.sparkContext.defaultParallelism
+    df.repartition(target * 2).write.parquet(many)
+
+    under = DD._parallelize_input(spark.read.parquet(one))
+    well = DD._parallelize_input(spark.read.parquet(many))
+    assert "Repartition" in under._jdf.queryExecution().logical().toString()
+    assert "Repartition" not in well._jdf.queryExecution().logical().toString()
+
+    # non-scan inputs (no files) skip the rescue instead of guessing
+    mem = DD._parallelize_input(
+        spark.createDataFrame([Row(doc_id=1, text="x")])
+    )
+    assert "Repartition" not in mem._jdf.queryExecution().logical().toString()
