@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "ann_topk_numpy",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "semantic_dedup",
+    "dataset_shuffle",
+    "curriculum_stages",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

@@ -268,6 +268,62 @@ def train_kmeans_centroids(
     return cmat
 
 
+def seeded_centroids(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic centroid matrix: the ``n_centroids`` lowest-id
+    vectors. No training job — one tiny ordered-limit collect — and
+    fully reproducible in SQL (``ORDER BY id LIMIT C``), which is what
+    makes IVF/SemDeDup queries oracle-checkable."""
+    import numpy as np
+
+    cent_rows = (
+        candidates.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    return np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    cmat,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: one GEMM per batch
+    against the small (broadcast-by-closure) centroid matrix; emits each
+    vector's top ``n_assign`` centroid ids as ``cluster_id`` rows.
+    Ties break toward the lower centroid index (stable argsort). This is
+    the 100 TB path — every vector is scored against C centroids, never
+    against other vectors."""
+    import numpy as np
+    import pandas as pd
+
+    cnorm = np.linalg.norm(cmat, axis=1)
+    out_schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (mat @ cmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :])
+            # stable top-n_assign centroid ids per row
+            top = np.argsort(-sims, kind="stable", axis=1)[:, :n_assign]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_assign),
+                    vec_col: [list(map(float, v)) for v in pdf[vec_col] for _ in range(n_assign)],
+                    "cluster_id": top.ravel().astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -294,45 +350,15 @@ def ivf_topk(
       (equi-join, broadcastable query side) — expected pair count is
       |Q| · n_probe · N/C instead of |Q| · N.
     """
-    import numpy as np
-    import pandas as pd
-
     if train_iters > 0:
         cmat = train_kmeans_centroids(
             candidates, n_centroids, train_iters, id_col, vec_col
         )
     else:
-        cent_rows = (
-            candidates.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-        )
-        cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
+        cmat = seeded_centroids(candidates, n_centroids, id_col, vec_col)
 
-    def assigner(n_assign: int):
-        out_schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
-
-        def fn(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-                sims = (mat @ cmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :])
-                # stable top-n_assign centroid ids per row
-                top = np.argsort(-sims, kind="stable", axis=1)[:, :n_assign]
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy().repeat(n_assign),
-                        vec_col: [list(map(float, v)) for v in pdf[vec_col] for _ in range(n_assign)],
-                        "cluster_id": top.ravel().astype("int32"),
-                    }
-                )
-
-        return fn
-
-    c_assigned = candidates.select(id_col, vec_col).mapInPandas(assigner(1),
-        f"{id_col} long, {vec_col} array<double>, cluster_id int")
-    q_assigned = queries.select(id_col, vec_col).mapInPandas(assigner(n_probe),
-        f"{id_col} long, {vec_col} array<double>, cluster_id int")
+    c_assigned = assign_to_centroids(candidates, cmat, 1, id_col, vec_col)
+    q_assigned = assign_to_centroids(queries, cmat, n_probe, id_col, vec_col)
 
     c = c_assigned.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),

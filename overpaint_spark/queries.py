@@ -31,6 +31,7 @@ from overpaint_spark.functions import typeclass
 from overpaint_spark.operators.asof import asof_join_backward
 from overpaint_spark.operators import dedup as DD
 from overpaint_spark.operators import multimodal as MM
+from overpaint_spark.operators import semantic as SEM
 from overpaint_spark.operators import similarity as SIM
 from overpaint_spark.rules import (
     accepted_values,
@@ -1642,6 +1643,36 @@ def _oracle_ann_topk_ivf() -> str:
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r "
         "FROM r WHERE rank <= 5"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (arXiv:2303.09540):
+    embeddings are clustered around the same deterministic seeded
+    centroids as ann_topk_ivf, near-duplicate search runs WITHIN
+    clusters only (one cluster_id equi-join — the Σ|cluster|² bound that
+    makes embedding dedup feasible at 100 TB), and a vector is dropped
+    iff a lower-id cluster-mate is ≥ 0.4 cosine-similar. Fully
+    deterministic, so hash-checkable: fixture margins are ≥ 1.1e-5 for
+    centroid assignment and ≥ 9.8e-6 to the 0.4 threshold (measured at
+    sf0.001/0.01/0.1) — five orders above cross-engine float noise."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SEM.semantic_dedup_survivors(e, n_centroids=_IVF_CENTROIDS, tau=0.4)
+
+
+def _oracle_semantic_dedup() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})), "
+        "asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rk FROM e CROSS JOIN cent), "
+        "assigned AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1), "
+        "dropped AS (SELECT DISTINCT b.vec_id AS vec_id FROM assigned a "
+        "JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        "WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4) "
+        "SELECT s.vec_id, CAST(s.cid AS INTEGER) AS cluster_id FROM assigned s "
+        "WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)"
     )
 
 
@@ -3821,6 +3852,104 @@ def _oracle_dataset_interleave() -> str:
     )
 
 
+_SHUFFLE_SEED, _SHUFFLE_SHARDS, _SHUFFLE_BUCKETS = "shuf42", 8, 256
+
+
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    position = rank of md5(seed:doc_id) — a seeded permutation that is
+    stable under repartitioning (no RNG state, reruns bit-identical).
+    The global rank is TWO-PHASE (same pattern as q_corpus_vocabulary):
+    docs bucket by the first hex byte of the key — hex prefix order IS
+    md5-string order, so a PARTITIONED row_number per bucket plus a
+    broadcast 256-row prefix offset reproduces the global rank with no
+    single-task sort of the corpus. Shard = position mod n_shards gives
+    the round-robin writer split a training job shards by."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn("bkt", F.substring("skey", 1, 2))
+    sizes = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("bkt_n"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "bkt_offset", F.coalesce(F.sum("bkt_n").over(w_off), F.lit(0))
+    ).drop("bkt_n")
+    w_in = Window.partitionBy("bkt").orderBy("skey", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "position",
+            (F.col("bkt_offset") + F.row_number().over(w_in) - 1).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "position",
+            (F.col("position") % _SHUFFLE_SHARDS).cast("int").alias("shard"),
+        )
+    )
+
+
+def _oracle_dataset_shuffle() -> str:
+    return (
+        "WITH k AS (SELECT doc_id, "
+        f"MD5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents), "
+        "r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 "
+        "AS BIGINT) AS position FROM k) "
+        f"SELECT doc_id, position, CAST(position % {_SHUFFLE_SHARDS} AS INTEGER) "
+        "AS shard FROM r"
+    )
+
+
+_CURRICULUM_EDGES = (100, 200, 400)
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum schedule: docs bin into stages by n_chars
+    (easy→hard = short→long, fixed edges so the stage is a pure per-row
+    expression — zero shuffle to assign), then ONE map-side-combined agg
+    yields per-stage doc and token counts, and a running sum over the
+    4-row stage relation gives the cumulative token budget a curriculum
+    trainer consumes. The only window runs over O(stages) rows."""
+    d = _t(spark, sf_dir, "documents")
+    lo, mid, hi = _CURRICULUM_EDGES
+    stage = (
+        F.when(F.col("n_chars") < lo, 0)
+        .when(F.col("n_chars") < mid, 1)
+        .when(F.col("n_chars") < hi, 2)
+        .otherwise(3)
+    )
+    per_stage = (
+        d.select(stage.alias("stage"), TX.n_words(F.col("text")).alias("n_tok"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return per_stage.withColumn(
+        "cum_tokens", F.sum("total_tokens").over(w_cum).cast("bigint")
+    )
+
+
+def _oracle_curriculum_stages() -> str:
+    lo, mid, hi = _CURRICULUM_EDGES
+    return (
+        "WITH s AS (SELECT CASE "
+        f"WHEN n_chars < {lo} THEN 0 WHEN n_chars < {mid} THEN 1 "
+        f"WHEN n_chars < {hi} THEN 2 ELSE 3 END AS stage, "
+        "LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents), "
+        "per_stage AS (SELECT stage, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM s GROUP BY stage) "
+        "SELECT stage, n_docs, total_tokens, "
+        "CAST(SUM(total_tokens) OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM per_stage"
+    )
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (class prototype) per component —
     the report behind nearest-centroid classification and IVF seeding.
@@ -4093,6 +4222,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
+    "semantic_dedup": q_semantic_dedup,
+    "dataset_shuffle": q_dataset_shuffle,
+    "curriculum_stages": q_curriculum_stages,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4204,6 +4336,9 @@ def oracles() -> dict[str, str]:
         "stream_corpus_stats": _oracle_corpus_source_stats(),
         "corpus_dup_rate_by_source": _oracle_corpus_dup_rate_by_source(),
         "events_funnel": _oracle_events_funnel(),
+        "semantic_dedup": _oracle_semantic_dedup(),
+        "dataset_shuffle": _oracle_dataset_shuffle(),
+        "curriculum_stages": _oracle_curriculum_stages(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -182,3 +182,20 @@ def test_corpus_vocabulary_rank_is_partitioned(spark):
     for line in rn_windows:
         assert "tok_bkt" in line, f"unpartitioned vocabulary rank: {line}"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dataset_shuffle_rank_is_partitioned(spark):
+    """The training-order permutation must never sort the whole corpus
+    in one task: the row_number window is partitioned by the hex-prefix
+    bucket; the only unpartitioned window is the running-sum over the
+    256-row bucket-size relation, and the offsets join is a broadcast."""
+    df = Q.QUERIES["dataset_shuffle"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "Window" in line and "row_number()" in line
+    ]
+    assert rn_windows, plan
+    for line in rn_windows:
+        assert "bkt" in line, f"unpartitioned corpus rank: {line}"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
