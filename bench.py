@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dataset_shuffle",
     "curriculum_stages",
+    "text_lm_score",
+    "embedding_quantize",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

@@ -31,6 +31,7 @@ from overpaint_spark.functions import typeclass
 from overpaint_spark.operators.asof import asof_join_backward
 from overpaint_spark.operators import dedup as DD
 from overpaint_spark.operators import multimodal as MM
+from overpaint_spark.operators import quantization as QZ
 from overpaint_spark.operators import semantic as SEM
 from overpaint_spark.operators import similarity as SIM
 from overpaint_spark.rules import (
@@ -1676,6 +1677,48 @@ def _oracle_semantic_dedup() -> str:
     )
 
 
+_QUANT_DIM = 64
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization of the embedding column
+    (operators/quantization.py): one 2·dim-channel aggregate for global
+    per-dimension bounds, then a pure codegen encode — zero vector
+    shuffles. The declared output is an integer digest per vector
+    (sum/min/max of codes + the first four codes), so the cross-engine
+    comparison is exact integer equality: every arithmetic op in the
+    code path (sub/div/mul/add/floor) is IEEE-exact, no rounding-mode
+    or summation-order ambiguity exists."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = QZ.scalar_quantize(e, dim=_QUANT_DIM)
+    return out.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        *[F.col("codes")[j].alias(f"q_{j}") for j in range(4)],
+    )
+
+
+def _oracle_embedding_quantize() -> str:
+    qcols = ", ".join(
+        f"MAX(CASE WHEN dim = {j + 1} THEN code END) AS q_{j}" for j in range(4)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "x AS (SELECT vec_id, GENERATE_SUBSCRIPTS(v, 1) AS dim, UNNEST(v) AS val FROM e), "
+        "st AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY dim), "
+        "c AS (SELECT vec_id, x.dim, CAST(CASE WHEN mx = mn THEN 0 ELSE "
+        "FLOOR((val - mn) / (mx - mn) * 255 + 0.5) END AS BIGINT) AS code "
+        "FROM x JOIN st ON x.dim = st.dim) "
+        "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, "
+        f"MIN(code) AS code_min, MAX(code) AS code_max, {qcols} "
+        "FROM c GROUP BY vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
@@ -3137,6 +3180,79 @@ def _oracle_text_repetition() -> str:
     )
 
 
+_LM_SAMPLE_MOD, _LM_PPM = 10, 1_000_000
+
+
+def _char_trigrams(text_col) -> F.Column:
+    """array<string> of overlapping character 3-grams, [] under 3 chars
+    (guarded: Spark's sequence(1, 0) would count DOWN, not empty)."""
+    n = F.length(text_col) - 2
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: text_col.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: each doc scored by the
+    average Laplace-smoothed corpus probability of its character
+    trigrams — typical text scores high, gibberish/outliers low. The
+    model is built from a deterministic doc_id-mod sample (bounded: the
+    char-trigram vocabulary is ≤ charset³ regardless of corpus size) and
+    BROADCAST into one pass over the exploded doc grams; the only
+    data-sized shuffle is the doc_id re-aggregation. The score is pure
+    INTEGER math — p(gram) summed as (c+1) counts, one final
+    parts-per-million integer division — so no float summation order
+    exists to diverge across engines (the log-space variant would need
+    transcendentals, whose libm results differ by ulps). Overflow bound:
+    sum_c1·1e6 needs sum_c1 < 9.2e12 — at larger corpora move the ppm
+    scale into DECIMAL(38,0); the fixture total is ~2e5."""
+    d = _t(spark, sf_dir, "documents")
+    grams = _char_trigrams(F.col("text"))
+    doc_grams = d.select("doc_id", F.explode(grams).alias("gram"))
+    model = (
+        doc_grams.filter(F.col("doc_id") % _LM_SAMPLE_MOD == 0)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = model.agg(
+        F.sum("c").cast("bigint").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(model), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+            .cast("bigint")
+            .alias("sum_c1"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).selectExpr(
+        "doc_id",
+        "n_grams",
+        f"(sum_c1 * {_LM_PPM}) div ((total + v) * n_grams) AS lm_score_ppm",
+    )
+
+
+def _oracle_text_lm_score() -> str:
+    duck_grams = (
+        "CASE WHEN LENGTH(text) >= 3 THEN "
+        "LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 2), "
+        "i -> SUBSTR(text, CAST(i AS INTEGER), 3)) ELSE [] END"
+    )
+    return (
+        f"WITH g AS (SELECT doc_id, UNNEST({duck_grams}) AS gram FROM documents), "
+        f"model AS (SELECT gram, COUNT(*) AS c FROM g "
+        f"WHERE doc_id % {_LM_SAMPLE_MOD} = 0 GROUP BY gram), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS v FROM model), "
+        "per AS (SELECT doc_id, CAST(SUM(COALESCE(m.c, 0) + 1) AS BIGINT) AS sum_c1, "
+        "COUNT(*) AS n_grams FROM g LEFT JOIN model m USING (gram) GROUP BY doc_id) "
+        f"SELECT doc_id, n_grams, (sum_c1 * {_LM_PPM}) // ((total + v) * n_grams) "
+        "AS lm_score_ppm FROM per CROSS JOIN tot"
+    )
+
+
 def q_users_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: per user, the lag from first click to the first
     purchase AFTER it. Two tiny per-user min-aggregates (each one
@@ -4225,6 +4341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dataset_shuffle": q_dataset_shuffle,
     "curriculum_stages": q_curriculum_stages,
+    "text_lm_score": q_text_lm_score,
+    "embedding_quantize": q_embedding_quantize,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4339,6 +4457,8 @@ def oracles() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "dataset_shuffle": _oracle_dataset_shuffle(),
         "curriculum_stages": _oracle_curriculum_stages(),
+        "text_lm_score": _oracle_text_lm_score(),
+        "embedding_quantize": _oracle_embedding_quantize(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -120,6 +120,12 @@ _CROSS_OK = {
     # round-robin interleave: the only nested-loop join is the 1-row
     # n_sources scalar broadcast
     "dataset_interleave",
+    # LM score: the only nested-loop join is the 1-row (total, v)
+    # model-size scalar broadcast
+    "text_lm_score",
+    # quantization: the only nested-loop join is the 1-row per-dim
+    # bounds broadcast
+    "embedding_quantize",
 }
 
 

@@ -1,0 +1,62 @@
+"""Scalar quantization: code range, round-trip error bound (half a
+quantization step per dimension), constant-dimension handling, and the
+zero-vector-shuffle plan shape."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from overpaint_spark.operators import quantization as QZ
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 10.0, 5.0]),
+        Row(vec_id=1, embedding=[1.0, 20.0, 5.0]),
+        Row(vec_id=2, embedding=[0.5, 15.0, 5.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codes_span_range_and_constant_dim_is_zero(tiny):
+    out = {r.vec_id: r.codes for r in QZ.scalar_quantize(tiny, dim=3).collect()}
+    # dim 0: bounds (0, 1) → 0.0→0, 1.0→255, 0.5→128 (floor(127.5+0.5))
+    assert [out[0][0], out[1][0], out[2][0]] == [0, 255, 128]
+    # dim 1: bounds (10, 20) → same pattern
+    assert [out[0][1], out[1][1], out[2][1]] == [0, 255, 128]
+    # dim 2 is constant → codes to 0
+    assert [out[i][2] for i in range(3)] == [0, 0, 0]
+
+
+def test_roundtrip_error_bounded_by_half_step(spark):
+    dim = 64
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    codes = QZ.scalar_quantize(e, dim=dim)
+    stats = QZ.dimension_stats(e, dim).collect()[0]
+    joined = e.join(codes, "vec_id").select(
+        F.col("embedding").cast("array<double>").alias("v"), "codes"
+    )
+    import numpy as np
+
+    mins = np.array(stats.mins)
+    maxs = np.array(stats.maxs)
+    step = (maxs - mins) / 255.0
+    for r in joined.limit(50).collect():
+        deq = mins + np.array(r.codes) * step
+        err = np.abs(np.array(r.v) - deq)
+        assert (err <= step / 2 + 1e-12).all()
+
+
+def test_single_stats_pass_no_vector_shuffle(spark):
+    from overpaint_spark.queries import QUERIES
+
+    df = QUERIES["embedding_quantize"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the encode is a broadcast of the 1-row stats — the vector relation
+    # itself must never hash-exchange (the only exchanges allowed are the
+    # stats aggregate's single-partition collect and its broadcast)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning" not in plan, plan
