@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "curriculum_stages",
     "text_lm_score",
     "embedding_quantize",
+    "dedup_incremental",
+    "documents_tokenized",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

@@ -245,7 +245,7 @@ def _minhash_signatures_inner(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_relation(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -254,18 +254,19 @@ def lsh_candidate_pairs(
     bands: int = 4,
     postings: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs agreeing on all rows of ≥1 band.
-
-    rows_per_band = num_hashes // bands. Collision probability for docs
-    with Jaccard s is 1-(1-s^rows)^bands — with 12 hashes × 4 bands × 3
-    rows, s=0.8 fires with p≈0.94, s=0.2 with p≈0.03.
-    """
+    """(id, band_idx, band_hash) — each doc's LSH bucket keys, one row
+    per band. The self-join form (:func:`lsh_candidate_pairs`) and the
+    cross-corpus form (:func:`incremental_dedup_flags`) both join this
+    relation on (band_idx, band_hash); in a production pipeline the
+    existing-corpus side is a PERSISTED index bucketed on those keys, so
+    each increment joins against it with zero existing-side recompute."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     # inner signatures: docs with no shingles would only produce NULL
     # band hashes (filtered below anyway), so the NULL-completing docs
     # join in minhash_signatures is skipped — one less shuffle
     sig = _minhash_signatures_inner(docs, id_col, text_col, k, num_hashes, postings)
+
     def band_hash(bi: int):
         # NULL-propagating concat (NOT concat_ws): a doc with no shingles
         # has NULL signatures and must land in no bucket, matching the
@@ -281,10 +282,90 @@ def lsh_candidate_pairs(
         F.struct(F.lit(bi).alias("band_idx"), band_hash(bi).alias("band_hash"))
         for bi in range(bands)
     ]
-    banded = (
+    return (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_hash")
         .filter(F.col("band_hash").isNotNull())
+    )
+
+
+def incremental_dedup_flags(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus incremental dedup: flag each INCOMING doc that
+    duplicates the EXISTING corpus — the daily-increment admission gate
+    of a living training corpus (a self-dedup of old+new would re-pay
+    the whole corpus every day; this pays only |increment| + the index
+    probe).
+
+    - ``is_exact_dup``: the incoming content hash exists in the corpus —
+      a 16-byte-key left-semi join, bodies never shuffled.
+    - ``is_near_dup``: an incoming LSH band key collides with any
+      existing doc's band key — an equi-join on (band_idx, band_hash)
+      against the existing band index (persistable/bucketed at scale).
+    - ``admitted``: neither.
+
+    Output: (id, is_exact_dup, is_near_dup, admitted), one row per
+    incoming doc.
+    """
+    in_hash = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("chash")
+    )
+    ex_hash = existing.select(F.md5(F.col(text_col)).alias("chash")).distinct()
+    exact = (
+        in_hash.join(ex_hash, "chash", "left_semi")
+        .select(id_col)
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+    in_bands = lsh_band_relation(incoming, id_col, text_col, k, num_hashes, bands)
+    ex_bands = lsh_band_relation(
+        existing, id_col, text_col, k, num_hashes, bands
+    ).select("band_idx", "band_hash")
+    near = (
+        in_bands.join(ex_bands, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        incoming.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("is_exact_dup"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("is_near_dup"), F.lit(False)).alias("is_near_dup"),
+            (
+                ~(F.coalesce(F.col("is_exact_dup"), F.lit(False))
+                  | F.coalesce(F.col("is_near_dup"), F.lit(False)))
+            ).alias("admitted"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on all rows of ≥1 band.
+
+    rows_per_band = num_hashes // bands. Collision probability for docs
+    with Jaccard s is 1-(1-s^rows)^bands — with 12 hashes × 4 bands × 3
+    rows, s=0.8 fires with p≈0.94, s=0.2 with p≈0.03.
+    """
+    banded = lsh_band_relation(
+        docs, id_col, text_col, k, num_hashes, bands, postings
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -1456,6 +1456,46 @@ def _oracle_dedup_minhash_verified() -> str:
     )
 
 
+_INCR_MOD = 5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup admission gate
+    (operators/dedup.py incremental_dedup_flags): docs with
+    doc_id % 5 == 0 play the daily increment, the rest the existing
+    corpus. Each incoming doc is flagged exact-dup (16-byte content-hash
+    semi-join) and near-dup (LSH band-key probe of the existing band
+    index) — the shape that pays |increment| per day instead of
+    re-deduping the whole corpus."""
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % _INCR_MOD == 0)
+    existing = d.filter(F.col("doc_id") % _INCR_MOD != 0)
+    return DD.incremental_dedup_flags(
+        existing, incoming, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    )
+
+
+def _oracle_dedup_incremental() -> str:
+    base = _oracle_dedup_minhash_lsh()
+    cte = base.replace("WITH ", "", 1).split("SELECT DISTINCT", 1)[0].rstrip()
+    m = _INCR_MOD
+    return (
+        f"WITH {cte}, "
+        "exact AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents o "
+        f"ON n.doc_id % {m} = 0 AND o.doc_id % {m} <> 0 "
+        "AND MD5(n.text) = MD5(o.text)), "
+        "near AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b "
+        "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
+        f"AND a.doc_id % {m} = 0 AND b.doc_id % {m} <> 0) "
+        "SELECT d.doc_id, "
+        "d.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup, "
+        "d.doc_id IN (SELECT doc_id FROM near) AS is_near_dup, "
+        "NOT (d.doc_id IN (SELECT doc_id FROM exact) "
+        "OR d.doc_id IN (SELECT doc_id FROM near)) AS admitted "
+        f"FROM documents d WHERE d.doc_id % {m} = 0"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document."""
     return DD.simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -3922,6 +3962,43 @@ def _oracle_corpus_vocabulary() -> str:
     )
 
 
+def q_documents_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus against the trained vocabulary: every doc
+    token becomes (doc_id, pos, token_id), OOV (below the vocabulary's
+    min-count floor) → -1. The id assignment is the same two-phase-rank
+    vocabulary relation as corpus_vocabulary; the application is one
+    BROADCAST left join on the token string (the floored vocabulary is
+    bounded — at web scale ~10⁶ rows ≈ tens of MB; if it outgrows the
+    broadcast threshold the same plan falls back to a shuffle join on
+    the token key, still O(corpus tokens)). This is the handoff point
+    to a trainer: ordered integer id sequences per document."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = q_corpus_vocabulary(spark, sf_dir).select("token", "token_id")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.words(F.col("text"))).alias("pos", "token")
+    )
+    return toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(-1)).cast("bigint").alias("token_id"),
+    )
+
+
+def _oracle_documents_tokenized() -> str:
+    base = _oracle_corpus_vocabulary()
+    cte_part, final_select = base.replace("WITH ", "", 1).rsplit("SELECT token", 1)
+    return (
+        f"WITH {cte_part.rstrip().rstrip(',')}, "
+        f"vocab AS (SELECT token{final_select}), "
+        "t AS (SELECT doc_id, "
+        "GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos, "
+        "UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) "
+        "SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, "
+        "CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id "
+        "FROM t LEFT JOIN vocab v USING (token)"
+    )
+
+
 def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-interleaved training order: each doc gets a
     per-source position by md5 rank (stable under repartitioning — no
@@ -4343,6 +4420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_stages": q_curriculum_stages,
     "text_lm_score": q_text_lm_score,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_incremental": q_dedup_incremental,
+    "documents_tokenized": q_documents_tokenized,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4459,6 +4538,8 @@ def oracles() -> dict[str, str]:
         "curriculum_stages": _oracle_curriculum_stages(),
         "text_lm_score": _oracle_text_lm_score(),
         "embedding_quantize": _oracle_embedding_quantize(),
+        "dedup_incremental": _oracle_dedup_incremental(),
+        "documents_tokenized": _oracle_documents_tokenized(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -176,3 +176,27 @@ def test_parallelize_input_noop_on_well_split_scans(spark, tmp_path):
         spark.createDataFrame([Row(doc_id=1, text="x")])
     )
     assert "Repartition" not in mem._jdf.queryExecution().logical().toString()
+
+
+def test_incremental_dedup_flags(spark):
+    existing = spark.createDataFrame(
+        [Row(doc_id=1, text=DOC_A), Row(doc_id=2, text=DOC_B)]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=DOC_A),       # exact dup of existing 1
+            Row(doc_id=11, text=DOC_A_NEAR),  # near dup of existing 1
+            Row(doc_id=12, text=DOC_C),       # novel
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in DD.incremental_dedup_flags(existing, incoming).collect()
+    }
+    assert out[10].is_exact_dup and not out[10].admitted
+    # the exact dup is also a near dup (identical band keys)
+    assert out[10].is_near_dup
+    assert out[11].is_near_dup and not out[11].is_exact_dup and not out[11].admitted
+    assert out[12].admitted and not out[12].is_exact_dup and not out[12].is_near_dup
+    # one row per incoming doc, never per band/hash match
+    assert len(out) == 3
