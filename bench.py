@@ -13,6 +13,18 @@ top-10 slowest entries. The FULL per-query timing map is written to
 Each query is forced end-to-end with the ``noop`` sink (full execution,
 no driver materialization, no sink IO skew). One warm-up job first so
 JVM/codegen startup isn't billed to the first query.
+
+Timing semantics: each query is measured ONCE, cold — so its number
+includes that query's own one-time whole-stage-codegen compile and
+broadcast builds, not just plan execution. For the heavier pipelines
+this overhead is most of the number: at sf0.1, decontaminate_overlap
+measures ~3.5 s here but ~1.2 s steady-state in a warm session, and
+dedup_ngram_jaccard ~3.6 s vs ~2.5 s (3-run measurement, r3). Round-1's
+lower figures for these two queries came from a suite ordering that
+warmed shared subtrees first; the plans have not regressed. Single-run
+is kept deliberately: the suite's total stays comparable across rounds
+and a per-query warm rerun would double the wall time the driver
+budgets for.
 """
 
 from __future__ import annotations
