@@ -132,16 +132,22 @@ def _png_decode(payload: bytes):
 
 def decode_image(payload: bytes):
     """REAL image decode for library-free formats: binary PPM (``P6``,
-    RGB) / PGM (``P5``, grayscale), 24-bit uncompressed BMP, and
+    RGB) / PGM (``P5``, grayscale), 24-bit uncompressed BMP,
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — stdlib zlib +
-    numpy unfiltering, :func:`_png_decode`). No codec library involved.
+    numpy unfiltering, :func:`_png_decode`), and baseline JPEG (r3:
+    full Huffman + IDCT + chroma upsample decoder,
+    :mod:`overpaint_spark.operators.jpeg`). No codec library involved.
     Returns an ``H×W×C uint8`` array, or ``None`` when the payload is
-    not one of these formats (JPEG/video need external codecs — see
+    not one of these formats (progressive JPEG/video stay stubbed — see
     ``_fake_decode_dims``)."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from overpaint_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
 
     if payload[:2] in (b"P6", b"P5"):
         idx, tokens = 2, []
@@ -191,10 +197,11 @@ def decode_image(payload: bytes):
 
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic stand-in for CODEC-format decode only
-    (JPEG/PNG/...): the libraries are not installed in this container,
-    so dimensions derive from payload length. Library-free formats never
-    reach here — :func:`decode_image` handles them for real.
+    """STUB — deterministic stand-in for the remaining CODEC formats
+    (progressive JPEG, video): the libraries are not installed in this
+    container, so dimensions derive from payload length. PPM/PGM/BMP/
+    PNG/baseline-JPEG never reach here — :func:`decode_image` handles
+    them for real.
     """
     n = len(payload)
     return (1 + n % 1024, 1 + (n // 1024) % 1024)

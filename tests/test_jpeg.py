@@ -1,0 +1,109 @@
+"""Baseline JPEG codec: encode→decode round-trips within quantization
+error, real-world-file decode, honest refusal of out-of-scope streams,
+and the Spark metadata path picking up real JPEG dimensions."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from overpaint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from overpaint_spark.operators.multimodal import decode_image
+
+
+def _smooth_gray(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (128 + 100 * np.sin(yy / 6.0) * np.cos(xx / 9.0)).astype(np.uint8)
+
+
+def _smooth_rgb(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            128 + 90 * np.sin(yy / 5.0),
+            128 + 90 * np.cos(xx / 7.0),
+            128 + 60 * np.sin((xx + yy) / 8.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_gray_roundtrip_odd_dims():
+    img = _smooth_gray(24, 33)  # not block-aligned: exercises crop
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (24, 33, 1)
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2
+
+
+def test_rgb_roundtrip_444():
+    img = _smooth_rgb(24, 33)
+    dec = decode_jpeg(encode_jpeg(img, quality=92))
+    assert dec.shape == (24, 33, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 3
+
+
+def test_rgb_roundtrip_420_subsampled():
+    img = _smooth_rgb(40, 56)
+    dec = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert dec.shape == (40, 56, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # chroma is 2x2 box-filtered: looser bound, still tight for smooth data
+    assert err.max() <= 40 and err.mean() < 6
+
+
+def test_restart_interval_roundtrip():
+    img = _smooth_rgb(32, 48)
+    plain = decode_jpeg(encode_jpeg(img, quality=92))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=92, restart_interval=2))
+    # RST markers change framing, not content
+    assert np.array_equal(plain, with_rst)
+
+
+def test_refuses_truncated_and_garbage():
+    buf = encode_jpeg(_smooth_gray(16, 16))
+    assert decode_jpeg(buf[:40]) is None
+    assert decode_jpeg(b"not a jpeg at all") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+
+
+_REAL_BASELINE = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/"
+    "flower-of-life.jpg"
+)
+_REAL_PROGRESSIVE = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_BASELINE), reason="no system jpg")
+def test_decodes_real_world_baseline_file():
+    buf = open(_REAL_BASELINE, "rb").read()
+    out = decode_jpeg(buf)
+    assert out is not None and out.shape == (161, 161, 3)
+    # white-background image: decoded content must actually look like it
+    assert out.mean() > 180
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_PROGRESSIVE), reason="no system jpg")
+def test_refuses_progressive_scan():
+    assert decode_jpeg(open(_REAL_PROGRESSIVE, "rb").read()) is None
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _smooth_rgb(16, 24)
+    arr = decode_image(encode_jpeg(img, quality=92))
+    assert arr is not None and arr.shape == (16, 24, 3)
+
+
+def test_spark_metadata_reports_real_jpeg_dims(spark):
+    from overpaint_spark.operators import multimodal as MM
+
+    payload = encode_jpeg(_smooth_rgb(20, 30), quality=90)
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(payload))],
+        "asset_id long, payload binary",
+    )
+    row = MM.extract_metadata(assets).collect()[0]
+    assert (row.width, row.height) == (30, 20)
+    assert row.byte_len == len(payload)
