@@ -1,18 +1,30 @@
-"""Library-free baseline JPEG codec (decode + a minimal encoder for
-round-trip tests).
+"""Library-free JPEG codec: baseline + progressive decode, and a
+minimal baseline encoder for round-trip tests.
 
-Decoder scope — the baseline sequential DCT process that covers the
-overwhelming majority of real-world JPEG/JFIF files:
+Decoder scope — the two DCT processes that cover essentially all
+real-world JPEG/JFIF files:
 
-- SOF0 (baseline, 8-bit), any component count 1–4, any sampling factors
-  (4:4:4, 4:2:0, 4:2:2, ... — general Hi/Vi handling with nearest
-  upsample);
+- SOF0 (baseline sequential, 8-bit), any component count 1–4, any
+  integer sampling factors (4:4:4, 4:2:0, 4:2:2, ... — general Hi/Vi
+  handling with nearest upsample);
+- SOF2 (progressive): spectral selection AND successive approximation —
+  interleaved or single-component DC scans, DC refinement bits,
+  AC first scans with EOBn run coding, and AC refinement scans
+  (the G.7 correction-bit algorithm);
 - arbitrary Huffman tables from DHT (canonical bits/vals — not just the
   Annex K defaults), arbitrary 8-bit quant tables from DQT;
-- restart intervals (DRI + RSTn: byte-align, marker check, DC reset);
-- returns ``None`` for progressive (SOF2), 12-bit, arithmetic-coded, or
-  otherwise out-of-scope streams — same honest-refusal contract as the
-  PNG decoder in :mod:`overpaint_spark.operators.multimodal`.
+- restart intervals (DRI + RSTn: byte-align, marker check, DC/EOB-run
+  reset);
+- returns ``None`` for 12-bit, arithmetic-coded, lossless, or
+  hierarchical streams — same honest-refusal contract as the PNG
+  decoder in :mod:`overpaint_spark.operators.multimodal`.
+
+Validation without an image library: round-trips against the encoder
+below, plus real-world files shipped in this container — Spark's own
+mllib test photos (baseline 4:2:0) and, crucially, the SAME photo in
+both baseline color and progressive-with-refinement grayscale form,
+whose two independent decode paths agree at correlation 0.999
+(tests/test_jpeg.py).
 
 The encoder exists so the decoder is testable in this container (no
 image library exists here to produce fixtures): it emits spec-valid
@@ -155,6 +167,17 @@ class _BitReader:
                 return sym
         return None
 
+    def next_marker_pos(self) -> int | None:
+        """Position of the next real marker's 0xFF (end-of-scan scan)."""
+        if self.marker is not None:
+            return self.pos
+        p = self.pos
+        while p + 1 < len(self.buf):
+            if self.buf[p] == 0xFF and self.buf[p + 1] != 0x00:
+                return p
+            p += 1
+        return None
+
     def align_and_expect_rst(self) -> bool:
         """Byte-align and consume an RSTn marker (restart-interval path)."""
         self.nbits = 0
@@ -181,24 +204,31 @@ def _extend(v: int, s: int) -> int:
 # --------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG → H×W×C uint8 (C = 1 gray or 3 RGB), or ``None``
-    when the stream is not in-scope baseline JPEG."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → H×W×C uint8
+    (C = 1 gray or 3 RGB), or ``None`` when the stream is out of scope
+    (12-bit, arithmetic-coded, lossless, hierarchical)."""
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    state = None  # per-component natural-order coefficient grids (SOF2)
     restart_interval = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and state is not None:
+                return _reconstruct_progressive(frame, state, qt)
+            return None  # EOI before any (baseline) SOS
+        if pos + 4 > n:
             return None
         seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         seg = payload[pos + 4 : pos + 2 + seglen]
@@ -226,7 +256,8 @@ def decode_jpeg(payload: bytes):
                     return None
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8 or h == 0 or w == 0 or not (1 <= nc <= 4):
@@ -236,14 +267,27 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic/hierarchical
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
+            if progressive:
+                if state is None:
+                    state = _alloc_progressive(frame)
+                    if state is None:
+                        return None
+                nxt = _progressive_scan(
+                    payload, pos + 2 + seglen, seg, frame, huff,
+                    restart_interval, state,
+                )
+                if nxt is None:
+                    return None
+                pos = nxt
+                continue
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -253,12 +297,280 @@ def decode_jpeg(payload: bytes):
                     return None
                 scan.append((comp, tt >> 4, tt & 15))
             if ns != len(frame[2]):
-                return None  # multi-scan out of scope
+                return None  # baseline multi-scan out of scope
             return _decode_scan(
                 payload, pos + 2 + seglen, frame, scan, qt, huff, restart_interval
             )
         pos += 2 + seglen
     return None
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) scan machinery
+# --------------------------------------------------------------------------
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_progressive(frame):
+    """Per-component natural-order coefficient grids, MCU-padded (the
+    padding blocks are touched by interleaved DC scans)."""
+    geo = _frame_geometry(frame)
+    if geo is None:
+        return None
+    hmax, vmax, mcux, mcuy = geo
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame[2]
+    ]
+
+
+def _comp_block_grid(frame, c):
+    """Non-interleaved block-grid dims for one component (spec A.2.2:
+    ceil dims of the component's own sample grid, NOT MCU-padded)."""
+    h, w, _ = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _refine_nonzero(r, coef, zz_k, p1):
+    """One correction bit for a nonzero-history coefficient (spec G.7 /
+    the classic decode_mcu_AC_refine shape). Returns False on truncation."""
+    b = r.read_bit()
+    if b is None:
+        return False
+    if b and (int(coef[zz_k]) & p1) == 0:
+        coef[zz_k] += p1 if coef[zz_k] >= 0 else -p1
+    return True
+
+
+def _ac_first_block(r, act, coef, ss, se, al, eob):
+    if eob[0] > 0:
+        eob[0] -= 1
+        return True
+    k = ss
+    while k <= se:
+        rs = r.decode_symbol(act)
+        if rs is None:
+            return False
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run != 15:
+                eob[0] = (1 << run) - 1
+                if run:
+                    v = r.receive(run)
+                    if v is None:
+                        return False
+                    eob[0] += v
+                return True
+            k += 16
+            continue
+        k += run
+        if k > se:
+            return False
+        v = r.receive(size)
+        if v is None:
+            return False
+        coef[ZIGZAG[k]] = _extend(v, size) << al
+        k += 1
+    return True
+
+
+def _ac_refine_block(r, act, coef, ss, se, al, eob):
+    p1 = 1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = r.decode_symbol(act)
+            if rs is None:
+                return False
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eob[0] = 1 << run
+                    if run:
+                        v = r.receive(run)
+                        if v is None:
+                            return False
+                        eob[0] += v
+                    break  # rest of this block handled by the EOB branch
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if size != 1:
+                    return False
+                b = r.read_bit()
+                if b is None:
+                    return False
+                val = p1 if b else -p1
+            while k <= se:
+                if coef[ZIGZAG[k]] != 0:
+                    if not _refine_nonzero(r, coef, ZIGZAG[k], p1):
+                        return False
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if coef[ZIGZAG[k]] != 0:
+                if not _refine_nonzero(r, coef, ZIGZAG[k], p1):
+                    return False
+            k += 1
+        eob[0] -= 1
+    return True
+
+
+def _progressive_scan(buf, pos, seg, frame, huff, restart_interval, state):
+    """Process one SOS of a progressive stream into the coefficient
+    state; returns the buffer position of the next marker, or None."""
+    h, w, comps = frame
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        return None
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        ci = next((i for i, cc in enumerate(comps) if cc["id"] == cs), None)
+        if ci is None:
+            return None
+        scan.append((ci, comps[ci], tt >> 4, tt & 15))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 15
+    if se > 63 or ss > se:
+        return None
+    geo = _frame_geometry(frame)
+    if geo is None:
+        return None
+    hmax, vmax, mcux, mcuy = geo
+    r = _BitReader(buf, pos)
+
+    def restart(preds, eob):
+        if not r.align_and_expect_rst():
+            return False
+        for i in range(len(preds)):
+            preds[i] = 0
+        eob[0] = 0
+        return True
+
+    eob = [0]
+    preds = [0] * len(scan)
+    if ss == 0:
+        if se != 0:
+            return None  # DC and AC may not share a scan in SOF2
+        if ns > 1:
+            units = [
+                (ci, c, dc_id)
+                for ci, c, dc_id, _ in scan
+            ]
+            count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        if not restart(preds, eob):
+                            return None
+                    for si, (ci, c, dc_id) in enumerate(units):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef = state[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                if not _dc_unit(r, huff, dc_id, coef, ah, al,
+                                               preds, si):
+                                    return None
+                    count += 1
+        else:
+            ci, c, dc_id, _ = scan[0]
+            by_n, bx_n = _comp_block_grid(frame, c)
+            count = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart_interval and count and count % restart_interval == 0:
+                        if not restart(preds, eob):
+                            return None
+                    if not _dc_unit(r, huff, dc_id, state[ci][by, bx], ah, al,
+                                   preds, 0):
+                        return None
+                    count += 1
+    else:
+        if ns != 1:
+            return None  # AC scans are always non-interleaved
+        ci, c, _, ac_id = scan[0]
+        act = huff.get((1, ac_id))
+        if act is None:
+            return None
+        by_n, bx_n = _comp_block_grid(frame, c)
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+        count = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart_interval and count and count % restart_interval == 0:
+                    if not restart(preds, eob):
+                        return None
+                if not fn(r, act, state[ci][by, bx], ss, se, al, eob):
+                    return None
+                count += 1
+    return r.next_marker_pos()
+
+
+def _dc_unit(r, huff, dc_id, coef, ah, al, preds, si):
+    if ah == 0:
+        dct = huff.get((0, dc_id))
+        if dct is None:
+            return False
+        s = r.decode_symbol(dct)
+        if s is None or s > 11:
+            return False
+        diff = 0
+        if s:
+            v = r.receive(s)
+            if v is None:
+                return False
+            diff = _extend(v, s)
+        preds[si] += diff
+        coef[0] = preds[si] << al
+    else:
+        b = r.read_bit()
+        if b is None:
+            return False
+        if b:
+            coef[0] = int(coef[0]) | (1 << al)
+    return True
+
+
+def _reconstruct_progressive(frame, state, qt):
+    h, w, comps = frame
+    geo = _frame_geometry(frame)
+    if geo is None:
+        return None
+    hmax, vmax, _, _ = geo
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]].astype(np.float64)
+        grid = state[ci].astype(np.float64).reshape(
+            state[ci].shape[0], state[ci].shape[1], 8, 8
+        ) * q
+        # IDCT every block: out[y,x] = C.T @ grid[y,x] @ C
+        blocks = np.einsum("ij,yxjk,kl->yxil", _C.T, grid, _C)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(
+            state[ci].shape[0] * 8, state[ci].shape[1] * 8
+        )
+        planes.append(plane)
+    return _finish(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(buf, pos, frame, scan, qt, huff, restart_interval):
@@ -330,10 +642,15 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    return _finish(planes, [c for c, _, _ in scan], h, w, hmax, vmax)
+
+
+def _finish(planes, comps, h, w, hmax, vmax):
+    """Shared tail of both decode paths: level shift, nearest chroma
+    upsample, crop, and (for 3 components) JFIF YCbCr→RGB."""
     out_planes = []
-    for ci, (c, _, _) in enumerate(scan):
+    for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
-        # nearest upsample to full resolution, then crop
         ry, rx = vmax // c["v"], hmax // c["h"]
         if vmax % c["v"] or hmax % c["h"]:
             return None  # non-integer sampling ratios out of scope

@@ -134,11 +134,12 @@ def decode_image(payload: bytes):
     """REAL image decode for library-free formats: binary PPM (``P6``,
     RGB) / PGM (``P5``, grayscale), 24-bit uncompressed BMP,
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — stdlib zlib +
-    numpy unfiltering, :func:`_png_decode`), and baseline JPEG (r3:
-    full Huffman + IDCT + chroma upsample decoder,
+    numpy unfiltering, :func:`_png_decode`), and JPEG — baseline AND
+    progressive incl. successive approximation (r3: full Huffman +
+    IDCT + chroma upsample decoder,
     :mod:`overpaint_spark.operators.jpeg`). No codec library involved.
     Returns an ``H×W×C uint8`` array, or ``None`` when the payload is
-    not one of these formats (progressive JPEG/video stay stubbed — see
+    not one of these formats (video stays stubbed — see
     ``_fake_decode_dims``)."""
     import numpy as np
 
@@ -198,10 +199,10 @@ def decode_image(payload: bytes):
 
 def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     """STUB — deterministic stand-in for the remaining CODEC formats
-    (progressive JPEG, video): the libraries are not installed in this
+    (video, exotic stills): the libraries are not installed in this
     container, so dimensions derive from payload length. PPM/PGM/BMP/
-    PNG/baseline-JPEG never reach here — :func:`decode_image` handles
-    them for real.
+    PNG/JPEG never reach here — :func:`decode_image` handles them for
+    real.
     """
     n = len(payload)
     return (1 + n % 1024, 1 + (n // 1024) % 1024)

@@ -74,6 +74,7 @@ _REAL_BASELINE = (
     "flower-of-life.jpg"
 )
 _REAL_PROGRESSIVE = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+_SPARK_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
 
 
 @pytest.mark.skipif(not os.path.exists(_REAL_BASELINE), reason="no system jpg")
@@ -86,8 +87,42 @@ def test_decodes_real_world_baseline_file():
 
 
 @pytest.mark.skipif(not os.path.exists(_REAL_PROGRESSIVE), reason="no system jpg")
-def test_refuses_progressive_scan():
-    assert decode_jpeg(open(_REAL_PROGRESSIVE, "rb").read()) is None
+def test_decodes_real_world_progressive_file():
+    # spectral-selection-only SOF2 (seven single-component scans)
+    out = decode_jpeg(open(_REAL_PROGRESSIVE, "rb").read())
+    assert out is not None and out.shape == (58, 493, 3)
+    # a white stripe on the node-green background
+    assert out.mean() > 200
+    center = out[out.shape[0] // 2, out.shape[1] // 2]
+    assert (center > 250).all()
+
+
+@pytest.mark.skipif(not os.path.exists(_SPARK_IMAGES), reason="no spark images")
+def test_decodes_real_world_420_photo():
+    buf = open(f"{_SPARK_IMAGES}/kittens/DP802813.jpg", "rb").read()
+    out = decode_jpeg(buf)
+    assert out is not None and out.shape == (313, 199, 3)
+
+
+@pytest.mark.skipif(not os.path.exists(_SPARK_IMAGES), reason="no spark images")
+def test_progressive_refinement_agrees_with_baseline_path():
+    """The strongest cross-check available library-free: Spark ships the
+    same photo twice — chr30.4.184.jpg (baseline 4:2:0 color) and
+    grayscale.jpg (progressive WITH DC/AC successive-approximation
+    refinement scans). Decoding both through their entirely separate
+    code paths must produce near-identical luma."""
+    color = decode_jpeg(
+        open(f"{_SPARK_IMAGES}/multi-channel/chr30.4.184.jpg", "rb").read()
+    )
+    gray = decode_jpeg(
+        open(f"{_SPARK_IMAGES}/multi-channel/grayscale.jpg", "rb").read()
+    )
+    assert color.shape == (215, 300, 3) and gray.shape == (215, 300, 1)
+    luma = 0.299 * color[..., 0] + 0.587 * color[..., 1] + 0.114 * color[..., 2]
+    g = gray[..., 0].astype(float)
+    corr = np.corrcoef(luma.ravel(), g.ravel())[0, 1]
+    assert corr > 0.995
+    assert np.abs(luma - g).mean() < 6
 
 
 def test_decode_image_dispatches_jpeg():
