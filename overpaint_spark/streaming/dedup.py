@@ -59,3 +59,57 @@ def streaming_content_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([fingerprint_col])
     )
+
+
+def write_incremental_dedup_stream(
+    stream: DataFrame,
+    existing: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    trigger_available_now: bool = False,
+):
+    """Streaming twin of operators/dedup.incremental_dedup_flags: gate an
+    ingest stream against a STATIC existing corpus, appending only
+    ADMITTED documents (not exact- or LSH-near-duplicates of the corpus)
+    to ``out_dir``.
+
+    The gate needs anti-join semantics at the document level ("no band
+    collides"), which Structured Streaming cannot express directly on a
+    stream — so each micro-batch runs the SAME batch gate inside
+    ``foreachBatch`` (the standard shape for per-batch relational logic,
+    as streaming/upsert.py does for CDC merge). Per-batch cost is
+    ∝ |batch| probes of the existing index; the existing side should be
+    the persisted band index at scale (see lsh_band_relation). Replays
+    are idempotent in effect: a re-run batch admits the same rows
+    (duplicate FILES on crash-replay are possible with a plain Parquet
+    sink — dedup-on-read or a transactional table format removes that,
+    same caveat as the CDC sink).
+
+    Within-stream duplicates (two identical docs in one feed) are the
+    job of streaming_content_dedup upstream; this gate only checks
+    against the static corpus.
+    """
+    from overpaint_spark.operators.dedup import incremental_dedup_flags
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        flags = incremental_dedup_flags(
+            existing, batch_df, id_col, text_col, k, num_hashes, bands
+        )
+        admitted = batch_df.join(
+            flags.filter(F.col("admitted")).select(id_col), id_col, "left_semi"
+        )
+        admitted.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -453,3 +453,45 @@ def test_corpus_intake_gate(spark, tmp_path):
     assert r.doc_id in (1, 2)
     assert r.n_entity == 1 and "<entity>" in r.text and "customer" not in r.text
     assert r.quality_score >= 0.4
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch admission gate vs the batch twin: fixture docs with
+    doc_id % 5 == 0 arrive as a TWO-micro-batch stream and are gated
+    against the static rest-of-corpus; the admitted set must equal the
+    batch incremental_dedup_flags decision exactly."""
+    from overpaint_spark.operators.dedup import incremental_dedup_flags
+    from overpaint_spark.sources.catalog import load_table
+    from overpaint_spark.streaming.dedup import write_incremental_dedup_stream
+
+    docs = load_table(spark, f"{SF}/documents.parquet").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+
+    d = str(tmp_path / "incoming_stream")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out_dir = str(tmp_path / "admitted")
+    q = write_incremental_dedup_stream(
+        stream, existing, out_dir, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        r.doc_id
+        for r in incremental_dedup_flags(existing, incoming)
+        .filter(F.col("admitted"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # something must have been rejected for the gate to be exercised
+    assert len(got) < incoming.count()
