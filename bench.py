@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "documents_tokenized",
     "embedding_pq_codes",
+    "ann_topk_pq",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

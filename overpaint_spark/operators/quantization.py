@@ -132,3 +132,74 @@ def pq_encode(
     return vectors.select(id_col, vec_col).mapInPandas(
         fn, f"{id_col} long, codes array<int>"
     )
+
+
+def pq_adc_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of the PQ tier: queries stay exact, every candidate is represented
+    only by its code bytes, and the distance is the classic lookup-table
+    sum ``Σ_m LUT_q[m][code_m]`` with ``LUT_q[m][k] = ‖q_m − cb[m][k]‖²``.
+
+    Scale shape: the per-query LUTs (|Q|·M·K doubles) are BROADCAST;
+    each candidate row does M integer array lookups + a fixed-length
+    add chain inside codegen — the candidate VECTORS are never read at
+    search time, which is the entire point of PQ at 100 TB. One
+    shuffle: the final per-query top-k window over k·|Q| surviving
+    rows. Ranking ties break on neighbor id. The left-to-right add
+    chain keeps the distance bit-reproducible in SQL.
+    """
+    import numpy as np
+
+    spark = candidates.sparkSession
+    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    dsub = dim // n_subspaces
+    codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        lut = [
+            [
+                float(((qv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
+                for ki in range(n_codes)
+            ]
+            for mi in range(n_subspaces)
+        ]
+        lut_rows.append((int(r[0]), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, f"q_id long, lut array<array<double>>"
+    )
+
+    dist = None
+    for mi in range(n_subspaces):
+        term = F.element_at(
+            F.col("lut")[mi], F.col("codes")[mi].cast("int") + F.lit(1)
+        )
+        dist = term if dist is None else dist + term
+    from pyspark.sql.window import Window
+
+    scored = (
+        codes.crossJoin(F.broadcast(lut_df))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

