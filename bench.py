@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "documents_tokenized",
     "embedding_pq_codes",
     "ann_topk_pq",
+    "corpus_dataset_card",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

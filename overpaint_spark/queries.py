@@ -4241,6 +4241,78 @@ def _oracle_curriculum_stages() -> str:
     )
 
 
+def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-look summary a corpus owner reads
+    before training — per-source rows plus a ROLLUP total, each with
+    volume (docs/chars/tokens), language spread, exact-dup pressure
+    (16-byte hash distinct), and mean quality. ONE pass over the corpus
+    with map-side partials; the only wide row is the output. Parity by
+    construction: quality goes through floor(score·1e6+0.5) → BIGINT
+    ppm before summing (no float accumulation order), dup rate is
+    integer permille."""
+    d = _t(spark, sf_dir, "documents")
+    score_ppm = F.floor(
+        TX.quality_score(F.col("text")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    base = d.select(
+        "source",
+        F.col("n_chars"),
+        TX.n_words(F.col("text")).alias("n_tok"),
+        "lang",
+        F.md5(F.col("text")).alias("chash"),
+        score_ppm.alias("q_ppm"),
+    )
+    agg = base.rollup("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("chash")).alias("n_distinct_docs"),
+        F.sum("q_ppm").cast("bigint").alias("sum_q_ppm"),
+    )
+    return agg.select(
+        F.coalesce(F.col("source"), F.lit("TOTAL")).alias("source"),
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "n_distinct_docs",
+        F.expr("(n_docs - n_distinct_docs) * 1000 div n_docs").alias("dup_permille"),
+        F.expr("sum_q_ppm div n_docs").alias("mean_quality_ppm"),
+    )
+
+
+def _oracle_corpus_dataset_card() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    score = (
+        "(LEAST(nw / 50.0, 1.0) + (nu / nw) "
+        "+ LEAST((ns / nw) / 0.05, 1.0) "
+        "+ (1.0 - LEAST((np / nc) / 0.2, 1.0))) * 0.25"
+    )
+    return (
+        "WITH m AS (SELECT source, lang, n_chars, MD5(text) AS chash, "
+        "LEN(STRING_SPLIT(text, ' ')) AS n_tok, "
+        "CAST(LENGTH(text) AS DOUBLE) AS nc, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS nw, "
+        "CAST(LENGTH(REGEXP_REPLACE(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS np, "
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({stop_list}))) AS DOUBLE) AS ns, "
+        "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS nu "
+        "FROM documents), "
+        f"s AS (SELECT *, CAST(FLOOR({score} * 1000000.0 + 0.5) AS BIGINT) AS q_ppm FROM m), "
+        "g AS (SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "COUNT(DISTINCT lang) AS n_langs, "
+        "COUNT(DISTINCT chash) AS n_distinct_docs, "
+        "CAST(SUM(q_ppm) AS BIGINT) AS sum_q_ppm "
+        "FROM s GROUP BY ROLLUP(source)) "
+        "SELECT COALESCE(source, 'TOTAL') AS source, n_docs, total_chars, "
+        "total_tokens, n_langs, n_distinct_docs, "
+        "(n_docs - n_distinct_docs) * 1000 // n_docs AS dup_permille, "
+        "sum_q_ppm // n_docs AS mean_quality_ppm FROM g"
+    )
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (class prototype) per component —
     the report behind nearest-centroid classification and IVF seeding.
@@ -4522,6 +4594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_tokenized": q_documents_tokenized,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_topk_pq": q_ann_topk_pq,
+    "corpus_dataset_card": q_corpus_dataset_card,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4642,6 +4715,7 @@ def oracles() -> dict[str, str]:
         "documents_tokenized": _oracle_documents_tokenized(),
         "embedding_pq_codes": _oracle_embedding_pq_codes(),
         "ann_topk_pq": _oracle_ann_topk_pq(),
+        "corpus_dataset_card": _oracle_corpus_dataset_card(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
