@@ -101,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         help="profile output: human layout (default) or one JSON object "
         "per table on stdout (machine-readable monitoring surface)",
     )
+    parser.add_argument(
+        "--dataset-card", action="store_true",
+        help="print the corpus dataset card (per-source + TOTAL volume, "
+        "language spread, dup permille, mean quality) for a `documents` "
+        "table under the data root, instead of the profile",
+    )
     args = parser.parse_args(argv)
     if args.histogram and not args.snapshot_dir:
         parser.error("--histogram requires --snapshot-dir and --run-id")
@@ -124,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if args.rules:
                 return _run_validation(spark, args.data_root, args.rules)
+            if args.dataset_card:
+                return _run_dataset_card(spark, args.data_root)
             if args.incremental_state:
                 return _run_incremental(
                     spark, args.data_root, args.incremental_state,
@@ -293,6 +301,40 @@ def _render_json(profiles) -> str:
         }
         out.append(json.dumps(obj, sort_keys=True))
     return "\n".join(out) + "\n" if out else ""
+
+
+def _run_dataset_card(spark, data_root: str) -> int:
+    """Print the corpus dataset card (queries.q_corpus_dataset_card) as
+    an aligned table — per-source rows then the rollup TOTAL last."""
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(data_root, "documents.parquet")):
+        sys.stderr.write("No `documents` table under the data root.\n")
+        return 1
+    from overpaint_spark.queries import q_corpus_dataset_card
+
+    rows = q_corpus_dataset_card(spark, data_root).collect()
+    rows.sort(key=lambda r: (r.source == "TOTAL", r.source))
+    headers = [
+        "source", "docs", "chars", "tokens", "langs",
+        "distinct", "dup‰", "quality_ppm",
+    ]
+    table = [
+        [
+            r.source, str(r.n_docs), str(r.total_chars), str(r.total_tokens),
+            str(r.n_langs), str(r.n_distinct_docs), str(r.dup_permille),
+            str(r.mean_quality_ppm),
+        ]
+        for r in rows
+    ]
+    widths = [
+        max(len(h), *(len(t[i]) for t in table)) for i, h in enumerate(headers)
+    ]
+    out = ["  ".join(h.ljust(widths[i]) for i, h in enumerate(headers))]
+    for t in table:
+        out.append("  ".join(t[i].ljust(widths[i]) for i in range(len(headers))))
+    sys.stdout.write("Dataset card (documents):\n\n" + "\n".join(out) + "\n")
+    return 0
 
 
 def _run_incremental(spark, data_root: str, state_dir: str, boxed: bool = False) -> int:

@@ -451,3 +451,25 @@ def test_cli_merge_schema_profiles_evolved_table(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "score" in out  # the evolved column profiles
     assert cli.main([root]) == 0  # default path still works
+
+
+def test_cli_dataset_card(spark, capsys):
+    from overpaint_spark import cli
+
+    assert cli.main(["/root/testdata/sf0.001", "--dataset-card"]) == 0
+    out = capsys.readouterr().out
+    assert "Dataset card (documents):" in out
+    lines = [l for l in out.splitlines() if l.strip()]
+    # header + 20 sources + TOTAL last
+    assert lines[-1].startswith("TOTAL")
+    assert "quality_ppm" in lines[1]
+
+
+def test_cli_dataset_card_no_documents(spark, tmp_path, capsys):
+    from overpaint_spark import cli
+
+    root = str(tmp_path / "empty_root")
+    import os
+    os.makedirs(root)
+    assert cli.main([root, "--dataset-card"]) == 1
+    assert "No `documents` table" in capsys.readouterr().err
