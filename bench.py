@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "embedding_pq_codes",
     "ann_topk_pq",
     "corpus_dataset_card",
+    "ann_topk_ivfpq",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

@@ -180,12 +180,7 @@ def pq_adc_topk(
         lut_rows, f"q_id long, lut array<array<double>>"
     )
 
-    dist = None
-    for mi in range(n_subspaces):
-        term = F.element_at(
-            F.col("lut")[mi], F.col("codes")[mi].cast("int") + F.lit(1)
-        )
-        dist = term if dist is None else dist + term
+    dist = _adc_dist_expr(n_subspaces)
     from pyspark.sql.window import Window
 
     scored = (
@@ -195,6 +190,100 @@ def pq_adc_topk(
             F.col("q_id").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
             dist.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _adc_dist_expr(n_subspaces: int):
+    """Left-to-right LUT-sum expression — the fixed add order is what
+    keeps the distance bit-reproducible in SQL."""
+    dist = None
+    for mi in range(n_subspaces):
+        term = F.element_at(
+            F.col("lut")[mi], F.col("codes")[mi].cast("int") + F.lit(1)
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def ivf_pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production FAISS index shape, composed from the
+    verified pieces: candidates live in coarse centroid lists
+    (similarity.assign_to_centroids, cosine, seeded) and are represented
+    by PQ codes; a query probes its ``n_probe`` nearest lists and scores
+    ONLY those lists' members by ADC lookup — expected work per query is
+    ``n_probe·N/C`` LUT-sums over code bytes, with neither candidate
+    vectors nor out-of-probe lists ever touched.
+
+    This variant codes RAW vectors (FAISS ``by_residual=false``) so the
+    whole index stays SQL-reproducible; residual coding drops in by
+    subtracting the assigned centroid before :func:`pq_encode` at the
+    cost of the oracle. One shuffle: the cluster_id equi-join (query
+    side broadcast); plus the final top-k window."""
+    import numpy as np
+
+    from overpaint_spark.operators.similarity import (
+        assign_to_centroids,
+        seeded_centroids,
+    )
+
+    spark = candidates.sparkSession
+    coarse = seeded_centroids(candidates, n_centroids, id_col, vec_col)
+    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    dsub = dim // n_subspaces
+
+    c_assigned = assign_to_centroids(candidates, coarse, 1, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    indexed = codes.join(c_assigned, id_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    cnorm = np.linalg.norm(coarse, axis=1)
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        sims = (coarse @ qv) / (cnorm * np.linalg.norm(qv))
+        probes = np.argsort(-sims, kind="stable")[:n_probe]
+        lut = [
+            [
+                float(((qv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
+                for ki in range(n_codes)
+            ]
+            for mi in range(n_subspaces)
+        ]
+        for cid in probes:
+            lut_rows.append((int(r[0]), int(cid), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "q_id long, cluster_id int, lut array<array<double>>"
+    )
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        indexed.join(F.broadcast(lut_df), "cluster_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            _adc_dist_expr(n_subspaces).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))

@@ -1857,6 +1857,76 @@ def _oracle_embedding_pq_codes() -> str:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (queries vec_id < 10): the production FAISS index
+    shape — coarse seeded centroid lists probed n_probe=4 deep, members
+    scored by ADC over their PQ codes only. Composes the verified
+    deterministic pieces (IVF assignment margins ≥ 1.1e-5, PQ argmin
+    margins ≥ 2.1e-6, ADC rank gaps ≥ 1.9e-8 — all measured at
+    sf0.001/0.01/0.1), so the full index is SQL-reproducible. Raw-vector
+    coding (by_residual=false); recall-vs-ADC-full pinned in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = QZ.ivf_pq_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        dim=_QUANT_DIM, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        n_subspaces=_PQ_M, n_codes=_PQ_K, k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
+def _oracle_ann_topk_ivfpq() -> str:
+    dsub = _QUANT_DIM // _PQ_M
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        subs.append(
+            f"a_{m} AS (SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY LIST_DISTANCE(v[{lo}:{hi}], cv[{lo}:{hi}]), k) AS rk "
+            "FROM e CROSS JOIN cent)"
+        )
+    joins = " ".join(
+        f"JOIN a_{m} ON a_{m}.vec_id = e.vec_id AND a_{m}.rk = 1"
+        for m in range(_PQ_M)
+    )
+    codecols = ", ".join(f"a_{m}.k AS pq_{m}" for m in range(_PQ_M))
+    dterms = " + ".join(
+        f"POWER(LIST_DISTANCE(q.v[{m * dsub + 1}:{(m + 1) * dsub}], "
+        f"c{m}.cv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
+        for m in range(_PQ_M)
+    )
+    cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        # the same 16 seeded vectors serve as coarse IVF centroids
+        # (cosine assignment, as in _oracle_ann_topk_ivf) and PQ
+        # codebook sources (L2 per subspace slice)
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_PQ_K})), "
+        "casg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, cent.k AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC, cent.k) AS crk "
+        "FROM e CROSS JOIN cent) WHERE crk = 1), "
+        "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, cent.k AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC, cent.k) AS prk "
+        f"FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE prk <= {_IVF_PROBE}), "
+        + ", ".join(subs)
+        + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins}), "
+        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10), "
+        "s AS (SELECT q.q_id AS query_id, cd.vec_id AS neighbor_id, "
+        f"{dterms} AS dist "
+        "FROM probes p JOIN casg ON casg.cid = p.cid "
+        "JOIN cd ON cd.vec_id = casg.vec_id AND cd.vec_id <> p.q_id "
+        f"JOIN q ON q.q_id = p.q_id {cjoins}), "
+        "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
+        "FROM r WHERE rank <= 5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
@@ -4595,6 +4665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_topk_pq": q_ann_topk_pq,
     "corpus_dataset_card": q_corpus_dataset_card,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4716,6 +4787,7 @@ def oracles() -> dict[str, str]:
         "embedding_pq_codes": _oracle_embedding_pq_codes(),
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "corpus_dataset_card": _oracle_corpus_dataset_card(),
+        "ann_topk_ivfpq": _oracle_ann_topk_ivfpq(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

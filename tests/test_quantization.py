@@ -133,3 +133,38 @@ def test_pq_adc_distance_tracks_true_distance(spark):
         got5 = sorted(dists, key=lambda n: (dists[n], n))[:5]
         hits += len(top & set(got5))
     assert hits / (len(true_top) * 5) >= 0.15  # honest random-data floor
+
+
+def test_ivfpq_subset_of_full_adc_with_same_distances(spark):
+    """IVF-PQ = ADC restricted to probed coarse lists: every returned
+    pair must carry exactly the distance full-ADC computes for it, and
+    per query the hits must be candidates from probed clusters only
+    (checked by recomputing the probe/assignment in numpy)."""
+    import numpy as np
+
+    from overpaint_spark.operators import quantization as QZ
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in QZ.pq_adc_topk(e, q, dim=64, k=10**9).collect()
+    }
+    ivfpq = QZ.ivf_pq_topk(e, q, dim=64, k=5).collect()
+    assert len(ivfpq) > 0
+    for r in ivfpq:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=float)
+    order = np.argsort(ids)
+    cmat = x[order[:16]].astype(np.float64)
+    sims = (x @ cmat.T) / (
+        np.linalg.norm(x, axis=1)[:, None] * np.linalg.norm(cmat, axis=1)[None, :]
+    )
+    assign = {int(ids[i]): int(np.argmax(sims[i])) for i in range(len(ids))}
+    for r in ivfpq:
+        qi = int(np.where(ids == r.query_id)[0][0])
+        probes = set(np.argsort(-sims[qi], kind="stable")[:4].tolist())
+        assert assign[r.neighbor_id] in probes
