@@ -74,20 +74,46 @@ def pq_codebooks(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
+    train_sample: int = 4096,
 ):
-    """Deterministic PQ codebooks (numpy, subspaces × codes × sub-dim):
-    each subspace's codebook is the corresponding slice of the
-    ``n_codes`` lowest-id vectors — the same seeded-index trick that
-    makes ann_topk_ivf / semantic_dedup SQL-reproducible (a k-means
-    refinement per subspace drops in without changing the encode plan,
-    exactly as train_kmeans_centroids does for IVF)."""
+    """Deterministic PQ codebooks (numpy, subspaces × codes × sub-dim).
+
+    ``train_iters=0``: each subspace's codebook is the corresponding
+    slice of the ``n_codes`` lowest-id vectors — the seeded-index trick
+    that makes the declared query SQL-reproducible. ``train_iters>0``
+    refines each subspace with that many Lloyd's iterations (L2 mean
+    update, empty cells keep their centroid) on the ``train_sample``
+    lowest-id vectors — deterministic but no longer cheaply
+    SQL-expressible, so the trained variant stays undeclared; the
+    encode/search plans are identical either way. The sample collect is
+    bounded (train_sample × dim doubles) and independent of corpus
+    size — the standard PQ training recipe."""
     import numpy as np
 
     assert dim % n_subspaces == 0, "subspaces must divide dim"
+    dsub = dim // n_subspaces
     rows = vectors.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     mat = np.array([r[0] for r in rows], dtype=np.float64)  # (codes, dim)
-    dsub = dim // n_subspaces
-    return mat.reshape(n_codes, n_subspaces, dsub).transpose(1, 0, 2)
+    cb = mat.reshape(n_codes, n_subspaces, dsub).transpose(1, 0, 2).copy()
+    if train_iters <= 0:
+        return cb
+    srows = vectors.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    smat = np.array([r[0] for r in srows], dtype=np.float64)
+    for mi in range(n_subspaces):
+        sub = smat[:, mi * dsub : (mi + 1) * dsub]
+        cents = cb[mi]
+        for _ in range(train_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new = cents.copy()
+            for ki in range(n_codes):
+                sel = sub[assign == ki]
+                if len(sel):
+                    new[ki] = sel.mean(axis=0)
+            cents = new
+        cb[mi] = cents
+    return cb
 
 
 def pq_encode(
@@ -97,6 +123,7 @@ def pq_encode(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """(id, codes array<int>) — classic product quantization (Jégou et
     al. 2011, the FAISS "PQ" tier): the vector splits into
@@ -112,7 +139,8 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col)
+    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col,
+                      train_iters=train_iters)
     dsub = dim // n_subspaces
 
     def fn(batches):
@@ -143,6 +171,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half
     of the PQ tier: queries stay exact, every candidate is represented
@@ -160,9 +189,11 @@ def pq_adc_topk(
     import numpy as np
 
     spark = candidates.sparkSession
-    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
+                      train_iters=train_iters)
     dsub = dim // n_subspaces
-    codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
+                      train_iters=train_iters)
 
     q_rows = queries.select(id_col, vec_col).collect()
     lut_rows = []

@@ -168,3 +168,30 @@ def test_ivfpq_subset_of_full_adc_with_same_distances(spark):
         qi = int(np.where(ids == r.query_id)[0][0])
         probes = set(np.argsort(-sims[qi], kind="stable")[:4].tolist())
         assert assign[r.neighbor_id] in probes
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd's refinement must improve its own objective — mean squared
+    quantization error (measured 0.75 → 0.56 after 3 iters on the
+    fixture). Note neighbor RECALL does not improve on uniform-random
+    data (trained centroids contract toward the cube center — measured
+    0.22 → 0.16), which is why the declared query keeps the seeded
+    codebooks: determinism costs nothing here."""
+    import numpy as np
+
+    from overpaint_spark.operators import quantization as QZ
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x = np.array([r.embedding for r in e.collect()], dtype=float)
+
+    def mse(cb):
+        err = 0.0
+        for mi in range(8):
+            sub = x[:, mi * 8 : (mi + 1) * 8]
+            d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err / len(x)
+
+    seeded = mse(QZ.pq_codebooks(e, dim=64))
+    trained = mse(QZ.pq_codebooks(e, dim=64, train_iters=3))
+    assert trained < 0.85 * seeded, (seeded, trained)
