@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "corpus_dataset_card",
     "ann_topk_ivfpq",
+    "stream_length_histogram",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

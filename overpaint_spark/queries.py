@@ -4452,6 +4452,43 @@ def _oracle_corpus_length_histogram() -> str:
     )
 
 
+def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length histogram computed by STRUCTURED STREAMING — second
+    oracle-verified streaming query next to stream_corpus_stats, with a
+    different state shape: keyed by derived integer bucket (state =
+    O(buckets) rows) rather than a source dimension, and min/max
+    streaming aggregates next to the count. Same availableNow → memory
+    sink harness; the oracle is the batch twin's SQL verbatim."""
+    import uuid
+
+    from overpaint_spark.streaming.stream_profile import stage_stream_dir
+
+    src = stage_stream_dir(f"{sf_dir}/documents.parquet")
+    schema = _t(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    lo = (F.floor(F.col("n_chars") / _LEN_BUCKET) * _LEN_BUCKET).cast("bigint")
+    agg = stream.groupBy(lo.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    sink = f"stream_len_hist_{uuid.uuid4().hex[:8]}"
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_length_histogram: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial memory-sink table"
+        )
+    return spark.table(sink)
+
+
 def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication pressure: docs, distinct texts, duplicate
     rows, duplicate rate — the recipe-level number that decides where
@@ -4666,6 +4703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "corpus_dataset_card": q_corpus_dataset_card,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "stream_length_histogram": q_stream_length_histogram,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4788,6 +4826,8 @@ def oracles() -> dict[str, str]:
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "corpus_dataset_card": _oracle_corpus_dataset_card(),
         "ann_topk_ivfpq": _oracle_ann_topk_ivfpq(),
+        # streaming twin: identical SQL oracle as the batch histogram
+        "stream_length_histogram": _oracle_corpus_length_histogram(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),
