@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "corpus_dataset_card",
     "ann_topk_ivfpq",
     "stream_length_histogram",
+    "corpus_clean_v2",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",

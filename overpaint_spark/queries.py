@@ -3274,6 +3274,66 @@ def _oracle_corpus_clean() -> str:
     )
 
 
+# band tuned to the fixtures' score spread (≈4.7k–6.6k ppm — the tiny
+# synthetic vocabulary makes trigrams common): cuts both tails at every
+# SF (13+8 docs at sf0.001, 49+77 at sf0.1). The score is an INTEGER, so
+# the boundary comparison is exact in any engine.
+_LM_BAND_LO, _LM_BAND_HI = 5400, 6300
+
+
+def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean with the LM gate added — the FineWeb/CCNet-style
+    four-predicate pipeline: heuristic quality ∧ LM-score band (docs
+    whose average trigram probability is implausibly LOW are gibberish,
+    implausibly HIGH are boilerplate/templates — both cut) ∧ exact-dedup
+    keeper ∧ near-dup cluster survivor. The LM band joins as one more
+    doc_id semi-join, so the payload is still scanned once; every
+    predicate reuses its verified building block."""
+    from overpaint_spark.operators.components import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
+    ).filter(F.col("quality_score") >= 0.5)
+    lm_ok = (
+        q_text_lm_score(spark, sf_dir)
+        .filter(
+            (F.col("lm_score_ppm") >= _LM_BAND_LO)
+            & (F.col("lm_score_ppm") <= _LM_BAND_HI)
+        )
+        .select("doc_id", "lm_score_ppm")
+    )
+    keepers = DD.exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return (
+        dedup_survivors(docs, pairs)
+        .join(keepers, "doc_id", "left_semi")
+        .join(quality_ok, "doc_id")
+        .join(lm_ok, "doc_id")
+        .select("doc_id", "lang", "quality_score", "lm_score_ppm")
+    )
+
+
+def _oracle_corpus_clean_v2() -> str:
+    comp = _oracle_dedup_clusters()
+    quality = _oracle_text_quality()
+    lm = _oracle_text_lm_score()
+    return (
+        f"WITH comp AS ({comp}), q AS ({quality}), lm AS ({lm}) "
+        "SELECT d.doc_id, d.lang, q.quality_score, lm.lm_score_ppm "
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+        "JOIN lm ON d.doc_id = lm.doc_id "
+        "WHERE q.quality_score >= 0.5 "
+        f"AND lm.lm_score_ppm BETWEEN {_LM_BAND_LO} AND {_LM_BAND_HI} "
+        "AND d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text)) "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)"
+    )
+
+
 def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable per-file profile (profiler/incremental.py) folded into a
     per-(table, column) relation — the incremental-monitoring path where
@@ -4704,6 +4764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dataset_card": q_corpus_dataset_card,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "stream_length_histogram": q_stream_length_histogram,
+    "corpus_clean_v2": q_corpus_clean_v2,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -4828,6 +4889,7 @@ def oracles() -> dict[str, str]:
         "ann_topk_ivfpq": _oracle_ann_topk_ivfpq(),
         # streaming twin: identical SQL oracle as the batch histogram
         "stream_length_histogram": _oracle_corpus_length_histogram(),
+        "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -123,6 +123,9 @@ _CROSS_OK = {
     # LM score: the only nested-loop join is the 1-row (total, v)
     # model-size scalar broadcast
     "text_lm_score",
+    # clean v2 embeds the LM score, inheriting the same 1-row scalar
+    # broadcast
+    "corpus_clean_v2",
     # quantization: the only nested-loop join is the 1-row per-dim
     # bounds broadcast
     "embedding_quantize",
