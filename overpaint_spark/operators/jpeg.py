@@ -48,6 +48,12 @@ import struct
 
 import numpy as np
 
+# Decode-side safety cap: a corrupted (or hostile) SOF can claim up to
+# 65535×65535 and make the plane allocation tens of GB before a single
+# coefficient is read — at pipeline scale that is an executor OOM, not
+# an exception. 64 MP covers every sane still image.
+MAX_PIXELS = 64_000_000
+
 # zig-zag index order: ZIGZAG[k] = raster index of the k-th scanned coef
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -261,6 +267,8 @@ def decode_jpeg(payload: bytes):
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8 or h == 0 or w == 0 or not (1 <= nc <= 4):
+                return None
+            if h * w > MAX_PIXELS:
                 return None
             comps = []
             for c in range(nc):

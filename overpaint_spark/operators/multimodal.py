@@ -86,14 +86,21 @@ def _png_decode(payload: bytes):
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
         return None
-    if w <= 0 or h <= 0:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        # dimension cap: a corrupted IHDR must not drive a huge
+        # allocation (an executor OOM, not an exception, at scale)
         return None
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    try:
+        # bounded inflate: IDAT is untrusted — cap expansion at the
+        # exact unfiltered size instead of trusting the deflate stream
+        # (a 1 MB zip bomb expands ~1000×)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), need)
+    except zlib.error:
+        return None
+    if len(raw) < need:
         return None
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

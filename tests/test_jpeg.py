@@ -142,3 +142,39 @@ def test_spark_metadata_reports_real_jpeg_dims(spark):
     row = MM.extract_metadata(assets).collect()[0]
     assert (row.width, row.height) == (30, 20)
     assert row.byte_len == len(payload)
+
+
+def test_fuzz_never_raises():
+    """A decoder fed 100 TB of scraped bytes must refuse, never throw —
+    an exception inside mapInPandas kills the task. Truncations,
+    single-byte corruptions, and magic-prefixed garbage all must return
+    None or a valid array."""
+    rng = np.random.default_rng(42)
+    good = encode_jpeg(_smooth_rgb(24, 33), quality=90, subsample=True,
+                       restart_interval=2)
+    for n in range(0, len(good), 7):
+        decode_jpeg(good[:n])
+    for _ in range(300):
+        buf = bytearray(good)
+        i = int(rng.integers(0, len(buf)))
+        buf[i] = int(rng.integers(0, 256))
+        out = decode_jpeg(bytes(buf))
+        assert out is None or out.dtype == np.uint8
+    for _ in range(100):
+        n = int(rng.integers(2, 400))
+        buf = b"\xff\xd8" + bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        decode_jpeg(buf)
+
+
+def test_hostile_dimensions_capped():
+    """A corrupted SOF claiming 65535x65535 must be refused before any
+    plane allocation (the OOM would kill the executor, not raise)."""
+    import struct
+
+    good = encode_jpeg(_smooth_gray(16, 16), quality=90)
+    # rewrite the SOF0 dims in place
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    buf = bytearray(good)
+    buf[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    assert decode_jpeg(bytes(buf)) is None
