@@ -259,3 +259,40 @@ def test_decode_image_png_rejects_unsupported():
     assert MM.decode_image(patched_ihdr(color=3)) is None  # palette
     assert MM.decode_image(patched_ihdr(interlace=1)) is None
     assert MM.decode_image(good[: len(good) // 2]) is None
+
+
+def test_real_photo_corpus_through_pipeline(spark):
+    """End-to-end on REAL images: Spark's own bundled photos load via
+    the binaryFile source and flow through the Arrow-batched metadata
+    and resize stages with the real JPEG decoder — dimensions must be
+    the files' true dimensions (not the stub's length-derived fake),
+    and every resized payload must be an exact 32×32 RGB raster."""
+    import os
+
+    src = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens"
+    if not os.path.isdir(src):
+        import pytest
+
+        pytest.skip("no spark sample images")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from overpaint_spark.operators import multimodal as MM
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(src)
+        .select(
+            F.row_number().over(Window.orderBy("path")).alias("asset_id"),
+            F.col("content").alias("payload"),
+            "path",
+        )
+    )
+    meta = {r.asset_id: r for r in MM.extract_metadata(raw).collect()}
+    assert len(meta) == 4
+    dims = sorted((r.width, r.height) for r in meta.values())
+    # true dimensions of the four kitten photos
+    assert dims == sorted([(199, 313), (300, 296), (300, 311), (300, 200)])
+    for r in MM.resize_images(raw, width=32, height=32).collect():
+        assert len(r.payload) == 32 * 32 * 3
