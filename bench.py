@@ -212,7 +212,10 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # overridable so test runs don't clobber the committed artifact
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print("BENCH_DETAIL: " + json.dumps(detail), file=sys.stderr, flush=True)

@@ -23,10 +23,16 @@ BUDGET_S = 420.0  # observed ~70 s suite time at sf0.01; 6× headroom
 STDOUT_LIMIT = 1500  # driver tail retention is ~2000 chars
 
 
-def test_bench_suite_under_budget_and_stdout_compact():
+def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01"},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01",
+            # keep the committed sf0.1 artifact intact
+            "SPARK_GRAFT_BENCH_DETAIL": detail_path,
+        },
         capture_output=True,
         text=True,
         timeout=BUDGET_S + 300,
@@ -45,7 +51,7 @@ def test_bench_suite_under_budget_and_stdout_compact():
     assert len(out["queries"]) <= 10  # compact: top-10 slowest only
     assert out["value"] < BUDGET_S, f"suite took {out['value']} s (budget {BUDGET_S})"
 
-    # the full per-query map lands in BENCH_DETAIL.json
-    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    # the full per-query map lands in the detail file
+    detail = json.load(open(detail_path))
     assert set(detail["queries"]) >= set(out["queries"])
     assert len(detail["queries"]) == out["n_queries"]
