@@ -212,7 +212,22 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes):
     """Baseline (SOF0) or progressive (SOF2) JPEG → H×W×C uint8
     (C = 1 gray or 3 RGB), or ``None`` when the stream is out of scope
-    (12-bit, arithmetic-coded, lossless, hierarchical)."""
+    (12-bit, arithmetic-coded, lossless, hierarchical) or malformed.
+
+    Refuse-never-throw contract: scraped corpora contain truncated and
+    hostile payloads, and a raise here fails the whole Spark task, so
+    segment payloads are length-checked before indexing and the body is
+    additionally wrapped in a structural-error backstop."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except (IndexError, struct.error, ZeroDivisionError, ValueError):
+        # Backstop only: the explicit validations below should make this
+        # unreachable, but a corpus decoder must never let a crafted
+        # stream escalate a parsing surprise into a task failure.
+        return None
+
+
+def _decode_jpeg_checked(payload: bytes):
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -243,6 +258,8 @@ def decode_jpeg(payload: bytes):
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):
+                if i + 65 > len(seg):  # truncated table
+                    return None
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 if pq != 0:  # 16-bit tables out of scope
                     return None
@@ -264,24 +281,33 @@ def decode_jpeg(payload: bytes):
                 i += 17 + nv
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            if len(seg) < 6:  # truncated frame header
+                return None
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8 or h == 0 or w == 0 or not (1 <= nc <= 4):
                 return None
-            if h * w > MAX_PIXELS:
+            if h * w > MAX_PIXELS or len(seg) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                hi, vi = hv >> 4, hv & 15
+                if hi == 0 or vi == 0:  # spec minimum is 1; 0 would
+                    return None  # divide-by-zero in _finish's ratios
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/lossless/arithmetic/hierarchical
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or len(seg) < 1:
+                return None
+            if len(seg) < 1 + 2 * seg[0] + 3:  # ns pairs + Ss/Se/AhAl
                 return None
             if progressive:
                 if state is None:

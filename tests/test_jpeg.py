@@ -166,6 +166,43 @@ def test_fuzz_never_raises():
         decode_jpeg(buf)
 
 
+def test_crafted_malformed_segments_refused():
+    """Random mutation rarely produces the segment shapes that used to
+    escape validation; build them deliberately. Each payload is a
+    spec-shaped prefix with one hostile segment: short DQT, truncated
+    SOF/DRI/SOS, and a zero sampling factor (divide-by-zero in the
+    upsample ratios if it reaches _finish)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    soi = b"\xff\xd8"
+    sof_gray = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                   + bytes([1, 1, 0x11, 0]))
+    cases = [
+        soi + seg(0xDB, bytes([0]) + bytes(10)),          # DQT 10<64 vals
+        soi + seg(0xDB, bytes(66) + bytes([0])),          # 2nd table cut
+        soi + seg(0xC0, bytes([8, 0, 8])),                # SOF < 6 bytes
+        soi + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([3, 1, 0x11, 0])),              # nc=3, 1 comp
+        soi + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x01, 0])) + seg(0xDA, bytes(
+                      [1, 1, 0x00, 0, 63, 0])),           # h factor = 0
+        soi + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x10, 0])) + seg(0xDA, bytes(
+                      [1, 1, 0x00, 0, 63, 0])),           # v factor = 0
+        soi + seg(0xDD, b"\x01"),                         # DRI 1<2 bytes
+        soi + sof_gray + seg(0xDA, b"\x01"),              # SOS cut at ns
+        soi + sof_gray + seg(0xDA, bytes([2, 1, 0x00])),  # ns=2, 1 pair
+        soi + sof_gray + seg(0xDA, bytes([1, 1, 0x00])),  # no Ss/Se/AhAl
+        soi + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0])) + seg(0xDA, b"\x01"),  # prog
+    ]
+    for payload in cases:
+        assert decode_jpeg(payload) is None
+
+
 def test_hostile_dimensions_capped():
     """A corrupted SOF claiming 65535x65535 must be refused before any
     plane allocation (the OOM would kill the executor, not raise)."""
