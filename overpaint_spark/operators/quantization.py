@@ -23,19 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this dimensionality the flat aggregate's 2·dim channels strain
+# a single whole-stage-codegen projection (the same failure family as
+# the pre-r3 LSH signature fold); the posexplode path takes over.
+_FLAT_STATS_MAX_DIM = 512
+
+
 def dimension_stats(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> DataFrame:
     """1-row DataFrame with ``mins``/``maxs`` array<double> columns —
-    per-dimension global bounds from one 2·dim-channel aggregate."""
+    per-dimension global bounds.
+
+    dim ≤ 512: ONE aggregate with 2·dim channels — zero shuffles, the
+    stats relation is a single row. Past 512 the wide projection would
+    strain codegen, so the shape switches to posexplode → groupBy(pos):
+    still one pass over the data, min/max partials combine map-side so
+    the shuffle carries only ~#partitions·dim tiny rows, and the dim-row
+    result folds back to one row of arrays. Both paths are exact and
+    compared equal in tests/test_quantization.py."""
     v = F.col(vec_col).cast("array<double>")
-    agg = vectors.agg(
-        *[F.min(v[i]).alias(f"mn_{i}") for i in range(dim)],
-        *[F.max(v[i]).alias(f"mx_{i}") for i in range(dim)],
+    if dim <= _FLAT_STATS_MAX_DIM:
+        agg = vectors.agg(
+            *[F.min(v[i]).alias(f"mn_{i}") for i in range(dim)],
+            *[F.max(v[i]).alias(f"mx_{i}") for i in range(dim)],
+        )
+        return agg.select(
+            F.array(*[F.col(f"mn_{i}") for i in range(dim)]).alias("mins"),
+            F.array(*[F.col(f"mx_{i}") for i in range(dim)]).alias("maxs"),
+        )
+    per_dim = (
+        vectors.select(F.posexplode(v).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     )
-    return agg.select(
-        F.array(*[F.col(f"mn_{i}") for i in range(dim)]).alias("mins"),
-        F.array(*[F.col(f"mx_{i}") for i in range(dim)]).alias("maxs"),
+    packed = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("s")  # array_sort on struct orders by first field = pos
+    )
+    return packed.select(
+        F.transform(F.col("s"), lambda e: e["mn"]).alias("mins"),
+        F.transform(F.col("s"), lambda e: e["mx"]).alias("maxs"),
     )
 
 
@@ -124,6 +153,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    codebook=None,
 ) -> DataFrame:
     """(id, codes array<int>) — classic product quantization (Jégou et
     al. 2011, the FAISS "PQ" tier): the vector splits into
@@ -135,12 +165,18 @@ def pq_encode(
     Scale shape: the codebook is tiny and rides in the task closure;
     encoding is one Arrow-batched pass — per batch, one vectorized
     squared-distance computation per subspace against ``n_codes``
-    entries. Nothing shuffles but the output codes."""
+    entries. Nothing shuffles but the output codes.
+
+    ``codebook``: a precomputed :func:`pq_codebooks` result — callers
+    that already built one (the ADC/IVF-PQ searches) pass it through so
+    the two seeding collect jobs (and any Lloyd's refinement) run
+    once, not twice."""
     import numpy as np
     import pandas as pd
 
-    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col,
-                      train_iters=train_iters)
+    cb = codebook if codebook is not None else pq_codebooks(
+        vectors, dim, n_subspaces, n_codes, id_col, vec_col,
+        train_iters=train_iters)
     dsub = dim // n_subspaces
 
     def fn(batches):
@@ -193,7 +229,7 @@ def pq_adc_topk(
                       train_iters=train_iters)
     dsub = dim // n_subspaces
     codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
-                      train_iters=train_iters)
+                      codebook=cb)
 
     q_rows = queries.select(id_col, vec_col).collect()
     lut_rows = []
@@ -254,6 +290,7 @@ def ivf_pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the production FAISS index shape, composed from the
     verified pieces: candidates live in coarse centroid lists
@@ -263,11 +300,19 @@ def ivf_pq_topk(
     ``n_probe·N/C`` LUT-sums over code bytes, with neither candidate
     vectors nor out-of-probe lists ever touched.
 
-    This variant codes RAW vectors (FAISS ``by_residual=false``) so the
-    whole index stays SQL-reproducible; residual coding drops in by
-    subtracting the assigned centroid before :func:`pq_encode` at the
-    cost of the oracle. One shuffle: the cluster_id equi-join (query
-    side broadcast); plus the final top-k window."""
+    ``by_residual=False`` codes RAW vectors (FAISS ``by_residual=false``)
+    so the whole index stays SQL-reproducible — this is the declared
+    oracle query's shape. ``by_residual=True`` is the production FAISS
+    default: each candidate is coded as its offset from its assigned
+    coarse centroid (residuals are smaller and centered, so the same
+    code budget quantizes finer), and the per-(query, probed-list) LUT
+    becomes ``‖(q − c_list)_m − cb[m][k]‖²`` — same join/scan shape, one
+    extra zip_with in the encode stage, still deterministic (seeded
+    residual codebook) but not cheaply SQL-expressible, so it stays
+    undeclared and is property-tested instead (recall ≥ raw at equal
+    n_probe, distances consistent with an exact numpy re-derivation;
+    tests/test_quantization.py). One shuffle: the cluster_id equi-join
+    (query side broadcast); plus the final top-k window."""
     import numpy as np
 
     from overpaint_spark.operators.similarity import (
@@ -277,13 +322,50 @@ def ivf_pq_topk(
 
     spark = candidates.sparkSession
     coarse = seeded_centroids(candidates, n_centroids, id_col, vec_col)
-    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
     dsub = dim // n_subspaces
 
     c_assigned = assign_to_centroids(candidates, coarse, 1, id_col, vec_col).select(
         id_col, "cluster_id"
     )
-    codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col)
+    if by_residual:
+        # (id, cluster_id, residual vector): one broadcast join against
+        # the C-row centroid relation + a zip_with — no extra shuffle
+        # beyond the assignment join the raw path also pays at encode.
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in coarse[i]]) for i in range(len(coarse))],
+            "cluster_id int, centroid array<double>",
+        )
+        to_code = (
+            candidates.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+            .join(c_assigned, id_col)
+            .join(F.broadcast(cent_df), "cluster_id")
+            .select(
+                id_col,
+                F.zip_with(
+                    F.col(vec_col), F.col("centroid"), lambda v, c: v - c
+                ).alias(vec_col),
+            )
+        )
+        # The n_centroids lowest-id vectors ARE the coarse seeds, so
+        # their residuals are ~zero — seeding the codebook from them
+        # would collapse every code onto the origin. Seed from the next
+        # n_codes ids instead (their residuals are representative
+        # cluster offsets). Still deterministic: ORDER BY id, rows
+        # C..C+K.
+        seed_ids = [
+            r[0]
+            for r in candidates.orderBy(id_col)
+            .limit(n_centroids)
+            .select(id_col)
+            .collect()
+        ]
+        cb_source = to_code.filter(~F.col(id_col).isin(seed_ids))
+    else:
+        to_code = candidates
+        cb_source = candidates
+    cb = pq_codebooks(cb_source, dim, n_subspaces, n_codes, id_col, vec_col)
+    codes = pq_encode(to_code, dim, n_subspaces, n_codes, id_col, vec_col,
+                      codebook=cb)
     indexed = codes.join(c_assigned, id_col)
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -293,14 +375,15 @@ def ivf_pq_topk(
         qv = np.array(r[1], dtype=np.float64)
         sims = (coarse @ qv) / (cnorm * np.linalg.norm(qv))
         probes = np.argsort(-sims, kind="stable")[:n_probe]
-        lut = [
-            [
-                float(((qv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
-                for ki in range(n_codes)
-            ]
-            for mi in range(n_subspaces)
-        ]
         for cid in probes:
+            tv = qv - coarse[cid] if by_residual else qv
+            lut = [
+                [
+                    float(((tv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
+                    for ki in range(n_codes)
+                ]
+                for mi in range(n_subspaces)
+            ]
             lut_rows.append((int(r[0]), int(cid), lut))
     lut_df = spark.createDataFrame(
         lut_rows, "q_id long, cluster_id int, lut array<array<double>>"

@@ -195,3 +195,124 @@ def test_pq_training_reduces_quantization_error(spark):
     seeded = mse(QZ.pq_codebooks(e, dim=64))
     trained = mse(QZ.pq_codebooks(e, dim=64, train_iters=3))
     assert trained < 0.85 * seeded, (seeded, trained)
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=50, dim=16, seed=7):
+    """Clustered synthetic data — the regime residual coding exists for
+    (the sf fixtures are uniform random, quantization's worst case).
+    Centers are spread wide; points are center + small noise; each of
+    the 10 query vectors (ids 0..9) gets a planted near-duplicate."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 10.0, size=(n_clusters, dim))
+    pts = []
+    for ci in range(n_clusters):
+        pts.append(centers[ci] + rng.normal(0.0, 0.5, size=(per_cluster, dim)))
+    x = np.concatenate(pts)
+    rng.shuffle(x)
+    # plant: ids 1000+q duplicate query q with tiny jitter
+    dup = x[:10] + rng.normal(0.0, 0.01, size=(10, dim))
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    rows += [(1000 + q, [float(v) for v in dup[q]]) for q in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, {q: 1000 + q for q in range(10)}
+
+
+def test_ivfpq_residual_recall_and_exact_distances(spark):
+    """The residual-coded variant (FAISS by_residual=true) must (a) find
+    planted near-duplicates at least as often as raw coding at equal
+    n_probe, and (b) return distances that match a full independent
+    numpy re-derivation of the index — seeded centroids, cosine
+    assignment, residual codebooks, codes, LUT sums — to float64
+    round-off."""
+    import numpy as np
+
+    from overpaint_spark.operators import quantization as QZ
+
+    dim, C, M, K, n_probe, k = 16, 8, 4, 8, 2, 5
+    df, planted = _clustered_embeddings(spark, dim=dim)
+    q = df.filter("vec_id < 10")
+
+    def recall(res_rows):
+        by_q = {}
+        for r in res_rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(planted[qi] in by_q.get(qi, set()) for qi in planted)
+
+    raw = QZ.ivf_pq_topk(df, q, dim=dim, n_centroids=C, n_probe=n_probe,
+                         n_subspaces=M, n_codes=K, k=k).collect()
+    res = QZ.ivf_pq_topk(df, q, dim=dim, n_centroids=C, n_probe=n_probe,
+                         n_subspaces=M, n_codes=K, k=k,
+                         by_residual=True).collect()
+    r_raw, r_res = recall(raw), recall(res)
+    assert r_res >= r_raw, (r_res, r_raw)
+    assert r_res >= 8  # near-duplicates must be found on clustered data
+
+    # independent numpy re-derivation
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    cmat = x[order[:C]]
+    cnorm = np.linalg.norm(cmat, axis=1)
+    sims = (x @ cmat.T) / (np.linalg.norm(x, axis=1)[:, None] * cnorm[None, :])
+    assign = np.argmax(sims, axis=1)  # argmax is the stable tie-break
+    resid = x - cmat[assign]
+    dsub = dim // M
+    # residual codebook seeds skip the C coarse-seed ids (their
+    # residuals are ~zero) — ids C..C+K in id order
+    cb = resid[order[C : C + K]].reshape(K, M, dsub).transpose(1, 0, 2)
+    codes = np.empty((len(x), M), dtype=int)
+    for mi in range(M):
+        sub = resid[:, mi * dsub : (mi + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    idx = {int(ids[i]): i for i in range(len(ids))}
+    for r in res:
+        qi, ni = idx[r.query_id], idx[r.neighbor_id]
+        probes = np.argsort(-sims[qi], kind="stable")[:n_probe]
+        assert assign[ni] in probes
+        tv = x[qi] - cmat[assign[ni]]
+        expect = 0.0
+        for mi in range(M):
+            expect += ((tv[mi * dsub : (mi + 1) * dsub]
+                        - cb[mi][codes[ni, mi]]) ** 2).sum()
+        assert abs(expect - r.adc_dist) < 1e-9, (r.query_id, r.neighbor_id)
+
+
+def test_dimension_stats_chunked_path_matches_flat(spark, monkeypatch):
+    """Past _FLAT_STATS_MAX_DIM the stats aggregate switches to
+    posexplode → groupBy(pos); both paths must agree exactly with each
+    other and with numpy."""
+    import numpy as np
+
+    from overpaint_spark.operators import quantization as QZ
+
+    dim = 600  # > 512 → chunked path by default
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(20, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    chunked = QZ.dimension_stats(df, dim).collect()[0]
+    monkeypatch.setattr(QZ, "_FLAT_STATS_MAX_DIM", 4096)
+    flat = QZ.dimension_stats(df, dim).collect()[0]
+    assert chunked.mins == flat.mins and chunked.maxs == flat.maxs
+    assert np.allclose(chunked.mins, x.min(axis=0), atol=0)
+    assert np.allclose(chunked.maxs, x.max(axis=0), atol=0)
+
+
+def test_pq_encode_accepts_precomputed_codebook(spark):
+    """The ADC/IVF-PQ searches pass their codebook through pq_encode;
+    the pass-through must produce codes identical to the self-computed
+    path (and spares two collect jobs per search)."""
+    from overpaint_spark.operators import quantization as QZ
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = QZ.pq_codebooks(e, dim=64)
+    a = {r.vec_id: r.codes for r in QZ.pq_encode(e, dim=64).collect()}
+    b = {r.vec_id: r.codes
+         for r in QZ.pq_encode(e, dim=64, codebook=cb).collect()}
+    assert a == b
