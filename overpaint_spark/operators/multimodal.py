@@ -7,10 +7,13 @@ that needs no external codec library:
 
 - **audio**: s16le PCM — ``np.frombuffer`` IS the decoder,
 - **image**: PPM(P6)/PGM(P5) binary and 24-bit uncompressed BMP —
-  :func:`decode_image` below, pure numpy header+raster parsing,
-- **codec formats** (JPEG/PNG/video): need external libraries absent in
-  this environment — that single call is stubbed deterministically and
-  clearly marked; everything around it is the real pipeline.
+  :func:`decode_image` below, pure numpy header+raster parsing — plus
+  real library-free codec decodes: PNG (non-interlaced 8-bit,
+  :func:`_png_decode` below, bounded inflate) and JPEG (baseline +
+  progressive, :mod:`overpaint_spark.operators.jpeg`),
+- **video**: container-level frame indexing is real; per-frame pixel
+  decode is the one remaining stub (no codec library in this
+  environment), clearly marked where it happens.
 
 The reference's analog is its type-only treatment of ``bytea`` columns
 (listTables.tsx:117): payloads are profiled, never parsed.

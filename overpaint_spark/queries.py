@@ -1397,7 +1397,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_dedup_minhash_lsh() -> str:
+def _minhash_band_ctes() -> str:
+    """CTE body text ``sh, sig, hashed, bands`` shared by the minhash
+    oracle family (lsh / verified / incremental) — composed as a helper
+    so dependent oracles never slice a sibling's rendered SQL (a
+    rewording there would silently corrupt them at a distance)."""
     rows = _MINHASH_K // _MINHASH_BANDS
     # component s = min over shingles of hex chars [8*(s%4)+1, 8] of
     # md5('<s//4>:' || shingle) — the same 4-components-per-md5 family as
@@ -1416,14 +1420,22 @@ def _oracle_dedup_minhash_lsh() -> str:
         for b in range(_MINHASH_BANDS)
     )
     return (
-        f"WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents), "
+        f"sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents), "
         f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
         f"hashed AS (SELECT doc_id, {band_hashes} FROM sig), "
-        f"bands AS ({band_rows}) "
-        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
-        "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+        f"bands AS ({band_rows})"
     )
+
+
+_MINHASH_CANDIDATE_SELECT = (
+    "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+    "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+)
+
+
+def _oracle_dedup_minhash_lsh() -> str:
+    return f"WITH {_minhash_band_ctes()} {_MINHASH_CANDIDATE_SELECT}"
 
 
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,16 +1450,12 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_minhash_verified() -> str:
-    base = _oracle_dedup_minhash_lsh()
-    # rewrap the candidate query as a CTE and add the exact-Jaccard verify
-    cand_sql = base.replace("WITH ", "", 1)
     jac = (
         "CAST(LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE) / "
         "CAST(LEN(sa.ss) + LEN(sb.ss) - LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE)"
     )
-    head, tail = cand_sql.split("SELECT DISTINCT", 1)
     return (
-        f"WITH {head.rstrip()}, cand AS (SELECT DISTINCT {tail}), "
+        f"WITH {_minhash_band_ctes()}, cand AS ({_MINHASH_CANDIDATE_SELECT}), "
         f"sets AS (SELECT doc_id, LIST_DISTINCT(shingles) AS ss FROM sh) "
         f"SELECT a_id, b_id, jaccard FROM ("
         f"SELECT c.a_id, c.b_id, {jac} AS jaccard "
@@ -1476,11 +1484,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_incremental() -> str:
-    base = _oracle_dedup_minhash_lsh()
-    cte = base.replace("WITH ", "", 1).split("SELECT DISTINCT", 1)[0].rstrip()
     m = _INCR_MOD
     return (
-        f"WITH {cte}, "
+        f"WITH {_minhash_band_ctes()}, "
         "exact AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents o "
         f"ON n.doc_id % {m} = 0 AND o.doc_id % {m} <> 0 "
         "AND MD5(n.text) = MD5(o.text)), "
@@ -4177,17 +4183,27 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_corpus_vocabulary() -> str:
+def _vocabulary_ctes() -> str:
+    """CTE body ``toks, c`` shared by the vocabulary / tokenized oracle
+    pair — a helper, not string surgery on a sibling's rendered SQL."""
     return (
-        "WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token "
+        "toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token "
         "FROM documents), "
         "c AS (SELECT token, COUNT(*) AS n_occurrences, "
         "COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token "
-        f"HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}) "
-        "SELECT token, n_occurrences, n_docs, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) "
-        "AS token_id FROM c"
+        f"HAVING COUNT(*) >= {_VOCAB_MIN_COUNT})"
     )
+
+
+_VOCABULARY_SELECT = (
+    "SELECT token, n_occurrences, n_docs, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) "
+    "AS token_id FROM c"
+)
+
+
+def _oracle_corpus_vocabulary() -> str:
+    return f"WITH {_vocabulary_ctes()} {_VOCABULARY_SELECT}"
 
 
 def q_documents_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4213,11 +4229,9 @@ def q_documents_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_documents_tokenized() -> str:
-    base = _oracle_corpus_vocabulary()
-    cte_part, final_select = base.replace("WITH ", "", 1).rsplit("SELECT token", 1)
     return (
-        f"WITH {cte_part.rstrip().rstrip(',')}, "
-        f"vocab AS (SELECT token{final_select}), "
+        f"WITH {_vocabulary_ctes()}, "
+        f"vocab AS ({_VOCABULARY_SELECT}), "
         "t AS (SELECT doc_id, "
         "GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos, "
         "UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) "
@@ -4273,26 +4287,36 @@ def _oracle_dataset_interleave() -> str:
     )
 
 
-_SHUFFLE_SEED, _SHUFFLE_SHARDS, _SHUFFLE_BUCKETS = "shuf42", 8, 256
+_SHUFFLE_SEED, _SHUFFLE_SHARDS = "shuf42", 8
+# Hex-prefix width of the rank buckets: 16^width buckets, so each
+# row_number window task sees ~N/16^width rows. 2 (256 buckets) is right
+# through ~10^9 docs; at 10^10+ raise to 3 (4096 buckets) — the offsets
+# relation stays broadcast-tiny either way. Equivalence across widths is
+# pinned in tests/test_plans.py.
+_SHUFFLE_PREFIX_HEX = 2
+_SHUFFLE_BUCKETS = 16 ** _SHUFFLE_PREFIX_HEX
 
 
-def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dataset_shuffle(
+    spark: SparkSession, sf_dir: str, prefix_hex: int = _SHUFFLE_PREFIX_HEX
+) -> DataFrame:
     """Deterministic global training-order shuffle + shard assignment:
     position = rank of md5(seed:doc_id) — a seeded permutation that is
     stable under repartitioning (no RNG state, reruns bit-identical).
     The global rank is TWO-PHASE (same pattern as q_corpus_vocabulary):
-    docs bucket by the first hex byte of the key — hex prefix order IS
-    md5-string order, so a PARTITIONED row_number per bucket plus a
-    broadcast 256-row prefix offset reproduces the global rank with no
-    single-task sort of the corpus. Shard = position mod n_shards gives
-    the round-robin writer split a training job shards by."""
+    docs bucket by the first ``prefix_hex`` hex chars of the key — hex
+    prefix order IS md5-string order, so a PARTITIONED row_number per
+    bucket plus a broadcast 16^prefix_hex-row prefix offset reproduces
+    the global rank with no single-task sort of the corpus. Shard =
+    position mod n_shards gives the round-robin writer split a training
+    job shards by."""
     d = _t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
         F.md5(
             F.concat_ws(":", F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
         ).alias("skey"),
-    ).withColumn("bkt", F.substring("skey", 1, 2))
+    ).withColumn("bkt", F.substring("skey", 1, prefix_hex))
     sizes = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("bkt_n"))
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.withColumn(

@@ -212,3 +212,16 @@ def test_dataset_shuffle_rank_is_partitioned(spark):
     for line in rn_windows:
         assert "bkt" in line, f"unpartitioned corpus rank: {line}"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dataset_shuffle_prefix_width_equivalence(spark):
+    """The bucket prefix width is a pure partitioning knob (2-hex =
+    256 buckets through ~1e9 docs, 3-hex past that): positions must be
+    identical at any width."""
+    from overpaint_spark.queries import q_dataset_shuffle
+
+    two = {r.doc_id: (r.position, r.shard)
+           for r in q_dataset_shuffle(spark, SF, prefix_hex=2).collect()}
+    three = {r.doc_id: (r.position, r.shard)
+             for r in q_dataset_shuffle(spark, SF, prefix_hex=3).collect()}
+    assert two == three
