@@ -296,3 +296,90 @@ def test_real_photo_corpus_through_pipeline(spark):
     assert dims == sorted([(199, 313), (300, 296), (300, 311), (300, 200)])
     for r in MM.resize_images(raw, width=32, height=32).collect():
         assert len(r.payload) == 32 * 32 * 3
+
+
+def test_avi_mjpeg_roundtrip_pixels():
+    """encode_avi_mjpeg → avi_mjpeg_frames → decode_jpeg must recover
+    every frame's geometry exactly and pixels within JPEG quantization
+    error (gradient frames, gray and RGB)."""
+    import numpy as np
+
+    from overpaint_spark.operators.jpeg import decode_jpeg
+    from overpaint_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        ((yy * 5 + xx * 3 + 40 * i) % 200 + 20).astype(np.uint8)
+        for i in range(3)
+    ]
+    avi = MM.encode_avi_mjpeg(frames, fps=5)
+    out = MM.avi_mjpeg_frames(avi)
+    assert len(out) == 3
+    for i, jp in enumerate(out):
+        arr = decode_jpeg(jp)
+        assert arr is not None and arr.shape == (24, 32, 1)
+        assert np.abs(arr[..., 0].astype(int) - frames[i].astype(int)).mean() < 6
+
+    rgb = [rng.integers(60, 180, size=(16, 16, 3), dtype=np.uint8)
+           for _ in range(2)]
+    # smooth the random noise so 4:4:4 JPEG stays close
+    rgb = [np.repeat(np.repeat(f[::4, ::4], 4, 0), 4, 1) for f in rgb]
+    avi = MM.encode_avi_mjpeg(rgb)
+    out = MM.avi_mjpeg_frames(avi)
+    assert len(out) == 2
+    for i, jp in enumerate(out):
+        arr = decode_jpeg(jp)
+        assert arr is not None and arr.shape == (16, 16, 3)
+        assert np.abs(arr.astype(int) - rgb[i].astype(int)).mean() < 10
+
+
+def test_avi_parser_refuses_malformed():
+    """Truncations, wrong magic, lying chunk sizes, and deep LIST
+    nesting must yield [] or fewer frames — never an exception."""
+    import numpy as np
+
+    from overpaint_spark.operators import multimodal as MM
+
+    f = [np.full((8, 8), 128, dtype=np.uint8)]
+    good = MM.encode_avi_mjpeg(f)
+    assert MM.avi_mjpeg_frames(b"") == []
+    assert MM.avi_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE") == []
+    assert MM.avi_mjpeg_frames(good[:11]) == []
+    for n in range(12, len(good), 13):
+        MM.avi_mjpeg_frames(good[:n])  # must not raise
+    # lying movi chunk size: claims 4 GB
+    evil = bytearray(good)
+    i = evil.find(b"00dc")
+    evil[i + 4 : i + 8] = (0xFFFFFFF0).to_bytes(4, "little")
+    MM.avi_mjpeg_frames(bytes(evil))  # must not raise or allocate 4 GB
+    # deeply nested LISTs (recursion is bounded by payload length/12)
+    nest = b"AVI "
+    for _ in range(50):
+        nest = b"LIST" + len(nest).to_bytes(4, "little") + b"mov " + nest
+    MM.avi_mjpeg_frames(b"RIFF" + len(nest).to_bytes(4, "little") + nest)
+
+
+def test_decode_video_frames_spark(spark):
+    """Distributed AVI decode: geometry and mean luma per frame come
+    back through mapInPandas; a non-AVI payload contributes zero rows."""
+    import numpy as np
+
+    from overpaint_spark.operators import multimodal as MM
+
+    rows = []
+    for aid in range(3):
+        frames = [
+            np.full((8, 16), 50 + 60 * i, dtype=np.uint8)
+            for i in range(aid + 1)
+        ]
+        rows.append((aid, bytearray(MM.encode_avi_mjpeg(frames))))
+    rows.append((99, bytearray(b"not a video")))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = MM.decode_video_frames(assets).collect()
+    assert {r.asset_id for r in out} == {0, 1, 2}
+    assert len(out) == 1 + 2 + 3
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        # solid-gray frames: decoded mean luma within quant error
+        assert abs(r.mean_luma - (50 + 60 * r.frame_idx)) <= 3
