@@ -145,10 +145,15 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "stream_length_histogram",
     "corpus_clean_v2",
+    "embedding_sq8_error",
+    "dedup_substring_spans",
+    "dataset_dsir_weights",
+    "bpe_merge_pairs",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_audio_energy",
     "multimodal_frames",
+    "multimodal_video_frames",
 ]
 
 

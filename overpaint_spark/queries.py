@@ -1693,25 +1693,41 @@ def _oracle_ann_topk_ivf() -> str:
     )
 
 
+# SemDeDup centroid count scales with the corpus so each cluster holds
+# ~_SEM_CLUSTER_TARGET vectors: with C fixed, within-cluster pair work
+# is Σ|cluster|² ≈ N²/C — measured super-linear (α=1.22) in the round-4
+# 10× scale run before this knob existed. C = max(16, N div 125) keeps
+# every fixture SF at exactly C=16 (results and measured margins
+# unchanged) while holding per-cluster work flat as N grows.
+_SEM_CLUSTER_TARGET = 125
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivors (arXiv:2303.09540):
-    embeddings are clustered around the same deterministic seeded
-    centroids as ann_topk_ivf, near-duplicate search runs WITHIN
-    clusters only (one cluster_id equi-join — the Σ|cluster|² bound that
-    makes embedding dedup feasible at 100 TB), and a vector is dropped
-    iff a lower-id cluster-mate is ≥ 0.4 cosine-similar. Fully
-    deterministic, so hash-checkable: fixture margins are ≥ 1.1e-5 for
-    centroid assignment and ≥ 9.8e-6 to the 0.4 threshold (measured at
-    sf0.001/0.01/0.1) — five orders above cross-engine float noise."""
+    embeddings are clustered around deterministic seeded centroids
+    (C = max(16, N/125), the paper's C ∝ N prescription — per-cluster
+    population, and with it the Σ|cluster|² pair bound, stays constant
+    as the corpus grows), near-duplicate search runs WITHIN clusters
+    only (one cluster_id equi-join), and a vector is dropped iff a
+    lower-id cluster-mate is ≥ 0.4 cosine-similar. Fully deterministic,
+    so hash-checkable: fixture margins are ≥ 1.1e-5 for centroid
+    assignment and ≥ 9.8e-6 to the 0.4 threshold (measured at
+    sf0.001/0.01/0.1, where C = 16 exactly) — five orders above
+    cross-engine float noise. Centroid-assignment cost is N·C GEMM
+    flops; past ~10⁸ vectors assign hierarchically (coarse → fine
+    two-level centroids) — documented trade, same output."""
     e = _t(spark, sf_dir, "embeddings")
-    return SEM.semantic_dedup_survivors(e, n_centroids=_IVF_CENTROIDS, tau=0.4)
+    n_cent = max(_IVF_CENTROIDS, e.count() // _SEM_CLUSTER_TARGET)
+    return SEM.semantic_dedup_survivors(e, n_centroids=n_cent, tau=0.4)
 
 
 def _oracle_semantic_dedup() -> str:
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
-        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v "
+        "FROM e), "
+        "cent AS (SELECT cid, v AS cv FROM ranked WHERE cid < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_SEM_CLUSTER_TARGET})), "
         "asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rk FROM e CROSS JOIN cent), "
         "assigned AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1), "
@@ -4361,6 +4377,210 @@ def _oracle_documents_tokenized() -> str:
     )
 
 
+_SPAN_L = 10
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup audit (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" family,
+    re-expressed relationally): every length-10 token window is hashed,
+    a window is a duplicate if it occurs in MORE THAN ONE document, and
+    each doc reports its span count, duplicated-span count, and the
+    duplicated fraction in ppm — the signal used to cut boilerplate
+    that exact whole-doc dedup misses. Shape: one posexplode to
+    O(corpus tokens) span rows, a map-side-combined groupBy on the
+    16-byte span hash for the dup set, and a postings-style equi-join
+    back — the same banded-join family as MinHash-LSH, nothing
+    all-pairs. The ppm math is integer division end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.words(F.col("text"))
+    n = F.size(toks)
+    span_hashes = F.when(
+        n >= _SPAN_L,
+        F.transform(
+            F.sequence(F.lit(1), n - _SPAN_L + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_L))),
+        ),
+    ).otherwise(F.array())
+    spans = d.select("doc_id", F.explode(span_hashes).alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    per = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dp = (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        per.join(dp, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_spans AS BIGINT) AS n_spans",
+            "CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans",
+            "(CAST(COALESCE(n_dup, 0) AS BIGINT) * 1000000) "
+            "div CAST(n_spans AS BIGINT) AS dup_frac_ppm",
+        )
+    )
+
+
+def _oracle_dedup_substring_spans() -> str:
+    L = _SPAN_L
+    return (
+        "WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents), "
+        "s AS (SELECT doc_id, UNNEST(CASE WHEN LEN(t) >= "
+        f"{L} THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {L - 1}), "
+        f"i -> MD5(ARRAY_TO_STRING(t[i:i+{L - 1}], ' '))) ELSE [] END) AS h FROM d), "
+        "dup AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1), "
+        "per AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id), "
+        "dp AS (SELECT doc_id, COUNT(*) AS n_dup FROM s JOIN dup USING (h) "
+        "GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans, "
+        "CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans, "
+        "(CAST(COALESCE(n_dup, 0) AS BIGINT) * 1000000) // CAST(n_spans AS BIGINT) "
+        "AS dup_frac_ppm FROM per LEFT JOIN dp USING (doc_id)"
+    )
+
+
+_DSIR_BUCKETS = 64
+
+
+def _dsir_bucket(tok):
+    """Hashed-unigram feature bucket 0..63, from the first two md5 hex
+    chars via ASCII codes — the one hex→int path both engines share."""
+    h = F.md5(tok)
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % _DSIR_BUCKETS
+
+
+def q_dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169:
+    Data Selection for Language Models via Importance Resampling):
+    score every raw document by how target-like its hashed n-gram
+    features are — here hashed unigrams into 64 buckets, target =
+    the English subset, weight = mean over the doc's tokens of the
+    Laplace-smoothed target/raw probability ratio. Resampling by this
+    weight (documents_sample_weighted composes) uplifts target-domain
+    data at corpus scale. Shape: TWO map-side-combined 64-row bucket
+    aggregates, the per-bucket ratio computed once in the tiny relation
+    and BROADCAST onto one pass over the exploded tokens; only the
+    doc_id re-aggregation is data-sized. Integer-ppm math end-to-end
+    (the published log-ratio variant needs transcendentals — same
+    float-safety trade as text_lm_score; overflow bound: counts·totals·
+    1e6 < 9.2e18 holds through ~3e6-token corpora, then DECIMAL(38,0))."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(TX.words(F.col("text"))).alias("tok")
+    ).withColumn("b", _dsir_bucket(F.col("tok")))
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tr"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("tt"),
+    )
+    B = _DSIR_BUCKETS
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b",
+            "((CAST(COALESCE(ct, 0) AS BIGINT) + 1) * (tr + "
+            f"{B}) * 1000000) div ((CAST(cr AS BIGINT) + 1) * (tt + {B})) "
+            "AS r_ppm",
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("r_ppm").cast("bigint").alias("sum_ppm"),
+        )
+        .selectExpr("doc_id", "n_tokens", "sum_ppm div n_tokens AS dsir_ppm")
+    )
+
+
+def _oracle_dataset_dsir_weights() -> str:
+    B = _DSIR_BUCKETS
+    return (
+        "WITH tk AS (SELECT doc_id, lang, "
+        "UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), "
+        "tb AS (SELECT doc_id, lang, "
+        "(ASCII(SUBSTR(MD5(tok), 1, 1)) * 256 + ASCII(SUBSTR(MD5(tok), 2, 1))) "
+        f"% {B} AS b FROM tk), "
+        "raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b), "
+        "tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt FROM tb), "
+        "ratio AS (SELECT b, ((CAST(COALESCE(ct, 0) AS BIGINT) + 1) * (tr + "
+        f"{B}) * 1000000) // ((CAST(cr AS BIGINT) + 1) * (tt + {B})) AS r_ppm "
+        "FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(r_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS dsir_ppm "
+        "FROM tb JOIN ratio USING (b) GROUP BY doc_id"
+    )
+
+
+_BPE_MIN_COUNT = 3
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE/WordPiece training step, relationally: corpus-wide
+    counts of ADJACENT token pairs (the statistic a BPE trainer
+    maximizes each merge round; Sennrich et al. 2016), floored like the
+    vocabulary, with the argmax pair(s) flagged — ties all flagged, so
+    the relation is deterministic without a global sort. Shape: one
+    posexplode to O(corpus tokens) pair rows, ONE map-side-combined
+    count aggregate (shuffle O(distinct pairs)), and a broadcast 1-row
+    max for the flag."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.words(F.col("text"))
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = d.select(F.explode(pair_arr).alias("pair"))
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= _BPE_MIN_COUNT)
+    )
+    best = counts.agg(F.max("n_occurrences").alias("best_n"))
+    return counts.crossJoin(F.broadcast(best)).select(
+        "pair",
+        "n_occurrences",
+        (F.col("n_occurrences") == F.col("best_n")).alias("is_best_merge"),
+    )
+
+
+def _oracle_bpe_merge_pairs() -> str:
+    return (
+        "WITH d AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents), "
+        "p AS (SELECT UNNEST(CASE WHEN LEN(t) >= 2 THEN "
+        "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS pair FROM d), "
+        "c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM p "
+        f"GROUP BY pair HAVING COUNT(*) >= {_BPE_MIN_COUNT}), "
+        "b AS (SELECT MAX(n_occurrences) AS best_n FROM c) "
+        "SELECT pair, n_occurrences, n_occurrences = best_n AS is_best_merge "
+        "FROM c CROSS JOIN b"
+    )
+
+
 def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-interleaved training order: each doc gets a
     per-source position by md5 rank (stable under repartitioning — no
@@ -4913,6 +5133,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "dataset_dsir_weights": q_dataset_dsir_weights,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops
     "profile_approx_distinct": q_profile_approx_distinct,
@@ -5025,6 +5248,9 @@ def oracles() -> dict[str, str]:
         "stream_corpus_stats": _oracle_corpus_source_stats(),
         "corpus_dup_rate_by_source": _oracle_corpus_dup_rate_by_source(),
         "events_funnel": _oracle_events_funnel(),
+        "dedup_substring_spans": _oracle_dedup_substring_spans(),
+        "dataset_dsir_weights": _oracle_dataset_dsir_weights(),
+        "bpe_merge_pairs": _oracle_bpe_merge_pairs(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "dataset_shuffle": _oracle_dataset_shuffle(),
         "curriculum_stages": _oracle_curriculum_stages(),

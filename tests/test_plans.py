@@ -133,6 +133,15 @@ _CROSS_OK = {
     # of the per-query lookup tables (the candidate side reads codes
     # only — that asymmetry IS the operator)
     "ann_topk_pq",
+    # SQ8 error audit: the 1-row per-dim bounds broadcast, same as
+    # embedding_quantize
+    "embedding_sq8_error",
+    # DSIR: the 1-row (total_raw, total_target) scalar broadcast into
+    # the 64-row bucket-ratio relation
+    "dataset_dsir_weights",
+    # BPE merge: the 1-row argmax-count scalar broadcast for the
+    # is_best_merge flag
+    "bpe_merge_pairs",
 }
 
 

@@ -1,0 +1,93 @@
+"""Empirical scaling measurement: run the heaviest LLM-pipeline queries
+at sf0.1 and at the 10× scale-up (tools/gen_scale10.py), report the
+wall-time scaling exponent alpha = log10(t_10x / t_1x) per query
+(alpha 1.0 = linear, 2.0 = quadratic), and flag any data-sized
+single-partition stage in the 10× plans. Results land in SCALE.md.
+
+Execution mirrors bench.py: one cold build + noop-sink write per query
+per scale (so each time includes plan + codegen once — a constant that
+DEFLATES the exponent for fast queries; the exponent is therefore an
+upper-confidence signal only for queries whose 1× time is well above
+the ~0.3 s codegen floor).
+
+Usage: python tools/scale_check.py [ten_x_dir] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+BASE = "/root/testdata/sf0.1"
+
+# The heaviest declared queries per BENCH_DETAIL, restricted to tables
+# the scale-up actually multiplies (documents / embeddings / events).
+QUERIES = [
+    "corpus_clean_v2",
+    "corpus_clean",
+    "dedup_minhash_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "semantic_dedup",
+    "text_lm_score",
+    "corpus_vocabulary",
+    "documents_tokenized",
+    "dataset_shuffle",
+    "corpus_dataset_card",
+    "embedding_quantize",
+    "embedding_pq_codes",
+    "ann_topk_lsh",
+    "ann_topk_ivfpq",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    from overpaint_spark import queries as Q
+    from overpaint_spark.session import get_spark
+
+    ten_x = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "/tmp/scale_sf1"
+    spark = get_spark()
+    # session warm-up (JVM/Arrow init), same as bench.py
+    spark.read.parquet(f"{BASE}/region.parquet").selectExpr(
+        "min(r_regionkey)"
+    ).write.mode("overwrite").format("noop").save()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = Q.QUERIES[name]
+        row = {}
+        for label, sf_dir in (("t1", BASE), ("t10", ten_x)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            row[label] = round(time.perf_counter() - t0, 3)
+            if label == "t10":
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                row["single_partition_windows"] = sum(
+                    1 for ln in plan.splitlines()
+                    if "Window" in ln and "SinglePartition" in ln
+                )
+        row["alpha"] = round(math.log10(max(row["t10"], 1e-3) / max(row["t1"], 1e-3)), 2)
+        results[name] = row
+        print(f"{name}: {row['t1']}s -> {row['t10']}s  alpha={row['alpha']}  "
+              f"1-part windows={row['single_partition_windows']}", flush=True)
+
+    out = {"base": BASE, "ten_x": ten_x, "queries": results}
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps({n: r["alpha"] for n, r in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
