@@ -495,3 +495,48 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # something must have been rejected for the gate to be exercised
     assert len(got) < incoming.count()
+
+
+def test_streaming_quantize_matches_batch(spark, tmp_path):
+    """Stateless streaming SQ8 encode against FROZEN reference bounds:
+    fixture embeddings arrive as a two-micro-batch stream; codes must
+    equal the batch scalar_quantize output row-for-row (same IEEE-exact
+    expression, bounds collected once from the same corpus), and a
+    drifted out-of-range vector must clamp to 0/255 instead of leaving
+    the int8 code range."""
+    from overpaint_spark.operators.quantization import scalar_quantize
+    from overpaint_spark.streaming.quantize import frozen_bounds, quantize_stream
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    mins, maxs = frozen_bounds(e, dim=64)
+
+    d = str(tmp_path / "vec_stream")
+    e.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(d)
+    e.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out_dir = str(tmp_path / "codes")
+    q = (
+        quantize_stream(stream, mins, maxs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {r.vec_id: list(r.codes) for r in spark.read.parquet(out_dir).collect()}
+    want = {r.vec_id: list(r.codes) for r in scalar_quantize(e, dim=64).collect()}
+    assert got == want and len(got) == e.count()
+
+    # drift clamp: a vector 10x outside the frozen bounds stays in range
+    drifted = spark.createDataFrame(
+        [(999999, [10.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    codes = quantize_stream(drifted, mins, maxs).collect()[0].codes
+    assert all(0 <= c <= 255 for c in codes)
+    assert max(codes) == 255

@@ -15,11 +15,16 @@ problem):
   (the fixture is unit-norm 64-dim) — no artificial near-identical
   pairs;
 - events: user/event ids offset per replica, timestamps untouched —
-  10× users with the original per-user session structure.
+  10× users with the original per-user session structure;
+- orders + lineitem: orderkey-offset replicas (o_orderkey and
+  l_orderkey offset in lockstep so the fact⋈fact join fans out
+  correctly; customer/supplier/part FKs untouched, so dimension joins
+  see 10× fan-in against the same 1× dims — exactly the shape of a
+  bigger day over the same catalog). lineitem 600k → 6M rows.
 
-The remaining TPC-H tables are copied 1×: the measured query set
-(documents/embeddings/events operators — the LLM-pipeline half) never
-reads them; profile/TPC-H queries are benchmarked by bench.py instead.
+The dimension tables (region/nation/customer/supplier/part) are copied
+1×: dims grow far slower than facts in a real warehouse, and the
+broadcast-join plan shape under test assumes exactly that.
 
 Usage: python tools/gen_scale10.py [outdir]   (default /tmp/scale_sf1)
 """
@@ -115,13 +120,32 @@ def main(out: Path) -> None:
         scaled_ev = scaled_ev.unionByName(p)
     scaled_ev.coalesce(8).write.mode("overwrite").parquet(str(out / "events.parquet"))
 
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    ORDER_STRIDE = 10_000_000
+    orders = spark.read.parquet(str(SRC / "orders.parquet"))
+    li = spark.read.parquet(str(SRC / "lineitem.parquet"))
+    o_parts, l_parts = [orders], [li]
+    for k in range(1, K):
+        o_parts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + k * ORDER_STRIDE)
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + k * ORDER_STRIDE)
+        )
+    so, sl = o_parts[0], l_parts[0]
+    for p in o_parts[1:]:
+        so = so.unionByName(p)
+    for p in l_parts[1:]:
+        sl = sl.unionByName(p)
+    so.coalesce(8).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    sl.coalesce(16).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = out / f"{t}.parquet"
         if dst.exists() or dst.is_dir():
             shutil.rmtree(dst, ignore_errors=True)
         shutil.copy(SRC / f"{t}.parquet", dst)
 
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
         n = spark.read.parquet(str(out / f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
 

@@ -23,8 +23,25 @@ import time
 BASE = "/root/testdata/sf0.1"
 
 # The heaviest declared queries per BENCH_DETAIL, restricted to tables
-# the scale-up actually multiplies (documents / embeddings / events).
+# the scale-up actually multiplies (documents / embeddings / events /
+# orders / lineitem; dims stay 1× — broadcast-join shape unchanged).
 QUERIES = [
+    # TPC-H-style analytics over the 10x fact tables
+    "pricing_summary",
+    "revenue_by_nation",
+    "market_share_by_year",
+    "part_profit_by_nation",
+    "shipping_priority",
+    "top_orders_per_customer",
+    "returned_revenue_by_customer",
+    "promo_revenue_share",
+    "pricing_rollup",
+    "priority_line_counts",
+    "customer_order_distribution",
+    # profiler over the 10x dir (all tables, incl. 6M-row lineitem)
+    "profile_minmax_numeric",
+    "profile_rowcounts_exact",
+    # LLM-pipeline half
     "corpus_clean_v2",
     "corpus_clean",
     "dedup_minhash_verified",
