@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "decontaminate_overlap",
     "dataset_pack_concat",
+    "dataset_pack_ffd",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash",

@@ -66,3 +66,72 @@ def pack_budget_check(plan: DataFrame, budget: int) -> DataFrame:
             ),
         )
     )
+
+
+def ffd_pack_plan(
+    docs: DataFrame,
+    token_col: Column,
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """NO-SPLIT packing via first-fit-decreasing: each doc lands whole
+    in exactly one bin of capacity ``budget`` — the packing used when
+    sequences must not straddle an attention boundary (no cross-doc
+    contamination, no truncation). Docs longer than the budget get
+    ``bin_id = -1`` (oversize flag — chunk upstream via
+    documents_chunked, don't silently truncate here).
+
+    FFD is the classic 11/9·OPT + 6/9 bin-packing heuristic; its
+    first-fit recurrence is inherently sequential, so the scalable
+    shape shards the corpus into ``n_buckets`` independent streams by
+    ``id % n_buckets`` (same deterministic integer keying as
+    :func:`concat_pack_plan`) and runs FFD per bucket inside
+    ``applyInPandas`` — one shuffle on the bucket key, per-task state is
+    one open-bin fill array (O(bins in bucket)). Deterministic: within
+    a bucket docs sort by (n_tokens desc, id asc), so re-runs and
+    repartitions produce identical bins. The recurrence is also why
+    this operator declares NO SQL oracle (non-recursive SQL cannot
+    express first-fit); its invariants — per-bin capacity, determinism,
+    bin count ≤ concat-and-cut's doc-aligned upper bound — are pinned
+    in tests/test_packing.py instead.
+
+    Output: (id, bucket, n_tokens, bin_id, bin_fill) where bin_fill is
+    the bin's total AFTER placing the doc (≤ budget for every placed
+    doc)."""
+    import pandas as pd
+
+    t = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(n_buckets)).cast("bigint").alias("bucket"),
+        token_col.cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list = []  # fill level per open bin, index = bin_id
+        bin_ids, bin_fills = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                bin_ids.append(-1)
+                bin_fills.append(n)
+                continue
+            for bi, f in enumerate(fills):
+                if f + n <= budget:
+                    fills[bi] = f + n
+                    bin_ids.append(bi)
+                    bin_fills.append(fills[bi])
+                    break
+            else:
+                fills.append(n)
+                bin_ids.append(len(fills) - 1)
+                bin_fills.append(n)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill"] = pd.Series(bin_fills, dtype="int64")
+        return pdf
+
+    schema = f"{id_col} long, bucket long, n_tokens long, bin_id long, bin_fill long"
+    return t.groupBy("bucket").applyInPandas(pack, schema)

@@ -1374,6 +1374,22 @@ def q_dataset_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT first-fit-decreasing packing into 256-token bins over 8
+    bucket streams (operators/packing.py ffd_pack_plan) — the packing
+    used when sequences must not straddle an attention boundary.
+    Declared WITHOUT a SQL oracle by design: FFD's first-fit recurrence
+    is not expressible in non-recursive SQL; its invariants (per-bin
+    capacity, exact agreement with a python reference FFD per bucket,
+    bin count ≤ the doc-aligned next-fit baseline, determinism under
+    repartition) are pinned in tests/test_packing.py, so the driver
+    records the honest rows-only check."""
+    from overpaint_spark.operators.packing import ffd_pack_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return ffd_pack_plan(d, TX.n_words(F.col("text")), budget=256, n_buckets=8)
+
+
 def _oracle_dataset_pack_concat() -> str:
     return (
         "WITH t AS (SELECT doc_id, doc_id % 8 AS bucket, "
@@ -5137,8 +5153,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_dsir_weights": q_dataset_dsir_weights,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     # oracle-checked approximate ops (fixture margins measured) and
-    # rows-only ops
+    # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
+    # non-recursive SQL form — invariants pinned in tests instead)
     "profile_approx_distinct": q_profile_approx_distinct,
+    "dataset_pack_ffd": q_dataset_pack_ffd,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
