@@ -493,20 +493,29 @@ def avi_mjpeg_frames(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return []
 
-    def walk(buf: bytes, frames: list) -> None:
+    # depth cap: a crafted payload can nest a LIST every 12 bytes, so
+    # unbounded recursion hits the interpreter limit (RecursionError)
+    # around 12 KB of input — an exception the refuse-never-throw
+    # contract forbids. Real AVIs nest 3 deep (RIFF → movi → rec );
+    # anything past 16 is hostile and its subtree is skipped. Recursion
+    # (not a work stack) keeps frames in stream order across sibling
+    # 'rec ' lists.
+    def walk(buf: bytes, frames: list, depth: int) -> None:
+        if depth > 16:
+            return
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
             size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
             body = buf[pos + 8 : pos + 8 + size]
             if fourcc == b"LIST" and len(body) >= 4:
-                walk(body[4:], frames)
+                walk(body[4:], frames, depth + 1)
             elif fourcc[2:4] in (b"dc", b"db") and body[:2] == b"\xff\xd8":
                 frames.append(body)
             pos += 8 + size + (size % 2)
 
     frames: list = []
-    walk(payload[12:], frames)
+    walk(payload[12:], frames, 1)
     return frames
 
 

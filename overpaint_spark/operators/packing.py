@@ -88,13 +88,20 @@ def ffd_pack_plan(
     ``id % n_buckets`` (same deterministic integer keying as
     :func:`concat_pack_plan`) and runs FFD per bucket inside
     ``applyInPandas`` — one shuffle on the bucket key, per-task state is
-    one open-bin fill array (O(bins in bucket)). Deterministic: within
-    a bucket docs sort by (n_tokens desc, id asc), so re-runs and
+    one open-bin remaining-capacity array. Deterministic: within a
+    bucket docs sort by (n_tokens desc, id asc), so re-runs and
     repartitions produce identical bins. The recurrence is also why
     this operator declares NO SQL oracle (non-recursive SQL cannot
     express first-fit); its invariants — per-bin capacity, determinism,
     bin count ≤ concat-and-cut's doc-aligned upper bound — are pinned
     in tests/test_packing.py instead.
+
+    Cost honesty: exact first-fit is O(docs × bins) comparisons per
+    bucket — the scan is a single vectorized numpy argmax per doc, but
+    the asymptotic is real, so size ``n_buckets`` to keep buckets at
+    ~10⁵–10⁶ docs (the knob is free: buckets are independent streams).
+    The O(n log n) tree variants change which bin "first" means and
+    would break bit-reproducibility with this reference implementation.
 
     Output: (id, bucket, n_tokens, bin_id, bin_fill) where bin_fill is
     the bin's total AFTER placing the doc (≤ budget for every placed
@@ -108,10 +115,16 @@ def ffd_pack_plan(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list = []  # fill level per open bin, index = bin_id
+        # remaining capacity per open bin, index = bin_id; first-fit =
+        # index of the FIRST bin with rem >= n (vectorized argmax over
+        # a boolean array — C speed, exact first-fit semantics)
+        rems = np.empty(max(len(pdf), 1), dtype=np.int64)
+        n_bins = 0
         bin_ids, bin_fills = [], []
         for n in pdf["n_tokens"]:
             n = int(n)
@@ -119,16 +132,17 @@ def ffd_pack_plan(
                 bin_ids.append(-1)
                 bin_fills.append(n)
                 continue
-            for bi, f in enumerate(fills):
-                if f + n <= budget:
-                    fills[bi] = f + n
-                    bin_ids.append(bi)
-                    bin_fills.append(fills[bi])
-                    break
+            open_rems = rems[:n_bins]
+            fit = open_rems >= n
+            if fit.any():
+                bi = int(np.argmax(fit))
+                rems[bi] -= n
             else:
-                fills.append(n)
-                bin_ids.append(len(fills) - 1)
-                bin_fills.append(n)
+                bi = n_bins
+                rems[bi] = budget - n
+                n_bins += 1
+            bin_ids.append(bi)
+            bin_fills.append(budget - int(rems[bi]))
         pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
         pdf["bin_fill"] = pd.Series(bin_fills, dtype="int64")
         return pdf

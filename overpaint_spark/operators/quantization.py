@@ -73,12 +73,20 @@ def scalar_quantize(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, codes array<bigint>) with each dimension quantized to the
     0..255 range against the global per-dimension bounds (constant
     dimensions code to 0). The stats row is broadcast; encoding is one
-    codegen stage over the scan."""
-    stats = dimension_stats(vectors, dim, vec_col)
+    codegen stage over the scan.
+
+    ``stats``: a precomputed :func:`dimension_stats` relation — callers
+    that also need the bounds themselves (the SQ8 error audit) pass it
+    through so the bounds aggregate scans the corpus once, not twice,
+    and the audit provably decodes against the bounds it encoded
+    with."""
+    if stats is None:
+        stats = dimension_stats(vectors, dim, vec_col)
     v = F.col(vec_col).cast("array<double>")
     zipped = F.arrays_zip(v.alias("val"), F.col("mins").alias("mn"), F.col("maxs").alias("mx"))
     code = F.transform(
@@ -370,20 +378,27 @@ def ivf_pq_topk(
 
     q_rows = queries.select(id_col, vec_col).collect()
     cnorm = np.linalg.norm(coarse, axis=1)
+
+    def lut_for(tv):
+        return [
+            [
+                float(((tv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
+                for ki in range(n_codes)
+            ]
+            for mi in range(n_subspaces)
+        ]
+
     lut_rows = []
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
         sims = (coarse @ qv) / (cnorm * np.linalg.norm(qv))
         probes = np.argsort(-sims, kind="stable")[:n_probe]
+        # raw coding: the LUT depends only on qv — build once, not per
+        # probed list (residual coding shifts it by the list centroid,
+        # so there it is genuinely per-(query, list))
+        shared = None if by_residual else lut_for(qv)
         for cid in probes:
-            tv = qv - coarse[cid] if by_residual else qv
-            lut = [
-                [
-                    float(((tv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
-                    for ki in range(n_codes)
-                ]
-                for mi in range(n_subspaces)
-            ]
+            lut = lut_for(qv - coarse[cid]) if by_residual else shared
             lut_rows.append((int(r[0]), int(cid), lut))
     lut_df = spark.createDataFrame(
         lut_rows, "q_id long, cluster_id int, lut array<array<double>>"

@@ -1810,8 +1810,8 @@ def q_embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector shuffle."""
     e = _t(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    codes = QZ.scalar_quantize(e, dim=_QUANT_DIM)
     stats = QZ.dimension_stats(e, _QUANT_DIM)
+    codes = QZ.scalar_quantize(e, dim=_QUANT_DIM, stats=stats)
     zipped = (
         vecs.join(codes, "vec_id")
         .crossJoin(F.broadcast(stats))
@@ -4396,7 +4396,7 @@ def _oracle_documents_tokenized() -> str:
 _SPAN_L = 10
 
 
-def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_span_stats(d: DataFrame) -> DataFrame:
     """Exact substring-span dedup audit (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" family,
     re-expressed relationally): every length-10 token window is hashed,
@@ -4407,8 +4407,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus tokens) span rows, a map-side-combined groupBy on the
     16-byte span hash for the dup set, and a postings-style equi-join
     back — the same banded-join family as MinHash-LSH, nothing
-    all-pairs. The ppm math is integer division end-to-end."""
-    d = _t(spark, sf_dir, "documents")
+    all-pairs. The ppm math is integer division end-to-end.
+
+    Takes the documents relation directly so property tests exercise
+    THIS pipeline, not a copy (tests/test_properties.py)."""
     toks = TX.words(F.col("text"))
     n = F.size(toks)
     span_hashes = F.when(
@@ -4443,6 +4445,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_span_stats(_t(spark, sf_dir, "documents"))
+
+
 def _oracle_dedup_substring_spans() -> str:
     L = _SPAN_L
     return (
@@ -4473,7 +4479,7 @@ def _dsir_bucket(tok):
     ) % _DSIR_BUCKETS
 
 
-def q_dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_weights(d: DataFrame) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169:
     Data Selection for Language Models via Importance Resampling):
     score every raw document by how target-like its hashed n-gram
@@ -4481,37 +4487,36 @@ def q_dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the English subset, weight = mean over the doc's tokens of the
     Laplace-smoothed target/raw probability ratio. Resampling by this
     weight (documents_sample_weighted composes) uplifts target-domain
-    data at corpus scale. Shape: TWO map-side-combined 64-row bucket
-    aggregates, the per-bucket ratio computed once in the tiny relation
-    and BROADCAST onto one pass over the exploded tokens; only the
-    doc_id re-aggregation is data-sized. Integer-ppm math end-to-end
-    (the published log-ratio variant needs transcendentals — same
-    float-safety trade as text_lm_score; overflow bound: counts·totals·
-    1e6 < 9.2e18 holds through ~3e6-token corpora, then DECIMAL(38,0))."""
-    d = _t(spark, sf_dir, "documents")
+    data at corpus scale. Shape: TWO passes over the exploded tokens
+    total — ONE map-side-combined 64-row bucket aggregate computing
+    raw and target counts together (count_if folds the target filter
+    into the same scan), totals derived by re-aggregating that tiny
+    relation, the per-bucket ratio BROADCAST onto the scoring pass;
+    only the doc_id re-aggregation is data-sized. Integer-ppm math
+    end-to-end (the published log-ratio variant needs transcendentals —
+    same float-safety trade as text_lm_score; overflow bound:
+    counts·totals·1e6 < 9.2e18 holds through ~3e6-token corpora, then
+    DECIMAL(38,0)).
+
+    Takes the documents relation directly so property tests exercise
+    THIS pipeline, not a copy (tests/test_properties.py)."""
     toks = d.select(
         "doc_id", "lang", F.explode(TX.words(F.col("text"))).alias("tok")
     ).withColumn("b", _dsir_bucket(F.col("tok")))
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("lang") == "en").alias("ct"),
     )
-    tot = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("tr"),
-        F.count_if(F.col("lang") == "en").cast("bigint").alias("tt"),
+    tot = counts.agg(
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.sum("ct").cast("bigint").alias("tt"),
     )
     B = _DSIR_BUCKETS
-    ratio = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "b",
-            "((CAST(COALESCE(ct, 0) AS BIGINT) + 1) * (tr + "
-            f"{B}) * 1000000) div ((CAST(cr AS BIGINT) + 1) * (tt + {B})) "
-            "AS r_ppm",
-        )
+    ratio = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        "((CAST(ct AS BIGINT) + 1) * (tr + "
+        f"{B}) * 1000000) div ((CAST(cr AS BIGINT) + 1) * (tt + {B})) "
+        "AS r_ppm",
     )
     return (
         toks.join(F.broadcast(ratio), "b")
@@ -4522,6 +4527,10 @@ def q_dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("doc_id", "n_tokens", "sum_ppm div n_tokens AS dsir_ppm")
     )
+
+
+def q_dataset_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(_t(spark, sf_dir, "documents"))
 
 
 def _oracle_dataset_dsir_weights() -> str:

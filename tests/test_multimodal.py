@@ -353,11 +353,36 @@ def test_avi_parser_refuses_malformed():
     i = evil.find(b"00dc")
     evil[i + 4 : i + 8] = (0xFFFFFFF0).to_bytes(4, "little")
     MM.avi_mjpeg_frames(bytes(evil))  # must not raise or allocate 4 GB
-    # deeply nested LISTs (recursion is bounded by payload length/12)
-    nest = b"AVI "
-    for _ in range(50):
-        nest = b"LIST" + len(nest).to_bytes(4, "little") + b"mov " + nest
-    MM.avi_mjpeg_frames(b"RIFF" + len(nest).to_bytes(4, "little") + nest)
+    # 5000 correctly-formed nested LISTs: must return [] via the depth
+    # cap, NOT raise RecursionError (a LIST per 12 bytes would otherwise
+    # blow the interpreter limit at ~12 KB of input)
+    nest = b""
+    for _ in range(5000):
+        nest = b"LIST" + (len(nest) + 4).to_bytes(4, "little") + b"mov " + nest
+    assert MM.avi_mjpeg_frames(b"RIFF" + (len(nest) + 4).to_bytes(4, "little")
+                               + b"AVI " + nest) == []
+    # frames INSIDE a legally-nested rec list must still decode, in
+    # stream order relative to top-level frames
+    f2 = [np.full((8, 8), 60, dtype=np.uint8),
+          np.full((8, 8), 180, dtype=np.uint8)]
+    two = MM.encode_avi_mjpeg(f2)
+    movi_at = two.find(b"LIST", 12)
+    # rebuild: movi containing [frame0, rec[frame1]]
+    from overpaint_spark.operators.jpeg import encode_jpeg, decode_jpeg
+
+    def chunk(fcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fcc + len(body).to_bytes(4, "little") + body + pad
+
+    j0, j1 = encode_jpeg(f2[0], quality=90), encode_jpeg(f2[1], quality=90)
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", j1))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", j0) + rec)
+    payload = two[:movi_at] + movi
+    payload = b"RIFF" + (len(payload) + 4 - 8).to_bytes(4, "little") + payload[8:]
+    out = MM.avi_mjpeg_frames(payload)
+    assert len(out) == 2
+    assert abs(int(decode_jpeg(out[0])[..., 0].mean()) - 60) <= 3
+    assert abs(int(decode_jpeg(out[1])[..., 0].mean()) - 180) <= 3
 
 
 def test_decode_video_frames_spark(spark):

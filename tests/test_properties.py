@@ -119,11 +119,11 @@ def test_chunking_reconstructs_documents(spark):
 )
 @settings(max_examples=8, deadline=None)
 def test_substring_spans_match_naive(spark, docs):
-    """dedup_substring_spans' relational pipeline against a brute-force
-    python model on hypothesis corpora: same span counts, same
-    duplicated-span counts (a span is duplicated iff its 10-token
-    window text occurs in more than one document)."""
-    from overpaint_spark.queries import _SPAN_L, q_dedup_substring_spans
+    """substring_span_stats (the pipeline q_dedup_substring_spans
+    declares) against a brute-force python model on hypothesis corpora:
+    same span counts, same duplicated-span counts (a span is duplicated
+    iff its 10-token window text occurs in more than one document)."""
+    from overpaint_spark.queries import _SPAN_L, substring_span_stats
 
     rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
     df = spark.createDataFrame(
@@ -143,33 +143,16 @@ def test_substring_spans_match_naive(spark, docs):
             owners.setdefault(s, set()).add(i)
     dup = {s for s, o in owners.items() if len(o) > 1}
 
-    # the declared query reads from a parquet dir; drive the identical
-    # pipeline expression directly over the in-memory frame instead
-    from pyspark.sql import functions as F
-    from overpaint_spark.functions import text as TX
-
-    toks_col = TX.words(F.col("text"))
-    n = F.size(toks_col)
-    span_hashes = F.when(
-        n >= _SPAN_L,
-        F.transform(
-            F.sequence(F.lit(1), n - _SPAN_L + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks_col, i, _SPAN_L))),
-        ),
-    ).otherwise(F.array())
-    sp = df.select("doc_id", F.explode(span_hashes).alias("h"))
-    dup_df = (
-        sp.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
-        .filter("nd > 1").select("h")
-    )
-    per = {r.doc_id: r.n_spans for r in
-           sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans")).collect()}
-    dups = {r.doc_id: r.nd for r in
-            sp.join(dup_df, "h").groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("nd")).collect()}
+    got = {r.doc_id: r for r in substring_span_stats(df).collect()}
     for i in range(len(docs)):
-        assert per.get(i, 0) == len(spans[i])
-        assert dups.get(i, 0) == sum(1 for s in spans[i] if s in dup)
+        want_spans = len(spans[i])
+        want_dup = sum(1 for s in spans[i] if s in dup)
+        if want_spans == 0:
+            assert i not in got  # no spans -> absent from the relation
+            continue
+        assert got[i].n_spans == want_spans
+        assert got[i].n_dup_spans == want_dup
+        assert got[i].dup_frac_ppm == want_dup * 1_000_000 // want_spans
 
 
 @given(
@@ -186,12 +169,12 @@ def test_substring_spans_match_naive(spark, docs):
 )
 @settings(max_examples=8, deadline=None)
 def test_dsir_weights_match_naive(spark, docs):
-    """dataset_dsir_weights against an integer-exact python model:
-    identical bucket counts, ratios, and per-doc ppm weights."""
+    """dsir_weights (the pipeline q_dataset_dsir_weights declares)
+    against an integer-exact python model: identical per-doc ppm
+    weights."""
     import hashlib
 
-    from overpaint_spark.queries import _DSIR_BUCKETS, _dsir_bucket
-    from pyspark.sql import functions as F
+    from overpaint_spark.queries import _DSIR_BUCKETS, dsir_weights
 
     rows = [(i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(docs)]
     df = spark.createDataFrame(
@@ -224,30 +207,5 @@ def test_dsir_weights_match_naive(spark, docs):
         s = sum(r_ppm[bucket(tok)] for tok in toks)
         want[i] = s // len(toks)
 
-    toks_df = df.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).withColumn("b", _dsir_bucket(F.col("tok")))
-    raw = toks_df.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = toks_df.filter("lang = 'en'").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct"))
-    tot = toks_df.agg(
-        F.count(F.lit(1)).cast("bigint").alias("tr"),
-        F.count_if(F.col("lang") == "en").cast("bigint").alias("tt"),
-    )
-    ratio = raw.join(tgt, "b", "left").crossJoin(F.broadcast(tot)).selectExpr(
-        "b",
-        f"((CAST(COALESCE(ct, 0) AS BIGINT) + 1) * (tr + {B}) * 1000000) "
-        f"div ((CAST(cr AS BIGINT) + 1) * (tt + {B})) AS r_ppm",
-    )
-    got = {
-        r.doc_id: r.dsir_ppm
-        for r in toks_df.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("r_ppm").cast("bigint").alias("s"),
-        )
-        .selectExpr("doc_id", "s div n_tokens AS dsir_ppm")
-        .collect()
-    }
+    got = {r.doc_id: r.dsir_ppm for r in dsir_weights(df).collect()}
     assert got == want
