@@ -289,6 +289,56 @@ def lsh_band_relation(
     )
 
 
+def build_dedup_index(
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable existing-corpus side of the incremental gate:
+    (content-hash relation, band-key relation). Build once per corpus
+    version, write with :func:`persist_dedup_index`, and every daily
+    increment probes the stored index — the corpus text is never
+    re-shingled again (the cost model the gate's docstring promises).
+    Both relations are tiny next to the corpus: 16 B/doc of hashes and
+    one (band_idx, 16 B) row per band per doc."""
+    hashes = existing.select(F.md5(F.col(text_col)).alias("chash")).distinct()
+    band_keys = lsh_band_relation(
+        existing, id_col, text_col, k, num_hashes, bands
+    ).select("band_idx", "band_hash").distinct()
+    return hashes, band_keys
+
+
+def persist_dedup_index(
+    existing: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Materialize the index at ``path`` (``hashes/`` + ``bands/``
+    parquet; bands repartitioned on the join key so the daily probe
+    shuffles only the increment side)."""
+    hashes, band_keys = build_dedup_index(
+        existing, id_col, text_col, k, num_hashes, bands
+    )
+    hashes.repartition("chash").write.mode("overwrite").parquet(f"{path}/hashes")
+    band_keys.repartition("band_idx", "band_hash").write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/hashes"),
+        spark.read.parquet(f"{path}/bands"),
+    )
+
+
 def incremental_dedup_flags(
     existing: DataFrame,
     incoming: DataFrame,
@@ -297,6 +347,8 @@ def incremental_dedup_flags(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    existing_hashes: DataFrame | None = None,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus incremental dedup: flag each INCOMING doc that
     duplicates the EXISTING corpus — the daily-increment admission gate
@@ -313,20 +365,36 @@ def incremental_dedup_flags(
 
     Output: (id, is_exact_dup, is_near_dup, admitted), one row per
     incoming doc.
+
+    ``existing_hashes`` / ``existing_bands``: a prebuilt (optionally
+    persisted+reloaded) :func:`build_dedup_index` pair — when given,
+    the existing corpus' text is never touched, which is the intended
+    production shape (cost ∝ |increment| + index probe). When omitted,
+    the index is derived inline from ``existing`` (fixture/test
+    convenience); equivalence of the two paths is pinned in
+    tests/test_dedup.py.
     """
     in_hash = incoming.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("chash")
     )
-    ex_hash = existing.select(F.md5(F.col(text_col)).alias("chash")).distinct()
+    ex_hash = (
+        existing_hashes
+        if existing_hashes is not None
+        else existing.select(F.md5(F.col(text_col)).alias("chash")).distinct()
+    )
     exact = (
         in_hash.join(ex_hash, "chash", "left_semi")
         .select(id_col)
         .withColumn("is_exact_dup", F.lit(True))
     )
     in_bands = lsh_band_relation(incoming, id_col, text_col, k, num_hashes, bands)
-    ex_bands = lsh_band_relation(
-        existing, id_col, text_col, k, num_hashes, bands
-    ).select("band_idx", "band_hash")
+    ex_bands = (
+        existing_bands.select("band_idx", "band_hash")
+        if existing_bands is not None
+        else lsh_band_relation(
+            existing, id_col, text_col, k, num_hashes, bands
+        ).select("band_idx", "band_hash")
+    )
     near = (
         in_bands.join(ex_bands, ["band_idx", "band_hash"], "left_semi")
         .select(id_col)

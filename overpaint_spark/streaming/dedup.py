@@ -72,6 +72,8 @@ def write_incremental_dedup_stream(
     num_hashes: int = 12,
     bands: int = 4,
     trigger_available_now: bool = False,
+    existing_hashes: DataFrame | None = None,
+    existing_bands: DataFrame | None = None,
 ):
     """Streaming twin of operators/dedup.incremental_dedup_flags: gate an
     ingest stream against a STATIC existing corpus, appending only
@@ -83,8 +85,10 @@ def write_incremental_dedup_stream(
     stream — so each micro-batch runs the SAME batch gate inside
     ``foreachBatch`` (the standard shape for per-batch relational logic,
     as streaming/upsert.py does for CDC merge). Per-batch cost is
-    ∝ |batch| probes of the existing index; the existing side should be
-    the persisted band index at scale (see lsh_band_relation). Replays
+    ∝ |batch| probes of the existing index; at scale pass
+    ``existing_hashes``/``existing_bands`` from
+    operators/dedup.load_dedup_index so the corpus text is never
+    re-shingled per batch (the batch gate's own index contract). Replays
     are idempotent in effect: a re-run batch admits the same rows
     (duplicate FILES on crash-replay are possible with a plain Parquet
     sink — dedup-on-read or a transactional table format removes that,
@@ -100,7 +104,8 @@ def write_incremental_dedup_stream(
         if not batch_df.take(1):
             return
         flags = incremental_dedup_flags(
-            existing, batch_df, id_col, text_col, k, num_hashes, bands
+            existing, batch_df, id_col, text_col, k, num_hashes, bands,
+            existing_hashes=existing_hashes, existing_bands=existing_bands,
         )
         admitted = batch_df.join(
             flags.filter(F.col("admitted")).select(id_col), id_col, "left_semi"

@@ -200,3 +200,45 @@ def test_incremental_dedup_flags(spark):
     assert out[12].admitted and not out[12].is_exact_dup and not out[12].is_near_dup
     # one row per incoming doc, never per band/hash match
     assert len(out) == 3
+
+
+def test_persisted_index_gate_equals_inline(spark, tmp_path):
+    """The production shape — incremental gate probing a PERSISTED
+    band/hash index — must decide identically to the inline path, and
+    its plan must read the existing side from the stored parquet, never
+    re-scanning the corpus text."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators.dedup import (
+        incremental_dedup_flags,
+        load_dedup_index,
+        persist_dedup_index,
+    )
+    from overpaint_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+
+    idx = str(tmp_path / "dedup_index")
+    persist_dedup_index(existing, idx)
+    hashes, bands = load_dedup_index(spark, idx)
+
+    via_index = incremental_dedup_flags(
+        existing, incoming, existing_hashes=hashes, existing_bands=bands
+    )
+    inline = incremental_dedup_flags(existing, incoming)
+    a = {(r.doc_id, r.is_exact_dup, r.is_near_dup, r.admitted)
+         for r in via_index.collect()}
+    b = {(r.doc_id, r.is_exact_dup, r.is_near_dup, r.admitted)
+         for r in inline.collect()}
+    assert a == b and len(a) == incoming.count()
+
+    # the gate must have rejected something for the test to mean much
+    assert any(not adm for (_, _, _, adm) in a)
+    # existing text never rescanned: the only parquet scans besides the
+    # index are the incoming side's
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "dedup_index" in plan
