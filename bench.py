@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "corpus_dataset_card",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_residual",
     "stream_length_histogram",
     "corpus_clean_v2",
     "embedding_sq8_error",

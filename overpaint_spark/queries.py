@@ -1983,6 +1983,28 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-coded IVF-PQ top-5 (FAISS ``by_residual=true``, the
+    production default): identical index shape to ann_topk_ivfpq but
+    candidates are PQ-coded as offsets from their coarse centroid —
+    finer quantization from the same code budget. Declared WITHOUT a
+    SQL oracle by design (the residual codebook seeding + per-list LUT
+    shift has no cheap SQL form), so the driver records the honest
+    rows-only check; value-level evidence is the property test that
+    re-derives the whole index in numpy and matches every distance to
+    1e-9 with recall ≥ the raw coding on planted near-duplicates
+    (tests/test_quantization.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = QZ.ivf_pq_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        dim=_QUANT_DIM, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        n_subspaces=_PQ_M, n_codes=_PQ_K, k=5, by_residual=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
 def _oracle_ann_topk_ivfpq() -> str:
     dsub = _QUANT_DIM // _PQ_M
     subs = []
@@ -5166,6 +5188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # non-recursive SQL form — invariants pinned in tests instead)
     "profile_approx_distinct": q_profile_approx_distinct,
     "dataset_pack_ffd": q_dataset_pack_ffd,
+    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
