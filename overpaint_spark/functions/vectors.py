@@ -37,7 +37,13 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
     """Cosine similarity; pass precomputed norms to avoid recomputing the
     per-vector norm inside an N×M join (norms are computed once per side
-    before the join in every operator here)."""
+    before the join in every operator here).
+
+    Zero-norm vectors (an all-zero embedding from an empty document)
+    yield NULL, not 0/0 = NaN: Spark sorts NaN ABOVE every double, so a
+    NaN similarity would make the zero vector the rank-1 neighbor of
+    every query and pass every ``>= threshold`` filter; NULL is false in
+    every comparison and sorts last under the desc orderings here."""
     na = norm(a) if norm_a is None else norm_a
     nb = norm(b) if norm_b is None else norm_b
-    return dot(a, b) / (na * nb)
+    return F.when((na != 0) & (nb != 0), dot(a, b) / (na * nb))

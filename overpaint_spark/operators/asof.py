@@ -56,13 +56,23 @@ def asof_join_backward(
         .orderBy(F.col("_ts"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the payload carries forward as ONE struct per right row, not as
+    # independent per-column lasts: column-wise last(ignorenulls) cannot
+    # represent a NULL field in the latest right row — it would resurrect
+    # that field's value from an OLDER row and emit a blended row that
+    # never existed on the right side. The struct is non-NULL exactly
+    # for right rows, so ignorenulls selects the latest right ROW whole,
+    # NULL fields included.
+    payload_struct = F.when(
+        F.col("_is_left") == 0,
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]),
+    )
     filled = combined.select(
         *[c for c in left.columns],
         F.col("_is_left"),
-        *[F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w).alias(f"_asof_{c}")
-          for c in payload_cols],
+        F.last(payload_struct, ignorenulls=True).over(w).alias("_asof"),
     )
     out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
     for c in payload_cols:
-        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
-    return out
+        out = out.drop(c).withColumn(c, F.col("_asof")[c])
+    return out.drop("_asof")

@@ -85,6 +85,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         # neighbor messages: each edge forwards the src's current label
         # to dst; groupBy-min folds them with the vertex's own label
@@ -106,7 +107,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent partial labels would let dedup keep several
+        # "representatives" of one duplicate cluster — fail loudly
+        # instead (min-label propagation needs ~graph-diameter rounds;
+        # chain-shaped dup graphs exceed 25 on purpose-built inputs)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — raise max_iter, or use "
+            "the driver union-find path for driver-sized edge lists"
+        )
     return labels.select(F.col("id"), F.col("component"))
 
 

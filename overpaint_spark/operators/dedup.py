@@ -570,7 +570,9 @@ def embedding_near_dup_pairs_numpy(
             if len(ids) == 0:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = (mat @ all_mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * all_norm[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (mat @ all_mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * all_norm[None, :])
+            np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm vectors
             li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
             if len(li):
                 yield pd.DataFrame(
@@ -640,9 +642,11 @@ def embedding_near_dup_pairs_blocked(
         ids_r = right["_id"].to_numpy(dtype=np.int64)
         mat_l = np.array(list(left["_vec"]), dtype=np.float64)
         mat_r = np.array(list(right["_vec"]), dtype=np.float64)
-        sims = (mat_l @ mat_r.T) / (
-            np.linalg.norm(mat_l, axis=1)[:, None] * np.linalg.norm(mat_r, axis=1)[None, :]
-        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (mat_l @ mat_r.T) / (
+                np.linalg.norm(mat_l, axis=1)[:, None] * np.linalg.norm(mat_r, axis=1)[None, :]
+            )
+        np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm vectors
         mask = sims >= threshold
         if bi == bj:
             mask &= ids_l[:, None] < ids_r[None, :]

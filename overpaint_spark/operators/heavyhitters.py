@@ -50,6 +50,8 @@ def approx_top_tokens(
         counts: Counter = Counter()
         for pdf in batches:
             for text in pdf[text_col]:
+                if text is None:  # NULL docs: the exact twin's
+                    continue  # explode(split(..)) skips them too
                 counts.update(text.split(" "))
         if not counts:
             return

@@ -132,6 +132,13 @@ class _BitReader:
             return False
         b = self.buf[self.pos]
         if b == 0xFF:
+            # any run of 0xFF before a marker byte is fill padding
+            # (T.81 B.1.1.2) — skip to the last 0xFF of the run
+            while (
+                self.pos + 1 < len(self.buf)
+                and self.buf[self.pos + 1] == 0xFF
+            ):
+                self.pos += 1
             nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
             if nxt == 0x00:
                 self.pos += 2
@@ -188,9 +195,13 @@ class _BitReader:
         """Byte-align and consume an RSTn marker (restart-interval path)."""
         self.nbits = 0
         if self.marker is None:
-            # marker byte not yet reached — scan forward to it
+            # marker byte not yet reached — scan forward to it,
+            # treating 0xFF runs as fill padding before the marker byte
             while self.pos + 1 < len(self.buf):
-                if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+                if (
+                    self.buf[self.pos] == 0xFF
+                    and self.buf[self.pos + 1] not in (0x00, 0xFF)
+                ):
                     self.marker = self.buf[self.pos + 1]
                     break
                 self.pos += 1
@@ -240,6 +251,11 @@ def _decode_jpeg_checked(payload: bytes):
     n = len(payload)
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
+            return None
+        # fill bytes: any number of 0xFF may precede a marker (B.1.1.2)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
             return None
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:

@@ -391,7 +391,9 @@ def ivf_pq_topk(
     lut_rows = []
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
-        sims = (coarse @ qv) / (cnorm * np.linalg.norm(qv))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (coarse @ qv) / (cnorm * np.linalg.norm(qv))
+        np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm vectors
         probes = np.argsort(-sims, kind="stable")[:n_probe]
         # raw coding: the LUT depends only on qv — build once, not per
         # probed list (residual coding shifts it by the list centroid,

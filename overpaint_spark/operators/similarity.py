@@ -238,9 +238,13 @@ def train_kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-                sims = (mat @ mat_c.T) / (
-                    np.linalg.norm(mat, axis=1)[:, None] * norm_c[None, :]
-                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = (mat @ mat_c.T) / (
+                        np.linalg.norm(mat, axis=1)[:, None] * norm_c[None, :]
+                    )
+                # zero-norm rows: NaN sims would make argmax undefined;
+                # -1 pins them deterministically to centroid 0
+                np.nan_to_num(sims, nan=-1.0, copy=False)
                 assign = np.argmax(sims, axis=1)  # first max = lowest index
                 rows = []
                 for cl in np.unique(assign):
@@ -310,7 +314,9 @@ def assign_to_centroids(
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = (mat @ cmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (mat @ cmat.T) / (np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :])
+            np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm rows
             # stable top-n_assign centroid ids per row
             top = np.argsort(-sims, kind="stable", axis=1)[:, :n_assign]
             yield pd.DataFrame(
@@ -419,14 +425,21 @@ def brute_force_topk_numpy(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(mat) == 0:
                 continue
-            sims = (q_mat @ mat.T) / (q_norm[:, None] * np.linalg.norm(mat, axis=1)[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (q_mat @ mat.T) / (q_norm[:, None] * np.linalg.norm(mat, axis=1)[None, :])
+            np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm vectors
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
                 mask = ids != qid
                 cand_ids, cand_sims = ids[mask], row[mask]
                 if len(cand_ids) > k:
-                    part = np.argpartition(-cand_sims, k)[:k]
-                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                    # deterministic per-partition prune: ties at the
+                    # k-boundary keep the LOWEST neighbor id, matching
+                    # the final window's (sim desc, id asc) contract —
+                    # argpartition's unstable introselect would let the
+                    # kept tie vary with partition layout
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    cand_ids, cand_sims = cand_ids[order], cand_sims[order]
                 yield pd.DataFrame(
                     {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
                 )

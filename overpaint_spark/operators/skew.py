@@ -74,7 +74,18 @@ def salted_join(
     range — n_salt× |small| rows, the price of splitting the hot key
     across n_salt reducers). Join keys become (on, salt), so one hot
     key's rows spread over ``n_salt`` partitions instead of one.
+
+    Only big-side-preserving join types are valid: under right/full
+    (or anti/semi FROM the small side) an unmatched small-side key has
+    ``n_salt`` unmatched replicas and the output would carry n_salt
+    copies of that row — silently wrong, so it is rejected here.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "cross"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got how={how!r}: "
+            "the replicated small side would emit n_salt copies of every "
+            "unmatched small-side row under right/full/semi/anti semantics"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt))
     )

@@ -59,6 +59,16 @@ def streaming_interval_attribution(
         & (F.col(click_ts) <= F.col(purchase_ts))
         & (F.col(click_ts) >= F.col(purchase_ts) - F.expr(f"INTERVAL {max_lag}"))
     )
+    # pass-through columns resolve against their OWN side (p[...] /
+    # c[...]): selecting by bare name would raise AMBIGUOUS_REFERENCE
+    # the moment both streams share any non-key column name; a name
+    # shared by both sides is carried once per side with a _click
+    # suffix on the click copy
+    p_extra = [f.name for f in purchases.schema.fields
+               if f.name not in (on, purchase_ts)]
+    c_extra = [f.name for f in clicks.schema.fields
+               if f.name not in (on, click_ts)]
+    shared = set(p_extra) & set(c_extra)
     return p.join(c, cond, "inner").select(
         p[on].alias(on),
         F.col(purchase_ts),
@@ -66,14 +76,6 @@ def streaming_interval_attribution(
         (
             F.unix_micros(F.col(purchase_ts)) - F.unix_micros(F.col(click_ts))
         ).alias("lag_us"),
-        *[
-            f.name
-            for f in purchases.schema.fields
-            if f.name not in (on, purchase_ts)
-        ],
-        *[
-            f.name
-            for f in clicks.schema.fields
-            if f.name not in (on, click_ts)
-        ],
+        *[p[n] for n in p_extra],
+        *[c[n].alias(f"{n}_click" if n in shared else n) for n in c_extra],
     )

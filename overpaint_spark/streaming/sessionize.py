@@ -64,8 +64,18 @@ def _sessionize_group(
         if t - last > gap_us:
             closed.append((start, last, n))
             start, last, n = t, t, 1
+        elif t < start - gap_us:
+            # cross-batch late arrival older than the open session's
+            # reach: emit it as its own already-closed singleton — with
+            # O(1) single-session state that is the honest policy (the
+            # alternative, folding it into the open session, would move
+            # `last` BACKWARDS and emit sessions whose end precedes
+            # their start)
+            closed.append((t, t, 1))
         else:
-            last, n = t, n + 1
+            # in-gap event, possibly late: the session's bounds only
+            # ever widen — never let a late event drag `last` backwards
+            start, last, n = min(start, t), max(last, t), n + 1
     state.update((start, last, n))
     state.setTimeoutDuration(60 * 60 * 1000)  # flush idle sessions after 1h
 

@@ -103,6 +103,8 @@ def streaming_top_tokens(
         counts: Counter = Counter()
         for pdf in batches:
             for text in pdf[text_col]:
+                if text is None:  # a NULL row must not kill the
+                    continue  # long-running streaming query
                 counts.update(text.split(" "))
         if counts:
             yield pd.DataFrame(

@@ -117,3 +117,21 @@ def test_sessionize_agrees_with_native_session_window(spark):
         (u, s.isoformat(), e_.isoformat()): n for (u, s, e_), n in native.items()
     }
     assert norm_ours == norm_native
+
+
+def test_null_payload_in_latest_right_row_not_resurrected(spark):
+    """A NULL field in the matched right row must come through as NULL —
+    per-column carry-forward would resurrect the older row's value and
+    emit a (px, qty) combination that never existed on the right."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators.asof import asof_join_backward
+
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, 10), ("a", 2, None, 20)],
+        "k string, ts int, px double, qty int",
+    )
+    left = spark.createDataFrame([("a", 3)], "k string, ts int")
+    out = asof_join_backward(left, right, "k", "ts", "ts", ["px", "qty"]).collect()
+    assert len(out) == 1
+    assert out[0].px is None and out[0].qty == 20

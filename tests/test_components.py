@@ -77,3 +77,21 @@ def test_survivors_no_pairs_is_identity(spark):
     )
     pairs = spark.createDataFrame([], "a_id long, b_id long")
     assert dedup_survivors(docs, pairs).count() == 3
+
+
+def test_unconverged_distributed_loop_raises(spark):
+    """A 30-vertex chain needs ~29 propagation rounds; with max_iter=3
+    the distributed loop must FAIL LOUDLY — silent partial labels would
+    let dedup keep several representatives of one cluster."""
+    import pytest
+
+    from overpaint_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3, driver_threshold=0).collect()
+    # the same graph converges fine with enough rounds
+    ok = connected_components(edges, max_iter=40, driver_threshold=0)
+    assert {r.component for r in ok.collect()} == {0}

@@ -38,3 +38,16 @@ def test_tiny_budget_still_returns_k_and_superset_counts(spark, sf_dir):
     }
     for tok, n in approx.items():
         assert n <= exact[tok]
+
+
+def test_null_text_rows_skipped_not_crashed(spark):
+    """A NULL document must behave like the exact twin's
+    explode(split(...)) — contribute nothing — not raise AttributeError
+    inside the Arrow batch and kill the job."""
+    from overpaint_spark.operators.heavyhitters import approx_top_tokens
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, None), (2, "b")], "doc_id long, text string"
+    )
+    out = {r.token: r.n for r in approx_top_tokens(df, k=5).collect()}
+    assert out == {"a": 2, "b": 2}

@@ -215,3 +215,30 @@ def test_hostile_dimensions_capped():
     buf = bytearray(good)
     buf[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
     assert decode_jpeg(bytes(buf)) is None
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; real encoders emit them before SOS and RSTn. A padded
+    stream must decode identically to the unpadded one (pre-fix the
+    walk misread FF FF as marker 0xFF and refused the file)."""
+    import numpy as np
+
+    img = _smooth_gray(24, 24)
+    good = encode_jpeg(img, quality=90, restart_interval=2)
+
+    # pad before every marker segment boundary we can find in the
+    # header (after SOI), plus before every RSTn in the entropy data
+    out = bytearray()
+    i = 0
+    while i < len(good):
+        if (good[i] == 0xFF and i + 1 < len(good)
+                and good[i + 1] not in (0x00,) and good[i + 1] != 0xFF
+                and i > 0):
+            out += b"\xff\xff"  # two fill bytes before the marker
+        out.append(good[i])
+        i += 1
+    padded = bytes(out)
+    a, b = decode_jpeg(good), decode_jpeg(padded)
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)

@@ -176,3 +176,41 @@ def test_lsh_signature_executes_at_dim_512(spark):
         top = min(rs, key=lambda r: r.rank)
         assert top.neighbor_id % 3 == q % 3
         assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rs)
+
+
+def test_zero_norm_vector_never_wins(spark):
+    """An all-zero embedding (an empty document) has undefined cosine:
+    0/0 = NaN, and Spark sorts NaN ABOVE every double — pre-fix the zero
+    vector ranked as the #1 neighbor of every query and passed every
+    threshold filter. It must now never appear as a neighbor, never pass
+    a near-dup threshold, and never crash the numpy paths."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators import dedup as DD
+    from overpaint_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (99, [0.0, 0.0, 0.0, 0.0]),  # the hostile zero vector
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter("vec_id = 0")
+
+    top = SIM.brute_force_topk(e, q, k=2).collect()
+    assert all(r.neighbor_id != 99 for r in top)
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [1, 2]
+
+    top_np = SIM.brute_force_topk_numpy(e, q, k=2).collect()
+    assert all(r.neighbor_id != 99 for r in top_np)
+
+    pairs = DD.embedding_near_dup_pairs(e, threshold=0.4).collect()
+    assert all(99 not in (r.a_id, r.b_id) for r in pairs)
+    pairs_np = DD.embedding_near_dup_pairs_numpy(e, threshold=0.4).collect()
+    assert all(99 not in (r.a_id, r.b_id) for r in pairs_np)
+
+    # assignment paths must stay deterministic, not crash on NaN
+    cmat = SIM.seeded_centroids(e, 2)
+    assigned = SIM.assign_to_centroids(e, cmat, 1).collect()
+    assert len(assigned) == 4

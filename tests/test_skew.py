@@ -55,3 +55,19 @@ def test_salted_join_matches_plain(spark):
     plain_lo = sorted((r.rid, r.tag) for r in big.join(small2, "k", "left").collect())
     salted_lo = sorted((r.rid, r.tag) for r in salted_join(big, small2, "k", salt_col="rid", n_salt=4, how="left").collect())
     assert plain_lo == salted_lo
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """right/full joins would emit n_salt copies of every unmatched
+    small-side row — must raise, not silently multiply."""
+    import pytest
+
+    from overpaint_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(2, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(big, small, "k", salt_col="k", n_salt=4, how="full")
+    # the valid shapes still work
+    out = salted_join(big, small, "k", salt_col="k", n_salt=4, how="left")
+    assert out.count() == 1

@@ -540,3 +540,62 @@ def test_streaming_quantize_matches_batch(spark, tmp_path):
     codes = quantize_stream(drifted, mins, maxs).collect()[0].codes
     assert all(0 <= c <= 255 for c in codes)
     assert max(codes) == 255
+
+
+def test_sessionize_late_event_never_moves_session_backwards():
+    """Cross-batch late arrivals: an in-gap late event widens the open
+    session (start shrinks, `last` never decreases); an older-than-reach
+    late event becomes its own closed singleton. No emitted session may
+    end before it starts (the pre-fix behavior emitted end < start)."""
+    import pandas as pd
+
+    from overpaint_spark.streaming import sessionize as SZ
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def run_batch(state, ts_list):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list)})
+        return list(SZ._sessionize_group((1,), [pdf], state))
+
+    st = FakeState()
+    # batch 1: one event at 10:00
+    assert run_batch(st, ["2024-01-01 10:00:00"]) == []
+    # batch 2: late 09:45 (in gap — widens session), then 10:29 (in gap)
+    out = run_batch(st, ["2024-01-01 09:45:00", "2024-01-01 10:29:00"])
+    assert out == []  # still one open session, nothing closed
+    start, last, n = st.get
+    assert n == 3
+    assert pd.Timestamp(start, unit="us") == pd.Timestamp("2024-01-01 09:45:00")
+    assert pd.Timestamp(last, unit="us") == pd.Timestamp("2024-01-01 10:29:00")
+    # batch 3: 08:00 is older than the session's reach → closed singleton
+    out = run_batch(st, ["2024-01-01 08:00:00"])
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row.session_start == row.session_end == pd.Timestamp("2024-01-01 08:00:00")
+    assert row.n_events == 1
+    # every emitted session must satisfy end >= start by construction
+    # batch 4: 11:30 closes the widened session
+    out = run_batch(st, ["2024-01-01 11:30:00"])
+    row = out[0].iloc[0]
+    assert row.session_start == pd.Timestamp("2024-01-01 09:45:00")
+    assert row.session_end == pd.Timestamp("2024-01-01 10:29:00")
+    assert row.n_events == 3
