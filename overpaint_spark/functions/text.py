@@ -146,14 +146,22 @@ def stopword_count(text: Column) -> Column:
 
 def quality_components(text: Column) -> dict[str, Column]:
     """Ratio signals for document quality, each an exact double division
-    of two integer counts (bit-identical across engines)."""
+    of two integer counts (bit-identical across engines).
+
+    Zero denominators (an empty document) yield NULL ratios rather than
+    a job-killing DIVIDE_BY_ZERO — Spark 4 runs ANSI mode by default and
+    this project never disables it; the oracle mirrors with NULLIF."""
     nw = n_words(text).cast("double")
     nc = F.length(text).cast("double")
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den != 0, num / den)
+
     return {
-        "punct_ratio": punct_count(text).cast("double") / nc,
-        "digit_ratio": digit_count(text).cast("double") / nc,
-        "stopword_ratio": stopword_count(text).cast("double") / nw,
-        "type_token_ratio": n_distinct_words(text).cast("double") / nw,
+        "punct_ratio": ratio(punct_count(text).cast("double"), nc),
+        "digit_ratio": ratio(digit_count(text).cast("double"), nc),
+        "stopword_ratio": ratio(stopword_count(text).cast("double"), nw),
+        "type_token_ratio": ratio(n_distinct_words(text).cast("double"), nw),
     }
 
 

@@ -102,8 +102,16 @@ def _sketch_input(c, dt: T.DataType):
 
 
 def _strip_scheme(p: str) -> str:
-    """``file:/x`` / ``file:///x`` → ``/x`` (Hadoop URI → local path)."""
-    return re.sub(r"^file:/+", "/", p)
+    """``file:/x`` / ``file:///x`` → ``/x`` (Hadoop URI → local path).
+
+    ``input_file_name()`` yields PERCENT-ENCODED URIs (a space is
+    ``%20``), while ``list_data_files`` yields raw OS paths — without
+    decoding, a table path containing a space/non-ASCII char makes the
+    incremental seen-set miss every file, re-profiling (and
+    double-counting) the whole table on every run."""
+    from urllib.parse import unquote
+
+    return unquote(re.sub(r"^file:/+", "/", p))
 
 
 def list_data_files(path: str) -> list[tuple[str, int]]:
@@ -150,11 +158,21 @@ def profile_files_df(
     per 10-table build — the top bench cost of the incremental query);
     string SQL is a handful of calls regardless of column count.
     """
+    listed = list_data_files(path)  # ONE directory walk serves both
     if files is None:
-        files = [p for p, _sz in list_data_files(path)]
+        files = [p for p, _sz in listed]
     if not files:
         return spark.createDataFrame([], STATE_SCHEMA)
-    sizes = dict(list_data_files(path))
+    sizes = dict(listed)
+    # input_file_name() percent-encodes; the map must answer for both
+    # the raw OS path and its encoded form (they differ iff the path
+    # contains chars like spaces)
+    from urllib.parse import quote
+
+    for p, sz in list(sizes.items()):
+        q = quote(p, safe="/")
+        if q != p:
+            sizes[q] = sz
     # same TIMESTAMP(NANOS) escape hatch as sources.catalog.load_table:
     # Spark 4 rejects nanos parquet timestamps; read as raw ns longs and
     # truncate to micros (what DuckDB/pandas do too). The raw long stays
@@ -303,6 +321,10 @@ def incremental_update(
         profile_files_df(spark, table_name, path, files=new, lg_k=lg_k).write.mode(
             "append"
         ).parquet(state_dir)
+    elif not have_state:
+        # first run over an empty table: nothing written, no state dir
+        # to read — an empty state relation, not PATH_NOT_FOUND
+        return IncrementalResult([], spark.createDataFrame([], STATE_SCHEMA))
     return IncrementalResult(new, spark.read.parquet(state_dir))
 
 

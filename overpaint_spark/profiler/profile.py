@@ -130,7 +130,13 @@ def _top_values_for(
     rank (same plan as the declared ``profile_top_values`` query)."""
     from pyspark.sql.window import Window
 
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+    # escape both the string literal and the identifier: column names
+    # with quotes/backticks must not break (or inject into) the stack
+    # expression — the same bq/lit discipline as profiler/incremental.py
+    stack_args = ", ".join(
+        "'" + c.replace("'", "''") + "', `" + c.replace("`", "``") + "`"
+        for c in cols
+    )
     pairs = df.selectExpr(f"stack({len(cols)}, {stack_args}) as (cname, value)")
     w = Window.partitionBy("cname").orderBy(F.col("n").desc(), F.col("value"))
     rows = (
@@ -343,11 +349,19 @@ def profile_minmax_df(
             continue
         aggs = []
         for c in cols:
-            aggs.append(F.min(c).cast(out_type).alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast(out_type).alias(f"mx_{c}"))
+            # df[c] resolves the exact name (F.min(str) would parse
+            # dots as struct access and choke on backticks)
+            aggs.append(F.min(df[c]).cast(out_type).alias(f"mn_{c}"))
+            aggs.append(F.max(df[c]).cast(out_type).alias(f"mx_{c}"))
         wide = df.agg(*aggs)
-        # unpivot the single wide row to long form, JVM-side (stack)
-        stack_args = ", ".join(f"'{c}', `mn_{c}`, `mx_{c}`" for c in cols)
+        # unpivot the single wide row to long form, JVM-side (stack);
+        # escape literals and identifiers like _top_values_for
+        stack_args = ", ".join(
+            "'" + c.replace("'", "''") + "', `"
+            + f"mn_{c}".replace("`", "``") + "`, `"
+            + f"mx_{c}".replace("`", "``") + "`"
+            for c in cols
+        )
         long = wide.selectExpr(
             f"stack({len(cols)}, {stack_args}) as (column_name, min_value, max_value)"
         ).select(

@@ -2241,8 +2241,10 @@ def _oracle_text_quality() -> str:
         f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({stop_list}))) AS DOUBLE) AS ns, "
         "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS nu "
         "FROM documents), "
-        "r AS (SELECT doc_id, nw, np / nc AS punct_ratio, nd / nc AS digit_ratio, "
-        "ns / nw AS stopword_ratio, nu / nw AS type_token_ratio FROM m) "
+        "r AS (SELECT doc_id, nw, np / NULLIF(nc, 0) AS punct_ratio, "
+        "nd / NULLIF(nc, 0) AS digit_ratio, "
+        "ns / NULLIF(nw, 0) AS stopword_ratio, "
+        "nu / NULLIF(nw, 0) AS type_token_ratio FROM m) "
         "SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio, type_token_ratio, "
         f"{score} AS quality_score, {score} >= 0.5 AS is_quality FROM r"
     )

@@ -192,14 +192,21 @@ def metric_zscores(
     NULL z.
 
     One window pass partitioned by (table, column, metric) ordered by
-    run_id; state per group is O(1) aggregates, so a years-long run
+    run id; state per group is O(1) aggregates, so a years-long run
     history stays a single cheap shuffle of metric rows, never data.
+
+    Run ordering is (length, lexicographic): plain lexicographic order
+    would rank ``run10`` BEFORE ``run2`` and score each run against a
+    baseline containing later runs. Length-then-lex orders numeric
+    suffixes of a common prefix correctly and leaves fixed-width ids
+    (ISO timestamps, zero-padded counters — the recommended scheme)
+    exactly as before.
     """
     from pyspark.sql.window import Window
 
     w = (
         Window.partitionBy("table_name", "column_name", "metric")
-        .orderBy("run_id")
+        .orderBy(F.length("run_id"), F.col("run_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     h = history.filter(F.col("value_num").isNotNull()).select(

@@ -160,10 +160,18 @@ def evaluate_rules(
     Output: (table_name, rule_name, column_name, metric_value long,
     passed boolean), ordered by the natural (table, rule, column) key.
     """
+    empty_schema = (
+        "table_name string, rule_name string, column_name string, "
+        "metric_value long, passed boolean"
+    )
     parts = []
     for tname in sorted(rules):
         tdf = tables[tname]
         trules = rules[tname]
+        if not trules:
+            # a table mapped to zero rules (config mid-edit) contributes
+            # nothing — df.agg() with no expressions would assert
+            continue
         aggs = [r.metric().cast("long").alias(f"m_{i}") for i, r in enumerate(trules)]
         wide = tdf.agg(*aggs)
         rows = []
@@ -180,6 +188,10 @@ def evaluate_rules(
             )
         long = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
         parts.append(long)
+    if not parts:
+        # an empty suite evaluates to an empty metrics relation, not an
+        # IndexError — the on-call's '{}' config edit must not crash
+        return spark.createDataFrame([], empty_schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

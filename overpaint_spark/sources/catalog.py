@@ -87,12 +87,26 @@ def _parquet_files(path: str) -> list[str]:
 
 
 def _mtime_key(path: str) -> float:
-    """Cheap invalidation token: the table path's own mtime (bumped when
-    files are added/replaced in a directory table or a file is rewritten)."""
+    """Cheap invalidation token: the MAX mtime over the table path and
+    every directory beneath it. The root's own mtime alone is not
+    enough for partitioned tables — appending a file inside an existing
+    ``date=.../`` subdirectory bumps that subdirectory's mtime, not the
+    root's, and a root-only key would serve stale footer counts and
+    cached DataFrames for the rest of the process. Walking directory
+    entries only (never stat-ing data files) keeps this proportional to
+    partition count, not file count."""
     try:
-        return os.stat(path).st_mtime
+        newest = os.stat(path).st_mtime
     except OSError:
         return -1.0
+    if os.path.isdir(path):
+        for root, dirs, _names in os.walk(path):
+            for d in dirs:
+                try:
+                    newest = max(newest, os.stat(os.path.join(root, d)).st_mtime)
+                except OSError:
+                    pass
+    return newest
 
 
 @lru_cache(maxsize=4096)

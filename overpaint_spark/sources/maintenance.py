@@ -73,8 +73,12 @@ def compact_partitions(
         part_dir = os.path.join(path, f"{partition_col}={value}")
         # write to a sibling temp dir, then swap: Spark cannot overwrite
         # a path it is concurrently reading, and the swap shrinks the
-        # non-atomic window to one rename
-        tmp_dir = part_dir + "._compact_tmp"
+        # non-atomic window to one rename. The temp name is DOT-PREFIXED
+        # so partition discovery ignores it — a `<value>._compact_tmp`
+        # sibling would be parsed as a real partition value and
+        # double-count rows for concurrent readers (or permanently, if
+        # a crash leaves it behind)
+        tmp_dir = os.path.join(path, f".{partition_col}={value}._compact_tmp")
         (
             spark.read.parquet(part_dir)
             .coalesce(target)

@@ -26,8 +26,13 @@ from pyspark.sql import functions as F
 def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Map a value into the integer grid [0, 2^bits): linear scale from
     [lo, hi], clamped (out-of-bounds values sort to the grid edge —
-    layout quality degrades gracefully if bounds are stale)."""
+    layout quality degrades gracefully if bounds are stale). Equal
+    bounds (a constant column, e.g. stale stats of a single-tenant
+    extract) grid everything to 0 rather than dividing by zero — ANSI
+    mode would otherwise abort the whole z-order write."""
     top = (1 << bits) - 1
+    if hi == lo:
+        return F.lit(0).cast("long")
     frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     idx = F.floor(frac * F.lit(float(top)))
     return F.greatest(F.lit(0), F.least(F.lit(top), idx)).cast("long")

@@ -244,3 +244,21 @@ def test_histogram_spec_parse():
     assert (s2.lo, s2.hi, s2.n_bins) == (-5.0, 5.0, 20)
     with _pytest.raises(ValueError, match="bad histogram spec"):
         HistogramSpec.parse("nodot:0:1")
+
+
+def test_zscore_run_ordering_is_length_then_lex(spark):
+    """run1..run12: lexicographic ordering would baseline run2 against
+    run10-12 (future runs); length-then-lex must order numeric suffixes
+    correctly, so only run12's z fires for the spike planted last."""
+    from overpaint_spark.rules.drift import metric_zscores
+
+    rows = [(f"run{i}", "t", "c", "m", 100.0) for i in range(1, 12)]
+    rows.append(("run12", "t", "c", "m", 500.0))  # the spike, LAST
+    h = spark.createDataFrame(
+        rows, "run_id string, table_name string, column_name string, "
+              "metric string, value_num double"
+    )
+    out = {r.run_id: r for r in metric_zscores(h, threshold=3.0).collect()}
+    assert out["run12"].anomaly  # spike scored against the 11 priors
+    for i in range(4, 12):  # past min_history warmup
+        assert not out[f"run{i}"].anomaly, f"run{i} wrongly anomalous"

@@ -147,3 +147,18 @@ def test_sql_rules_from_json_config(spark):
            evaluate_rules(spark, {"t": df}, suite).collect()}
     assert out["nonneg"].passed
     assert out["sql_metric"].passed and out["sql_metric"].metric_value == 3
+
+
+def test_empty_suite_and_empty_table_rules_yield_empty_metrics(spark):
+    """'{}' or a table mapped to [] (a config mid-edit) must evaluate to
+    an empty metrics relation, not IndexError / empty-agg assertion."""
+    from overpaint_spark.rules.rules import evaluate_rules
+
+    out = evaluate_rules(spark, {}, {})
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "table_name", "rule_name", "column_name", "metric_value", "passed"
+    }
+    df = spark.createDataFrame([(1,)], "x long")
+    out2 = evaluate_rules(spark, {"t": df}, {"t": []})
+    assert out2.count() == 0

@@ -112,3 +112,25 @@ def test_redactions_sequential_counts(spark):
     assert out[2].n_entity == 3 and out[2].t == "<entity> <entity> <entity>"
     assert out[3].n_email == out[3].n_ip == out[3].n_entity == 0
     assert out[3].t == "clean text"
+
+
+def test_empty_document_yields_null_ratios_not_divide_by_zero(spark):
+    """ANSI mode is on by default in Spark 4 and this project never
+    disables it: an empty document must produce NULL ratios, not a
+    job-killing DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.functions import text as TX
+
+    df = spark.createDataFrame([(0, ""), (1, "a b")], "doc_id long, text string")
+    comp = TX.quality_components(F.col("text"))
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        comp["punct_ratio"].alias("pr"),
+        TX.quality_score(F.col("text")).alias("qs"),
+    ).collect()}
+    # char-denominator ratios are NULL; the composite still evaluates
+    # (LEAST ignores NULLs identically in Spark and DuckDB, so the
+    # empty doc scores 0.255 in both engines — low, as it should)
+    assert rows[0].pr is None and abs(rows[0].qs - 0.255) < 1e-9
+    assert rows[1].pr is not None and rows[1].qs is not None
