@@ -227,20 +227,31 @@ def main() -> int:
         json.dump(detail, f, indent=1, sort_keys=True)
     print("BENCH_DETAIL: " + json.dumps(detail), file=sys.stderr, flush=True)
 
-    top10 = dict(sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10])
-    compact = json.dumps(
-        {
-            "metric": "overpaint_spark headline queries wall time",
-            "value": total,
-            "unit": "sec",
-            "queries": top10,
-            "sf": sf_val,
-            "n_queries": len(timings),
-            "detail": "BENCH_DETAIL.json",
-        },
-        separators=(",", ":"),
-    )
-    assert len(compact) < 1500, f"stdout bench line too long: {len(compact)}"
+    # the driver keeps only a ~2000-char stdout tail: shrink the slowest-
+    # queries map until the line fits rather than asserting (asserts
+    # vanish under python -O, and aborting here would discard a completed
+    # multi-minute suite run over a formatting overflow)
+    compact = ""
+    for top_n in (10, 5, 3, 0):
+        top = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
+        )
+        compact = json.dumps(
+            {
+                "metric": "overpaint_spark headline queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": top,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) < 1500:
+            break
+    if len(compact) >= 1500:
+        raise RuntimeError(f"stdout bench line too long even empty: {len(compact)}")
     print(compact, file=real_stdout, flush=True)
     spark.stop()
     return 0

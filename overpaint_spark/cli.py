@@ -116,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--drift-against requires --snapshot-dir and --run-id")
     if args.anomaly and not args.snapshot_dir:
         parser.error("--anomaly requires --snapshot-dir and --run-id")
+    # the three standalone modes return before the snapshot/drift tail
+    # runs — combining them would silently drop explicitly requested
+    # monitoring outputs (a hole in the history no scheduler alerts on)
+    standalone = ("--rules" if args.rules else
+                  "--dataset-card" if args.dataset_card else
+                  "--incremental-state" if args.incremental_state else None)
+    if standalone and (args.snapshot_dir or args.drift_against or args.anomaly
+                       or args.histogram):
+        parser.error(
+            f"{standalone} is a standalone mode and cannot be combined with "
+            "--snapshot-dir/--drift-against/--anomaly/--histogram"
+        )
 
     try:
         # unreachable data root = unreachable database (listTables.tsx:526-529)
@@ -124,8 +136,17 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import SparkSession
 
         # only stop a session this process created — embedded callers
-        # (tests, notebooks) keep theirs
-        preexisting = SparkSession.getActiveSession() is not None
+        # (tests, notebooks) keep theirs. getActiveSession() alone is
+        # THREAD-LOCAL: invoked from a worker thread of a host app it
+        # returns None while getOrCreate() still hands back the shared
+        # default session — which the finally block would then stop
+        # under the caller. Check the process-wide context too.
+        from pyspark import SparkContext
+
+        preexisting = (
+            SparkSession.getActiveSession() is not None
+            or SparkContext._active_spark_context is not None
+        )
         spark = get_spark("overpaint-profile")
         try:
             if args.rules:
@@ -149,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write(_render_json(profiles))
             else:
                 sys.stdout.write(render_tables(profiles, mode, boxed=args.boxed))
+            # monitoring chatter must not pollute a machine-readable
+            # stdout: under --format json the notes go to stderr
+            _note = (sys.stderr.write if args.format == "json"
+                     else sys.stdout.write)
             if args.snapshot_dir:
                 from overpaint_spark.rules.drift import (
                     read_profile_snapshot,
@@ -164,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                     exact=args.exact, merge_schema=args.merge_schema,
                     profiles=profiles,
                 )
-                sys.stdout.write(
+                _note(
                     f"\nSnapshot written: run_id={args.run_id} -> {args.snapshot_dir}\n"
                 )
                 if args.histogram:
@@ -180,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
                         spark, load_all(spark, args.data_root), hist_dir,
                         args.run_id, specs,
                     )
-                    sys.stdout.write(
+                    _note(
                         f"Histograms written: {len(specs)} spec(s) -> {hist_dir}\n"
                     )
                     if args.drift_against:
@@ -190,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                             spark, hist_dir, args.run_id, args.drift_against
                         ):
                             flag = " " if band == "stable" else "!"
-                            sys.stdout.write(
+                            _note(
                                 f"{flag} PSI {t}.{c} vs {args.drift_against}: "
                                 f"{val:.4f} ({band})\n"
                             )
@@ -208,14 +233,14 @@ def main(argv: list[str] | None = None) -> int:
                         .orderBy("table_name", "column_name", "metric")
                         .collect()
                     )
-                    sys.stdout.write(
+                    _note(
                         f"\nAnomaly scan run {args.run_id} "
                         f"({len(hits)} anomalies):\n"
                     )
                     for r in hits:
                         col = r.column_name or "-"
                         z = "z=const-break" if r.zscore is None else f"z={r.zscore:+.1f}"
-                        sys.stdout.write(
+                        _note(
                             f"! {r.table_name}.{col} {r.metric}: "
                             f"{r.value_num} vs mean {r.history_mean:.2f} "
                             f"({z}, n={r.n_history})\n"
@@ -231,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
                         .collect()
                     )
                     if schema_rows:
-                        sys.stdout.write(
+                        _note(
                             f"\nSchema drift vs run {args.drift_against} "
                             f"({len(schema_rows)} changes):\n"
                         )
@@ -241,7 +266,7 @@ def main(argv: list[str] | None = None) -> int:
                                 "removed": f"- {r.prev_type}",
                                 "type_changed": f"{r.prev_type} -> {r.curr_type}",
                             }[r.status]
-                            sys.stdout.write(
+                            _note(
                                 f"! {r.table_name}.{r.column_name} "
                                 f"{r.status}: {detail}\n"
                             )
@@ -250,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
                         .orderBy("table_name", "column_name", "metric")
                         .collect()
                     )
-                    sys.stdout.write(
+                    _note(
                         f"\nDrift vs run {args.drift_against} "
                         f"({sum(r.drift_alert for r in rows)} alerts):\n"
                     )
@@ -259,7 +284,7 @@ def main(argv: list[str] | None = None) -> int:
                             continue
                         col = r.column_name or "-"
                         pct = "" if r.pct_change is None else f" ({r.pct_change:+.1%})"
-                        sys.stdout.write(
+                        _note(
                             f"! {r.table_name}.{col} {r.metric}: "
                             f"{r.prev_value} -> {r.curr_value}{pct}\n"
                         )
@@ -361,9 +386,14 @@ def _run_incremental(spark, data_root: str, state_dir: str, boxed: bool = False)
         res = incremental_update(spark, h.name, h.path, state_dir)
         new_counts[h.name] = len(res.new_files)
     merged: dict[str, dict[str, object]] = {}
-    # no tables discovered → no state was ever written; reading the
-    # state dir would raise PATH_NOT_FOUND instead of the empty profile
-    if handles:
+    # the state dir exists only once some table contributed a data file
+    # — tables can be discovered yet all be empty (a just-initialized
+    # lake layout), so gate on the WRITTEN STATE, not on table count;
+    # reading an unwritten path would raise PATH_NOT_FOUND
+    have_state = os.path.isdir(state_dir) and any(
+        n.endswith(".parquet") for n in os.listdir(state_dir)
+    )
+    if have_state:
         state = spark.read.parquet(state_dir)
         for r in merged_column_profile(state).collect():
             merged.setdefault(r.table_name, {})[r.column_name] = r

@@ -1732,8 +1732,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float noise. Centroid-assignment cost is N·C GEMM
     flops; past ~10⁸ vectors assign hierarchically (coarse → fine
     two-level centroids) — documented trade, same output."""
+    from overpaint_spark.sources.catalog import footer_row_count
+
     e = _t(spark, sf_dir, "embeddings")
-    n_cent = max(_IVF_CENTROIDS, e.count() // _SEM_CLUSTER_TARGET)
+    # exact N from parquet footer metadata (cached, zero Spark jobs) —
+    # e.count() here would launch a full scan at PLAN-BUILD time for
+    # every caller that merely constructs the query
+    n = footer_row_count(f"{sf_dir}/embeddings.parquet")
+    n_cent = max(_IVF_CENTROIDS, n // _SEM_CLUSTER_TARGET)
     return SEM.semantic_dedup_survivors(e, n_centroids=n_cent, tau=0.4)
 
 
@@ -3887,7 +3893,20 @@ def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_corpus_stats: availableNow trigger did not complete "
             "within 300 s — refusing to return a partial memory-sink table"
         )
-    return spark.table(sink)
+    return _drain_memory_sink(spark, sink)
+
+
+def _drain_memory_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Materialize a completed memory-sink table as a local relation and
+    DROP the sink view: the uuid-named tables would otherwise accumulate
+    in the session catalog (and driver memory) for the lifetime of a
+    long-lived session that keeps invoking the streaming queries. The
+    results are tiny by construction (complete-mode aggregates over
+    small dimensions)."""
+    table = spark.table(sink)
+    rows, schema = table.collect(), table.schema
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, schema)
 
 
 def _oracle_corpus_source_stats() -> str:
@@ -4959,7 +4978,7 @@ def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_length_histogram: availableNow trigger did not complete "
             "within 300 s — refusing to return a partial memory-sink table"
         )
-    return spark.table(sink)
+    return _drain_memory_sink(spark, sink)
 
 
 def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

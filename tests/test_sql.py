@@ -54,3 +54,20 @@ def test_sql_join_gets_broadcast_plan(spark):
     # Catalyst plans the tiny dimension as a broadcast join for SQL text
     # exactly as it does for the DataFrame API
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_cli_standalone_modes_reject_monitoring_flags(tmp_path):
+    """--incremental-state combined with --snapshot-dir must error, not
+    silently skip the requested snapshot (a hole in monitoring history
+    no scheduler would alert on)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "overpaint_spark.cli", "/root/testdata/sf0.001",
+         "--incremental-state", str(tmp_path / "st"),
+         "--snapshot-dir", str(tmp_path / "snaps"), "--run-id", "r1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "standalone mode" in proc.stderr
