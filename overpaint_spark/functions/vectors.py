@@ -40,10 +40,17 @@ def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | 
     before the join in every operator here).
 
     Zero-norm vectors (an all-zero embedding from an empty document)
-    yield NULL, not 0/0 = NaN: Spark sorts NaN ABOVE every double, so a
+    yield -1.0, not 0/0 = NaN: Spark sorts NaN ABOVE every double, so a
     NaN similarity would make the zero vector the rank-1 neighbor of
-    every query and pass every ``>= threshold`` filter; NULL is false in
-    every comparison and sorts last under the desc orderings here."""
+    every query and pass every ``>= threshold`` filter; -1.0 fails every
+    real threshold and sorts last under the desc orderings here. -1.0
+    (not NULL) because the vectorized numpy twins
+    (``brute_force_topk_numpy``, ``embedding_near_dup_pairs_numpy``)
+    pin the same case via ``nan_to_num(nan=-1.0)`` — both declared
+    paths must emit identical rows for identical input (pinned in
+    tests/test_similarity.py)."""
     na = norm(a) if norm_a is None else norm_a
     nb = norm(b) if norm_b is None else norm_b
-    return F.when((na != 0) & (nb != 0), dot(a, b) / (na * nb))
+    return F.when((na != 0) & (nb != 0), dot(a, b) / (na * nb)).otherwise(
+        F.lit(-1.0)
+    )

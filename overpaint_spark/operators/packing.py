@@ -105,7 +105,11 @@ def ffd_pack_plan(
 
     Output: (id, bucket, n_tokens, bin_id, bin_fill) where bin_fill is
     the bin's total AFTER placing the doc (≤ budget for every placed
-    doc)."""
+    doc). Docs with a NULL token count (NULL text upstream) are flagged
+    ``bin_id = -1`` like oversize docs — routed around the pandas stage
+    entirely, since a NULL would reach ``pack()`` as NaN and crash the
+    task (the same NULL-doc crash class r4 fixed in heavyhitters and
+    streaming/topk)."""
     import pandas as pd
 
     t = docs.select(
@@ -113,6 +117,14 @@ def ffd_pack_plan(
         (F.col(id_col) % F.lit(n_buckets)).cast("bigint").alias("bucket"),
         token_col.cast("bigint").alias("n_tokens"),
     )
+    bad = t.filter(F.col("n_tokens").isNull()).select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.lit(-1).cast("bigint").alias("bin_id"),
+        F.lit(0).cast("bigint").alias("bin_fill"),
+    )
+    t = t.filter(F.col("n_tokens").isNotNull())
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -148,4 +160,4 @@ def ffd_pack_plan(
         return pdf
 
     schema = f"{id_col} long, bucket long, n_tokens long, bin_id long, bin_fill long"
-    return t.groupBy("bucket").applyInPandas(pack, schema)
+    return t.groupBy("bucket").applyInPandas(pack, schema).unionByName(bad)

@@ -41,12 +41,21 @@ def dimension_stats(
     still one pass over the data, min/max partials combine map-side so
     the shuffle carries only ~#partitions·dim tiny rows, and the dim-row
     result folds back to one row of arrays. Both paths are exact and
-    compared equal in tests/test_quantization.py."""
+    compared equal in tests/test_quantization.py.
+
+    Degenerate inputs behave IDENTICALLY on both paths (r4 advisor
+    finding — they used to diverge): an empty relation yields one row
+    of length-``dim`` all-NULL arrays on either path (the flat path's
+    global agg does this natively; the posexplode path normalizes its
+    collected entries to ``dim`` map lookups); vectors shorter than
+    ``dim`` contribute nothing to the missing trailing positions on
+    either path (``try_element_at`` in the flat path — plain ``getItem``
+    would throw under ANSI while posexplode silently shrank)."""
     v = F.col(vec_col).cast("array<double>")
     if dim <= _FLAT_STATS_MAX_DIM:
         agg = vectors.agg(
-            *[F.min(v[i]).alias(f"mn_{i}") for i in range(dim)],
-            *[F.max(v[i]).alias(f"mx_{i}") for i in range(dim)],
+            *[F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn_{i}") for i in range(dim)],
+            *[F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx_{i}") for i in range(dim)],
         )
         return agg.select(
             F.array(*[F.col(f"mn_{i}") for i in range(dim)]).alias("mins"),
@@ -58,13 +67,14 @@ def dimension_stats(
         .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     )
     packed = per_dim.agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "mn", "mx"))
-        ).alias("s")  # array_sort on struct orders by first field = pos
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("pos", F.struct("mn", "mx"))))
+        ).alias("m")  # pos -> (mn, mx); empty map on empty input
     )
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
     return packed.select(
-        F.transform(F.col("s"), lambda e: e["mn"]).alias("mins"),
-        F.transform(F.col("s"), lambda e: e["mx"]).alias("maxs"),
+        F.transform(dims, lambda i: F.try_element_at(F.col("m"), i)["mn"]).alias("mins"),
+        F.transform(dims, lambda i: F.try_element_at(F.col("m"), i)["mx"]).alias("maxs"),
     )
 
 

@@ -94,7 +94,18 @@ def _mtime_key(path: str) -> float:
     root's, and a root-only key would serve stale footer counts and
     cached DataFrames for the rest of the process. Walking directory
     entries only (never stat-ing data files) keeps this proportional to
-    partition count, not file count."""
+    partition count, not file count.
+
+    Known limitation (immutable-file assumption): an IN-PLACE rewrite
+    of an existing data file changes no directory entry, so no mtime
+    in this key moves and cached counts stay stale until process
+    restart. Every parquet writer this engine supports (Spark, arrow,
+    duckdb) writes NEW files and deletes old ones — both of which bump
+    the containing directory — so the key is sound for append,
+    overwrite-as-replace, and partition-add; only an external tool
+    truncating bytes inside an existing ``.parquet`` file escapes it,
+    and guarding that would mean stat-ing every data file on every
+    lookup (the exact cost this cache exists to avoid)."""
     try:
         newest = os.stat(path).st_mtime
     except OSError:

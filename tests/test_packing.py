@@ -162,3 +162,23 @@ def test_ffd_deterministic_under_repartition(spark, sf_dir):
         docs.repartition(17), TX.n_words(F.col("text")), budget=BUDGET, n_buckets=8
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ffd_null_token_count_flags_not_crashes(spark):
+    """A NULL text (NULL token count) must flag bin_id = -1, not crash
+    the pandas task with int(NaN) — the r4 advisor's NULL-doc crash
+    class (same family heavyhitters/streaming-topk fixed in r4)."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators.packing import ffd_pack_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    tok = F.when(
+        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+    )
+    got = {r.doc_id: r for r in ffd_pack_plan(docs, tok, budget=4).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1].bin_id == -1 and got[1].n_tokens is None
+    assert got[0].bin_id >= 0 and got[2].bin_id >= 0

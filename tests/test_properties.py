@@ -183,7 +183,7 @@ def test_dsir_weights_match_naive(spark, docs):
 
     def bucket(tok: str) -> int:
         h = hashlib.md5(tok.encode()).hexdigest()
-        return (ord(h[0]) * 256 + ord(h[1])) % _DSIR_BUCKETS
+        return (ord(h[0]) * 13 + ord(h[1])) % _DSIR_BUCKETS
 
     cr, ct = {}, {}
     tr = tt = 0
@@ -209,3 +209,14 @@ def test_dsir_weights_match_naive(spark, docs):
 
     got = {r.doc_id: r.dsir_ppm for r in dsir_weights(df).collect()}
     assert got == want
+
+
+def test_dsir_bucket_feature_space_is_full():
+    """All 64 hashed-feature buckets are reachable from two md5 hex
+    chars (the r4 advisor caught a *256 multiplier that vanished mod 64
+    and silently collapsed DSIR resolution to 16 buckets)."""
+    from overpaint_spark.queries import _DSIR_BUCKETS
+
+    hexv = [ord(c) for c in "0123456789abcdef"]
+    reached = {(13 * a + b) % _DSIR_BUCKETS for a in hexv for b in hexv}
+    assert len(reached) == _DSIR_BUCKETS

@@ -316,3 +316,33 @@ def test_pq_encode_accepts_precomputed_codebook(spark):
     b = {r.vec_id: r.codes
          for r in QZ.pq_encode(e, dim=64, codebook=cb).collect()}
     assert a == b
+
+
+def test_dimension_stats_degenerate_inputs_paths_agree(spark, monkeypatch):
+    """Empty relations and ragged (shorter-than-dim) vectors behave
+    IDENTICALLY on the flat and posexplode paths (r4 advisor: they used
+    to diverge — flat returned dim NULLs on empty while posexplode
+    returned empty arrays, and ragged input threw under ANSI on flat
+    while silently shrinking on posexplode)."""
+    dim = 4
+
+    def both(df):
+        monkeypatch.setattr(QZ, "_FLAT_STATS_MAX_DIM", 0)
+        chunked = QZ.dimension_stats(df, dim).collect()[0]
+        monkeypatch.setattr(QZ, "_FLAT_STATS_MAX_DIM", 4096)
+        flat = QZ.dimension_stats(df, dim).collect()[0]
+        return flat, chunked
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    flat, chunked = both(empty)
+    assert flat.mins == [None] * dim and flat.maxs == [None] * dim
+    assert chunked.mins == flat.mins and chunked.maxs == flat.maxs
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 1.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    flat, chunked = both(ragged)
+    assert flat.mins == [1.0, 1.0, 5.0, None]
+    assert flat.maxs == [3.0, 2.0, 5.0, None]
+    assert chunked.mins == flat.mins and chunked.maxs == flat.maxs

@@ -214,3 +214,29 @@ def test_zero_norm_vector_never_wins(spark):
     cmat = SIM.seeded_centroids(e, 2)
     assigned = SIM.assign_to_centroids(e, cmat, 1).collect()
     assert len(assigned) == 4
+
+
+def test_zero_norm_vector_paths_agree(spark):
+    """Zero-norm vectors pin cosine to -1.0 in BOTH declared paths (the
+    JVM fold coalesces, the numpy twin nan_to_num's) — the r4 advisor
+    caught the SQL path emitting NULL while numpy emitted -1.0, which
+    would break row-for-row equivalence the moment a zero vector enters
+    a fixture. The zero vector must rank LAST, never rank-1."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),  # zero-norm
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter("vec_id = 0")
+    jvm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+           for r in SIM.brute_force_topk(e, q, k=3).collect()}
+    np_ = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim)
+           for r in SIM.brute_force_topk_numpy(e, q, k=3).collect()}
+    assert jvm == np_
+    # the zero vector is the worst-ranked neighbor with sim exactly -1.0
+    worst_rank = max(r for (_, r) in jvm)
+    nid, sim = jvm[(0, worst_rank)]
+    assert nid == 2 and sim == -1.0
