@@ -1666,31 +1666,60 @@ def _oracle_ann_topk_lsh() -> str:
     )
 
 
+_IVF_CENTROIDS, _IVF_PROBE = 16, 4
+# Coarse IVF geometry scales with the corpus exactly like SemDeDup's
+# _SEM_CLUSTER_TARGET (VERDICT r4 task #3): C = max(16, N div 125)
+# keeps per-list population — and with it per-query probe work
+# n_probe·N/C — flat as N grows; a FIXED C would make every probed
+# list Θ(N) and the search quadratic-ish at 10⁸+ vectors, the same
+# trap the r4 scale run caught in SemDeDup. n_probe stays a fixed ¼
+# of the lists (4/16 today), so recall's probed-fraction is scale-
+# invariant too. Both floor at today's fixture values, so every
+# fixture SF (N = 500/500/2000 → N div 125 = 4/4/16) lands on
+# C=16, probe=4 exactly and the measured oracle margins still hold.
+_IVF_LIST_TARGET = 125
+
+
+def _ivf_params(sf_dir: str) -> tuple[int, int]:
+    """(n_centroids, n_probe) for the declared ANN queries — exact N
+    from parquet footer metadata (cached, zero Spark jobs), same
+    pattern as q_semantic_dedup."""
+    from overpaint_spark.sources.catalog import footer_row_count
+
+    n = footer_row_count(f"{sf_dir}/embeddings.parquet")
+    n_cent = max(_IVF_CENTROIDS, n // _IVF_LIST_TARGET)
+    return n_cent, max(_IVF_PROBE, n_cent // 4)
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned top-k (Arrow-batched centroid assignment, probe-
-    limited search). With seeded centroids (train_iters=0: the 16
-    lowest-id vectors) the whole index is DETERMINISTIC, so unlike
-    generic IVF this declared variant is fully oracle-checkable — the
-    SQL twin rebuilds the same assignment (argmax cosine, ties toward
-    the lower centroid index) and probe set. Assignment margins on the
-    fixtures are ≥ 2.3e-4 and probe margins ≥ 1.1e-3 — five orders
-    above cross-engine float noise, so no boundary can flip. Recall vs
-    brute force is additionally pinned in tests/test_similarity.py."""
+    limited search). With seeded centroids (train_iters=0: the C
+    lowest-id vectors, C = max(16, N/125) per _IVF_LIST_TARGET) the
+    whole index is DETERMINISTIC, so unlike generic IVF this declared
+    variant is fully oracle-checkable — the SQL twin rebuilds the same
+    assignment (argmax cosine, ties toward the lower centroid index)
+    and probe set from the same GREATEST(16, COUNT/125) formula.
+    Assignment margins on the fixtures (all C=16) are ≥ 2.3e-4 and
+    probe margins ≥ 1.1e-3 — five orders above cross-engine float
+    noise, so no boundary can flip. Recall vs brute force is
+    additionally pinned in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    out = SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    n_cent, n_probe = _ivf_params(sf_dir)
+    out = SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=n_cent, n_probe=n_probe,
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine_sim", 4).alias("cosine_sim_r")
     )
 
 
-_IVF_CENTROIDS, _IVF_PROBE = 16, 4
-
-
 def _oracle_ann_topk_ivf() -> str:
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
-        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM e), "
+        "cent AS (SELECT cid, v AS cv FROM ranked WHERE cid < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
         "asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rk FROM e CROSS JOIN cent), "
         "assigned AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1), "
@@ -1698,7 +1727,8 @@ def _oracle_ann_topk_ivf() -> str:
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY "
         "LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS prk "
         "FROM e CROSS JOIN cent WHERE vec_id < 10), "
-        f"p AS (SELECT query_id, qv, cid FROM probes WHERE prk <= {_IVF_PROBE}), "
+        "p AS (SELECT query_id, qv, cid FROM probes WHERE prk <= "
+        f"(SELECT GREATEST({_IVF_PROBE}, COUNT(*) // 4) FROM cent)), "
         "s AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
         "LIST_COSINE_SIMILARITY(p.qv, a.v) AS sim "
         "FROM p JOIN assigned a USING (cid) WHERE a.vec_id <> p.query_id), "
@@ -1979,9 +2009,10 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1), so the full index is SQL-reproducible. Raw-vector
     coding (by_residual=false); recall-vs-ADC-full pinned in tests."""
     e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
     out = QZ.ivf_pq_topk(
         e, e.filter(F.col("vec_id") < 10),
-        dim=_QUANT_DIM, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        dim=_QUANT_DIM, n_centroids=n_cent, n_probe=n_probe,
         n_subspaces=_PQ_M, n_codes=_PQ_K, k=5,
     )
     return out.select(
@@ -2001,9 +2032,10 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-9 with recall ≥ the raw coding on planted near-duplicates
     (tests/test_quantization.py)."""
     e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
     out = QZ.ivf_pq_topk(
         e, e.filter(F.col("vec_id") < 10),
-        dim=_QUANT_DIM, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        dim=_QUANT_DIM, n_centroids=n_cent, n_probe=n_probe,
         n_subspaces=_PQ_M, n_codes=_PQ_K, k=5, by_residual=True,
     )
     return out.select(
@@ -2034,19 +2066,23 @@ def _oracle_ann_topk_ivfpq() -> str:
     cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        # the same 16 seeded vectors serve as coarse IVF centroids
-        # (cosine assignment, as in _oracle_ann_topk_ivf) and PQ
-        # codebook sources (L2 per subspace slice)
-        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv "
-        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_PQ_K})), "
-        "casg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, cent.k AS cid, "
+        # seeded lowest-id vectors serve as PQ codebook sources (cent:
+        # fixed K codes — the code BUDGET never scales with N) and as
+        # coarse IVF centroids (ccent: C = GREATEST(16, N/125), the
+        # same C ∝ N formula as the Spark side's _ivf_params)
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv FROM e), "
+        f"cent AS (SELECT k, cv FROM ranked WHERE k < {_PQ_K}), "
+        "ccent AS (SELECT k, cv FROM ranked WHERE k < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
+        "casg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
         "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
-        "LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC, cent.k) AS crk "
-        "FROM e CROSS JOIN cent) WHERE crk = 1), "
-        "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, cent.k AS cid, "
+        "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS crk "
+        "FROM e CROSS JOIN ccent) WHERE crk = 1), "
+        "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
         "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
-        "LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC, cent.k) AS prk "
-        f"FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE prk <= {_IVF_PROBE}), "
+        "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS prk "
+        "FROM e CROSS JOIN ccent WHERE e.vec_id < 10) WHERE prk <= "
+        f"(SELECT GREATEST({_IVF_PROBE}, COUNT(*) // 4) FROM ccent)), "
         + ", ".join(subs)
         + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins}), "
         "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10), "
@@ -3662,33 +3698,18 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to diverge across engines (the log-space variant would need
     transcendentals, whose libm results differ by ulps). Overflow bound:
     sum_c1·1e6 needs sum_c1 < 9.2e12 — at larger corpora move the ppm
-    scale into DECIMAL(38,0); the fixture total is ~2e5."""
+    scale into DECIMAL(38,0); the fixture total is ~2e5.
+
+    Factored through operators/lm.py (build_lm_model + lm_score): the
+    model relation is persistable (persist/load_lm_model) so repeated
+    scoring at production cadence pays ONE data-sized pass — the
+    build-once/score-many split the dedup band index already has.
+    Round-trip equality is pinned in tests/test_text.py."""
+    from overpaint_spark.operators import lm as LM
+
     d = _t(spark, sf_dir, "documents")
-    grams = _char_trigrams(F.col("text"))
-    doc_grams = d.select("doc_id", F.explode(grams).alias("gram"))
-    model = (
-        doc_grams.filter(F.col("doc_id") % _LM_SAMPLE_MOD == 0)
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = model.agg(
-        F.sum("c").cast("bigint").alias("total"), F.count(F.lit(1)).alias("v")
-    )
-    per_doc = (
-        doc_grams.join(F.broadcast(model), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
-            .cast("bigint")
-            .alias("sum_c1"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-    )
-    return per_doc.crossJoin(F.broadcast(tot)).selectExpr(
-        "doc_id",
-        "n_grams",
-        f"(sum_c1 * {_LM_PPM}) div ((total + v) * n_grams) AS lm_score_ppm",
-    )
+    model = LM.build_lm_model(d, sample_mod=_LM_SAMPLE_MOD)
+    return LM.lm_score(d, model)
 
 
 def _oracle_text_lm_score() -> str:

@@ -240,3 +240,72 @@ def test_zero_norm_vector_paths_agree(spark):
     worst_rank = max(r for (_, r) in jvm)
     nid, sim = jvm[(0, worst_rank)]
     assert nid == 2 and sim == -1.0
+
+
+def test_two_level_assignment_exhaustive_probe_equals_flat(spark):
+    """coarse_probe >= G probes every group, so the two-level path must
+    reproduce the flat GEMM assignment EXACTLY — same clusters, same
+    lower-index tie rule — for both n_assign=1 (SemDeDup assignment)
+    and n_assign=4 (IVF probes). This is the machinery-correctness pin
+    for the N*C -> N*~2*sqrt(C) asymptote fix."""
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    cmat = SIM.seeded_centroids(e, 16)
+    for n_assign in (1, 4):
+        flat = {
+            (r.vec_id, i): r.cluster_id
+            for i, r in enumerate(
+                SIM.assign_to_centroids(e, cmat, n_assign).collect()
+            )
+        }
+        two = {
+            (r.vec_id, i): r.cluster_id
+            for i, r in enumerate(
+                SIM.assign_to_centroids_two_level(
+                    e, cmat, n_assign, coarse_probe=16
+                ).collect()
+            )
+        }
+        assert flat == two
+
+
+def test_two_level_assignment_partial_probe_agreement_floor(spark):
+    """Below-exhaustive probes are honestly approximate; the fixtures'
+    random embeddings are the WORST case for a coarse quantizer (no
+    cluster structure), so the measured agreements there (0.72 at p=2,
+    0.876 at p=3, G=4) are pinned as floors — a regression below them
+    means the probe/merge machinery broke, not that the data got
+    harder."""
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    cmat = SIM.seeded_centroids(e, 16)
+    flat = {r.vec_id: r.cluster_id
+            for r in SIM.assign_to_centroids(e, cmat, 1).collect()}
+    for p, floor in ((2, 0.7), (3, 0.85)):
+        two = {r.vec_id: r.cluster_id
+               for r in SIM.assign_to_centroids_two_level(
+                   e, cmat, 1, coarse_probe=p).collect()}
+        assert two.keys() == flat.keys()
+        agree = sum(1 for k in flat if flat[k] == two[k]) / len(flat)
+        assert agree >= floor, f"p={p} agreement {agree}"
+
+
+def test_flat_assignment_dispatches_to_two_level_past_threshold(spark, monkeypatch):
+    """assign_to_centroids auto-dispatches to the two-level path once C
+    crosses _TWO_LEVEL_MIN_C, so SemDeDup/IVF inherit the asymptote fix
+    with no caller changes; fixtures (C=16) keep the flat exact path."""
+    import numpy as np
+
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet").limit(64)
+    cmat = SIM.seeded_centroids(e, 16)
+    monkeypatch.setattr(SIM, "_TWO_LEVEL_MIN_C", 16)
+    via_dispatch = {r.vec_id: r.cluster_id
+                    for r in SIM.assign_to_centroids(e, cmat, 1).collect()}
+    direct = {r.vec_id: r.cluster_id
+              for r in SIM.assign_to_centroids_two_level(e, cmat, 1).collect()}
+    assert via_dispatch == direct
+    assert len(via_dispatch) == 64

@@ -134,3 +134,30 @@ def test_empty_document_yields_null_ratios_not_divide_by_zero(spark):
     # empty doc scores 0.255 in both engines — low, as it should)
     assert rows[0].pr is None and abs(rows[0].qs - 0.255) < 1e-9
     assert rows[1].pr is not None and rows[1].qs is not None
+
+
+def test_lm_model_persist_roundtrip_equals_declared_query(spark, tmp_path):
+    """build -> persist -> load -> score must equal the declared
+    one-shot text_lm_score row-for-row: the persisted-model path is how
+    production amortizes the model build over many scoring batches
+    (same build-once surface as the persisted dedup band index), so any
+    drift between the two would silently change quality filtering."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators import lm as LM
+    from overpaint_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, f"{sf}/documents.parquet")
+
+    path = str(tmp_path / "lm_model.parquet")
+    LM.persist_lm_model(LM.build_lm_model(d, sample_mod=10), path)
+    loaded = LM.load_lm_model(spark, path)
+    via_persisted = {
+        r.doc_id: (r.n_grams, r.lm_score_ppm)
+        for r in LM.lm_score(d, loaded).collect()
+    }
+    declared = {
+        r.doc_id: (r.n_grams, r.lm_score_ppm)
+        for r in Q.QUERIES["text_lm_score"](spark, sf).collect()
+    }
+    assert via_persisted == declared

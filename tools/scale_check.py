@@ -66,23 +66,18 @@ QUERIES = [
 ]
 
 
-def main() -> None:
+def measure(spark, queries, ten_x: str, base: str = BASE) -> dict[str, dict]:
+    """Measure t(1×), t(10×), alpha, and 10×-plan single-partition
+    windows for each named declared query. Reused by the standing
+    guard in tests/test_scale_guard.py (VERDICT r4 task #5) so the
+    commit-time check and this ad-hoc tool cannot drift apart."""
     from overpaint_spark import queries as Q
-    from overpaint_spark.session import get_spark
-
-    ten_x = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
-        else "/tmp/scale_sf1"
-    spark = get_spark()
-    # session warm-up (JVM/Arrow init), same as bench.py
-    spark.read.parquet(f"{BASE}/region.parquet").selectExpr(
-        "min(r_regionkey)"
-    ).write.mode("overwrite").format("noop").save()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = Q.QUERIES[name]
         row = {}
-        for label, sf_dir in (("t1", BASE), ("t10", ten_x)):
+        for label, sf_dir in (("t1", base), ("t10", ten_x)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -97,7 +92,21 @@ def main() -> None:
         results[name] = row
         print(f"{name}: {row['t1']}s -> {row['t10']}s  alpha={row['alpha']}  "
               f"1-part windows={row['single_partition_windows']}", flush=True)
+    return results
 
+
+def main() -> None:
+    from overpaint_spark.session import get_spark
+
+    ten_x = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "/tmp/scale_sf1"
+    spark = get_spark()
+    # session warm-up (JVM/Arrow init), same as bench.py
+    spark.read.parquet(f"{BASE}/region.parquet").selectExpr(
+        "min(r_regionkey)"
+    ).write.mode("overwrite").format("noop").save()
+
+    results = measure(spark, QUERIES, ten_x)
     out = {"base": BASE, "ten_x": ten_x, "queries": results}
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
