@@ -148,7 +148,10 @@ BENCH_QUERIES = [
     "corpus_dataset_card",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",
+    "ann_ivfpq_recall",
     "stream_length_histogram",
+    "stream_lm_score",
+    "bpe_learned_merges",
     "corpus_clean_v2",
     "embedding_sq8_error",
     "dedup_substring_spans",

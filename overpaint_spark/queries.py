@@ -2024,13 +2024,18 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-coded IVF-PQ top-5 (FAISS ``by_residual=true``, the
     production default): identical index shape to ann_topk_ivfpq but
     candidates are PQ-coded as offsets from their coarse centroid —
-    finer quantization from the same code budget. Declared WITHOUT a
-    SQL oracle by design (the residual codebook seeding + per-list LUT
-    shift has no cheap SQL form), so the driver records the honest
-    rows-only check; value-level evidence is the property test that
-    re-derives the whole index in numpy and matches every distance to
-    1e-9 with recall ≥ the raw coding on planted near-duplicates
-    (tests/test_quantization.py)."""
+    finer quantization from the same code budget. r4 declared this
+    rows-only ("no cheap SQL form"); r5 retracts that — every piece IS
+    SQL-expressible because the whole index is seeded by id order:
+    residuals are a LIST_TRANSFORM subtraction against the assigned
+    centroid, the residual codebook is the residuals of ids ranked
+    C..C+K−1 (the Spark side's not-in-seed-ids + ORDER BY id LIMIT K),
+    and the per-(query, probed-list) LUT shift is the same slice
+    arithmetic on (q − c_list). See _oracle_ann_topk_ivfpq_residual —
+    value-hash checked like the raw twin. The numpy re-derivation
+    property test (distances to 1e-9, recall ≥ raw on planted
+    near-dups; tests/test_quantization.py) stays as independent
+    evidence."""
     e = _t(spark, sf_dir, "embeddings")
     n_cent, n_probe = _ivf_params(sf_dir)
     out = QZ.ivf_pq_topk(
@@ -2095,6 +2100,162 @@ def _oracle_ann_topk_ivfpq() -> str:
         "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
         "FROM r WHERE rank <= 5"
+    )
+
+
+def _oracle_ann_topk_ivfpq_residual() -> str:
+    """SQL twin of the residual-coded IVF-PQ search (the r4 "no cheap
+    SQL form" claim retracted — see q_ann_topk_ivfpq_residual). Shape
+    mirrors the Spark index exactly: ccent = GREATEST(16, N/125) coarse
+    centroids; res = v − assigned centroid; cb = residuals of ids
+    ranked C..C+K−1; codes = per-subspace L2 argmin (ties low); ADC =
+    Σ_m ‖(q − c_list)_m − cb[m][code]‖² per probed list."""
+    dsub = _QUANT_DIM // _PQ_M
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        subs.append(
+            f"a_{m} AS (SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY LIST_DISTANCE(rv[{lo}:{hi}], cbv[{lo}:{hi}]), k) AS rk "
+            "FROM res CROSS JOIN cb)"
+        )
+    joins = " ".join(
+        f"JOIN a_{m} ON a_{m}.vec_id = res.vec_id AND a_{m}.rk = 1"
+        for m in range(_PQ_M)
+    )
+    codecols = ", ".join(f"a_{m}.k AS pq_{m}" for m in range(_PQ_M))
+    dterms = " + ".join(
+        f"POWER(LIST_DISTANCE(qr.qrv[{m * dsub + 1}:{(m + 1) * dsub}], "
+        f"c{m}.cbv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
+        for m in range(_PQ_M)
+    )
+    cjoins = " ".join(f"JOIN cb c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, vec_id, v AS cv FROM e), "
+        "ccent AS (SELECT k, cv FROM ranked WHERE k < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
+        "casg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS crk "
+        "FROM e CROSS JOIN ccent) WHERE crk = 1), "
+        "res AS (SELECT e.vec_id, casg.cid, "
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, {_QUANT_DIM}), i -> e.v[i] - cc.cv[i]) AS rv "
+        "FROM e JOIN casg USING (vec_id) JOIN ccent cc ON cc.k = casg.cid), "
+        "seedids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT "
+        f"(SELECT GREATEST({_IVF_CENTROIDS}, COUNT(*) // {_IVF_LIST_TARGET}) FROM e)), "
+        "cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, rv AS cbv "
+        "FROM res WHERE vec_id NOT IN (SELECT vec_id FROM seedids) "
+        f"ORDER BY vec_id LIMIT {_PQ_K}), "
+        + ", ".join(subs)
+        + f", cd AS (SELECT res.vec_id, {codecols} FROM res {joins}), "
+        "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS prk "
+        "FROM e CROSS JOIN ccent WHERE e.vec_id < 10) WHERE prk <= "
+        f"(SELECT GREATEST({_IVF_PROBE}, COUNT(*) // 4) FROM ccent)), "
+        "qr AS (SELECT p.q_id, p.cid, "
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, {_QUANT_DIM}), i -> q.v[i] - cc.cv[i]) AS qrv "
+        "FROM probes p JOIN e q ON q.vec_id = p.q_id JOIN ccent cc ON cc.k = p.cid), "
+        f"s AS (SELECT qr.q_id AS query_id, cd.vec_id AS neighbor_id, {dterms} AS dist "
+        "FROM qr JOIN casg ON casg.cid = qr.cid "
+        "JOIN cd ON cd.vec_id = casg.vec_id AND cd.vec_id <> qr.q_id "
+        f"{cjoins}), "
+        "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
+        "FROM r WHERE rank <= 5"
+    )
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall report AS A RELATION (VERDICT r4 task #7): per query
+    (vec_id < 10) and PQ search tier — full un-pruned ADC, raw-coded
+    IVF-PQ, residual-coded IVF-PQ — the recall@5 against the exact
+    brute-force cosine top-5 (the fixtures are unit-norm, so cosine and
+    L2 rankings coincide and ADC recall against a cosine ground truth
+    is well-defined). Makes the per-tier recall numbers driver-visible
+    as oracle-checked rows instead of test assertions. Honesty note:
+    on the fixtures' RANDOM unit vectors residual coding does NOT beat
+    raw (residuals of unclustered data aren't smaller, so the finer-
+    quantization advantage vanishes — mean recall 0.20 vs raw's 0.28
+    at sf0.001); the "residual ≥ raw" property belongs to CLUSTERED
+    data and is pinned on planted near-duplicates in
+    tests/test_quantization.py. This relation records what actually
+    happens on each dataset rather than asserting the clustered-case
+    claim everywhere. Deterministic: every tier is seeded (same
+    indexes the declared ann_topk_* queries build), so the hit counts
+    are exact integers."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    n_cent, n_probe = _ivf_params(sf_dir)
+    exact = SIM.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    tiers = [
+        (
+            "pq_adc_full",
+            QZ.pq_adc_topk(
+                e, q, dim=_QUANT_DIM, n_subspaces=_PQ_M, n_codes=_PQ_K, k=5
+            ),
+        ),
+        (
+            "ivfpq_raw",
+            QZ.ivf_pq_topk(
+                e, q, dim=_QUANT_DIM, n_centroids=n_cent, n_probe=n_probe,
+                n_subspaces=_PQ_M, n_codes=_PQ_K, k=5,
+            ),
+        ),
+        (
+            "ivfpq_residual",
+            QZ.ivf_pq_topk(
+                e, q, dim=_QUANT_DIM, n_centroids=n_cent, n_probe=n_probe,
+                n_subspaces=_PQ_M, n_codes=_PQ_K, k=5, by_residual=True,
+            ),
+        ),
+    ]
+    parts = [
+        t.select(F.lit(name).alias("method"), "query_id", "neighbor_id")
+        for name, t in tiers
+    ]
+    allm = parts[0]
+    for p in parts[1:]:
+        allm = allm.unionByName(p)
+    return (
+        allm.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .selectExpr(
+            "query_id", "method", "n_hits",
+            "n_hits * 1000000 div 5 AS recall_ppm",
+        )
+    )
+
+
+def _oracle_ann_ivfpq_recall() -> str:
+    """Composes the three tier oracles as parenthesized WITH-subqueries
+    (DuckDB allows a full WITH...SELECT inside a derived table) against
+    a fresh exact-cosine top-5 ground truth."""
+    return (
+        "WITH ex AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(q.v, c.v) DESC, c.vec_id) AS rank "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE vec_id < 10) q "
+        "JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c "
+        "ON c.vec_id <> q.vec_id) WHERE rank <= 5), "
+        f"fa AS (SELECT query_id, neighbor_id FROM ({_oracle_ann_topk_pq()})), "
+        f"rw AS (SELECT query_id, neighbor_id FROM ({_oracle_ann_topk_ivfpq()})), "
+        f"rs AS (SELECT query_id, neighbor_id FROM ({_oracle_ann_topk_ivfpq_residual()})), "
+        "allm AS (SELECT 'pq_adc_full' AS method, query_id, neighbor_id FROM fa "
+        "UNION ALL SELECT 'ivfpq_raw', query_id, neighbor_id FROM rw "
+        "UNION ALL SELECT 'ivfpq_residual', query_id, neighbor_id FROM rs) "
+        "SELECT a.query_id, a.method, CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits, "
+        "CAST(COUNT(e.neighbor_id) AS BIGINT) * 1000000 // 5 AS recall_ppm "
+        "FROM allm a LEFT JOIN ex e ON e.query_id = a.query_id "
+        "AND e.neighbor_id = a.neighbor_id "
+        "GROUP BY a.query_id, a.method"
     )
 
 
@@ -4660,6 +4821,29 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_MERGES = 8
+
+
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE merge-rule training (operators/bpe.py — the real
+    Sennrich et al. 2016 loop, not just the single-step pair statistic):
+    8 learned merge rules over the documents corpus. Rows-only BY
+    DESIGN (iterative algorithm: each round's left-to-right
+    non-overlapping rewrite recurses on the previous round's output —
+    same non-SQL-expressible class as dataset_pack_ffd); correctness is
+    pinned against an independent pure-python reference BPE in
+    tests/test_bpe.py. Scale shape: ONE corpus-sized pass (the word
+    vocab aggregate), then every round runs on the zipf-bounded
+    distinct-word relation only."""
+    from overpaint_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"),
+        n_merges=_BPE_TRAIN_MERGES,
+        min_count=_BPE_MIN_COUNT,
+    )
+
+
 def _oracle_bpe_merge_pairs() -> str:
     return (
         "WITH d AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents), "
@@ -5006,6 +5190,49 @@ def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, sink)
 
 
+def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring by STRUCTURED STREAMING — third oracle-
+    verified streaming query, with a third state shape: ZERO state (a
+    stateless per-row projection against the frozen trigram-model map,
+    streaming/lm.py), vs stream_corpus_stats' keyed aggregate and
+    stream_length_histogram's derived-bucket aggregate. Because output
+    is per-ROW (O(docs), not O(aggregates)), the sink is a temp PARQUET
+    dir read back distributed — a memory sink here would collect the
+    corpus onto the driver. The oracle is text_lm_score's SQL verbatim:
+    the frozen model is built from the same corpus/sample the batch
+    query uses, and the integer-ppm div is bit-identical."""
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.lm import frozen_model, lm_score_stream
+    from overpaint_spark.streaming.stream_profile import stage_stream_dir
+
+    d = _t(spark, sf_dir, "documents")
+    grams, counts, total, v = frozen_model(d, sample_mod=_LM_SAMPLE_MOD)
+
+    src = stage_stream_dir(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    scored = lm_score_stream(stream, grams, counts, total, v)
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    out_dir = f"{base}/stream_lm_{run}"
+    sq = (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/stream_lm_ckpt_{run}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_lm_score: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir)
+
+
 def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication pressure: docs, distinct texts, duplicate
     rows, duplicate rate — the recipe-level number that decides where
@@ -5232,12 +5459,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
+    # r5: residual IVF-PQ upgraded from rows-only to a full value-hash
+    # oracle, plus the recall report that compares the PQ tiers, plus
+    # the stateless streaming LM scorer (third streaming witness)
+    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "stream_lm_score": q_stream_lm_score,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
     "profile_approx_distinct": q_profile_approx_distinct,
     "dataset_pack_ffd": q_dataset_pack_ffd,
-    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+    "bpe_learned_merges": q_bpe_learned_merges,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
@@ -5362,8 +5595,13 @@ def oracles() -> dict[str, str]:
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "corpus_dataset_card": _oracle_corpus_dataset_card(),
         "ann_topk_ivfpq": _oracle_ann_topk_ivfpq(),
+        "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),
+        "ann_ivfpq_recall": _oracle_ann_ivfpq_recall(),
         # streaming twin: identical SQL oracle as the batch histogram
         "stream_length_histogram": _oracle_corpus_length_histogram(),
+        # stateless streaming projection == the batch query's math, so
+        # the batch oracle applies verbatim
+        "stream_lm_score": _oracle_text_lm_score(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

@@ -133,6 +133,10 @@ _CROSS_OK = {
     # of the per-query lookup tables (the candidate side reads codes
     # only — that asymmetry IS the operator)
     "ann_topk_pq",
+    # recall report embeds the brute-force ground truth + the full-ADC
+    # tier: the nested-loop joins are the same bounded |Q|-row
+    # broadcasts those two whitelisted queries make
+    "ann_ivfpq_recall",
     # SQ8 error audit: the 1-row per-dim bounds broadcast, same as
     # embedding_quantize
     "embedding_sq8_error",

@@ -599,3 +599,55 @@ def test_sessionize_late_event_never_moves_session_backwards():
     assert row.session_start == pd.Timestamp("2024-01-01 09:45:00")
     assert row.session_end == pd.Timestamp("2024-01-01 10:29:00")
     assert row.n_events == 3
+
+
+def test_streaming_lm_score_matches_batch(spark, tmp_path):
+    """Stateless streaming LM scoring against a FROZEN trigram model:
+    fixture documents arrive as a two-micro-batch stream; scores must
+    equal the batch text_lm_score output row-for-row (same integer-ppm
+    div, model frozen from the same corpus/sample), and a no-trigram
+    document must yield n_grams=0 with a NULL score instead of
+    crashing or fabricating a number."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.streaming.lm import frozen_model, lm_score_stream
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    grams, counts, total, v = frozen_model(d, sample_mod=10)
+
+    sdir = str(tmp_path / "doc_stream")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(sdir)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out_dir = str(tmp_path / "scores")
+    q = (
+        lm_score_stream(stream, grams, counts, total, v)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_grams, r.lm_score_ppm)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.lm_score_ppm)
+        for r in Q.QUERIES["text_lm_score"](spark, SF).collect()
+    }
+    assert got == want and len(got) == d.count()
+
+    # degenerate rows: empty and sub-trigram text
+    deg = spark.createDataFrame(
+        [(1000000, ""), (1000001, "ab"), (1000002, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_score_stream(deg, grams, counts, total, v).collect()}
+    for did in (1000000, 1000001):
+        assert rows[did].n_grams == 0 and rows[did].lm_score_ppm is None
