@@ -218,7 +218,13 @@ def train_kmeans_centroids(
     Deterministic: init is the ``n_centroids`` lowest-id vectors, ties in
     assignment break toward the lower centroid index, empty clusters
     keep their previous centroid.
-    """
+
+    Past ``_TWO_LEVEL_MIN_C`` centroids each iteration's assignment GEMM
+    switches to the shared two-level coarse→fine core
+    (:func:`_two_level_topk_batch`, ≈N·9√C flops instead of N·C) — the
+    same asymptote fix the search-time assignment dispatches to; the
+    per-iteration group rebuild is C·√C driver flops, amortized over
+    every batch."""
     import numpy as np
     import pandas as pd
 
@@ -230,22 +236,35 @@ def train_kmeans_centroids(
 
     for _ in range(n_iter):
         cnorm = np.linalg.norm(cmat, axis=1)
-        frozen = cmat, cnorm
+        two_level = len(cmat) >= _TWO_LEVEL_MIN_C
+        if two_level:
+            G = max(1, int(np.ceil(np.sqrt(len(cmat)))))
+            reps, rnorm, members = _centroid_groups(cmat, G)
+            frozen = cmat, cnorm, reps, rnorm, members, min(8, G)
+        else:
+            frozen = cmat, cnorm, None, None, None, 0
 
-        def partials(batches, _c=frozen):
-            mat_c, norm_c = _c
+        def partials(batches, _c=frozen, _two=two_level):
+            mat_c, norm_c, reps_c, rnorm_c, members_c, p_c = _c
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = (mat @ mat_c.T) / (
-                        np.linalg.norm(mat, axis=1)[:, None] * norm_c[None, :]
-                    )
-                # zero-norm rows: NaN sims would make argmax undefined;
-                # -1 pins them deterministically to centroid 0
-                np.nan_to_num(sims, nan=-1.0, copy=False)
-                assign = np.argmax(sims, axis=1)  # first max = lowest index
+                vnorm = np.linalg.norm(mat, axis=1)
+                if _two:
+                    assign = _two_level_topk_batch(
+                        mat, vnorm, mat_c, norm_c,
+                        reps_c, rnorm_c, members_c, p_c, 1,
+                    )[:, 0]
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        sims = (mat @ mat_c.T) / (
+                            vnorm[:, None] * norm_c[None, :]
+                        )
+                    # zero-norm rows: NaN sims would make argmax
+                    # undefined; -1 pins them to centroid 0
+                    np.nan_to_num(sims, nan=-1.0, copy=False)
+                    assign = np.argmax(sims, axis=1)  # first max = lowest index
                 rows = []
                 for cl in np.unique(assign):
                     sel = mat[assign == cl]
@@ -365,6 +384,54 @@ def _centroid_groups(cmat, n_groups: int):
     return reps, rnorm, members
 
 
+def _two_level_topk_batch(
+    mat, vnorm, cmat, cnorm, reps, rnorm, members, p: int, n_assign: int
+):
+    """Numpy core of the coarse→fine assignment for ONE Arrow batch:
+    (n, n_assign) int64 centroid ids, ties toward the lower index —
+    shared by :func:`assign_to_centroids_two_level` and the k-means
+    training loop so the two can never drift apart. Rows whose probed
+    groups held fewer than n_assign centroids keep -1 in the unfilled
+    slots."""
+    import numpy as np
+
+    n = len(mat)
+    G = len(members)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gsims = (mat @ reps.T) / (vnorm[:, None] * rnorm[None, :])
+    np.nan_to_num(gsims, nan=-1.0, copy=False)
+    probed = np.argsort(-gsims, kind="stable", axis=1)[:, :p]
+    best_s = np.full((n, n_assign), -np.inf)
+    best_c = np.full((n, n_assign), np.iinfo(np.int64).max, dtype=np.int64)
+    for g in range(G):
+        m = members[g]
+        if len(m) == 0:
+            continue
+        rows = np.nonzero((probed == g).any(axis=1))[0]
+        if len(rows) == 0:
+            continue
+        sub = cmat[m]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (mat[rows] @ sub.T) / (vnorm[rows, None] * cnorm[m][None, :])
+        np.nan_to_num(s, nan=-1.0, copy=False)
+        cand_s = np.concatenate([best_s[rows], s], axis=1)
+        cand_c = np.concatenate(
+            [best_c[rows], np.broadcast_to(m, (len(rows), len(m)))], axis=1
+        )
+        # ascending-cid pre-sort, then stable sim sort → ties resolve
+        # to the lowest centroid index (flat-path rule)
+        ordc = np.argsort(cand_c, axis=1, kind="stable")
+        cand_s = np.take_along_axis(cand_s, ordc, 1)
+        cand_c = np.take_along_axis(cand_c, ordc, 1)
+        ords = np.argsort(-cand_s, axis=1, kind="stable")[:, :n_assign]
+        best_s[rows] = np.take_along_axis(cand_s, ords, 1)
+        best_c[rows] = np.take_along_axis(cand_c, ords, 1)
+    # a row whose probed groups held < n_assign centroids keeps -inf
+    # slots: flag -1 rather than emit the int64 sentinel
+    best_c[~np.isfinite(best_s)] = -1
+    return best_c
+
+
 def assign_to_centroids_two_level(
     df: DataFrame,
     cmat,
@@ -410,43 +477,10 @@ def assign_to_centroids_two_level(
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = len(mat)
             vnorm = np.linalg.norm(mat, axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                gsims = (mat @ reps.T) / (vnorm[:, None] * rnorm[None, :])
-            np.nan_to_num(gsims, nan=-1.0, copy=False)
-            probed = np.argsort(-gsims, kind="stable", axis=1)[:, :p]
-            # running top-n_assign (sim desc, centroid index asc) per row
-            best_s = np.full((n, n_assign), -np.inf)
-            best_c = np.full((n, n_assign), np.iinfo(np.int64).max, dtype=np.int64)
-            for g in range(G):
-                m = members[g]
-                if len(m) == 0:
-                    continue
-                rows = np.nonzero((probed == g).any(axis=1))[0]
-                if len(rows) == 0:
-                    continue
-                sub = cmat[m]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    s = (mat[rows] @ sub.T) / (
-                        vnorm[rows, None] * cnorm[m][None, :]
-                    )
-                np.nan_to_num(s, nan=-1.0, copy=False)
-                cand_s = np.concatenate([best_s[rows], s], axis=1)
-                cand_c = np.concatenate(
-                    [best_c[rows], np.broadcast_to(m, (len(rows), len(m)))], axis=1
-                )
-                # ascending-cid pre-sort, then stable sim sort → ties
-                # resolve to the lowest centroid index (flat-path rule)
-                ordc = np.argsort(cand_c, axis=1, kind="stable")
-                cand_s = np.take_along_axis(cand_s, ordc, 1)
-                cand_c = np.take_along_axis(cand_c, ordc, 1)
-                ords = np.argsort(-cand_s, axis=1, kind="stable")[:, :n_assign]
-                best_s[rows] = np.take_along_axis(cand_s, ords, 1)
-                best_c[rows] = np.take_along_axis(cand_c, ords, 1)
-            # a row whose probed groups held < n_assign centroids keeps
-            # -inf slots: flag -1 rather than emit the int64 sentinel
-            best_c[~np.isfinite(best_s)] = -1
+            best_c = _two_level_topk_batch(
+                mat, vnorm, cmat, cnorm, reps, rnorm, members, p, n_assign
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy().repeat(n_assign),

@@ -5217,10 +5217,19 @@ def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
     out_dir = f"{base}/stream_lm_{run}"
+    ckpt_dir = f"{base}/stream_lm_ckpt_{run}"
+    # sink + checkpoint dirs are per-invocation (uuid): reclaim them at
+    # interpreter exit like stage_stream_dir's staging dirs, so bench
+    # loops and repeated sessions never accumulate temp output
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
     sq = (
         scored.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", f"{base}/stream_lm_ckpt_{run}")
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -309,3 +309,19 @@ def test_flat_assignment_dispatches_to_two_level_past_threshold(spark, monkeypat
               for r in SIM.assign_to_centroids_two_level(e, cmat, 1).collect()}
     assert via_dispatch == direct
     assert len(via_dispatch) == 64
+
+
+def test_kmeans_training_two_level_path_matches_flat(spark, monkeypatch):
+    """With the dispatch threshold forced down, each k-means iteration
+    assigns via the shared two-level core; exhaustive coarse probing
+    (G groups, p clamps to min(8, G) = G here since G=4) must yield the
+    exact flat-path centroid matrix after every iteration."""
+    import numpy as np
+
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet").limit(200)
+    flat = SIM.train_kmeans_centroids(e, n_centroids=16, n_iter=2)
+    monkeypatch.setattr(SIM, "_TWO_LEVEL_MIN_C", 16)
+    two = SIM.train_kmeans_centroids(e, n_centroids=16, n_iter=2)
+    assert np.array_equal(flat, two)
