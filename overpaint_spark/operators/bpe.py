@@ -84,6 +84,23 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
+def _merge_once(syms: list, left: str, right: str) -> list:
+    """Left-to-right non-overlapping single-rule merge — THE merge
+    semantics, shared by the trainer's per-round rewrite and the
+    encode-side segmenter so the two can never diverge (r5 review
+    finding: they were duplicated loops)."""
+    merged = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
 def _merge_pair(state: DataFrame, left: str, right: str) -> DataFrame:
     """Rewrite every word's symbol sequence with (left, right) merged
     left-to-right non-overlapping — the per-round recurrence, run as an
@@ -92,23 +109,7 @@ def _merge_pair(state: DataFrame, left: str, right: str) -> DataFrame:
 
     def fn(batches):
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                merged = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                out.append(merged)
+            out = [_merge_once(list(syms), left, right) for syms in pdf["syms"]]
             yield pd.DataFrame(
                 {"word": pdf["word"], "n": pdf["n"], "syms": out}
             )
@@ -183,19 +184,7 @@ def bpe_segment(
                 for w in words:
                     syms = list(w) + [EOW]
                     for left, right in merges:
-                        i, merged = 0, []
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == left
-                                and syms[i + 1] == right
-                            ):
-                                merged.append(left + right)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        syms = merged
+                        syms = _merge_once(syms, left, right)
                     total += len(syms)
                 n_words_out.append(len(words))
                 n_tokens_out.append(total)

@@ -369,15 +369,20 @@ def ivf_pq_topk(
         # would collapse every code onto the origin. Seed from the next
         # n_codes ids instead (their residuals are representative
         # cluster offsets). Still deterministic: ORDER BY id, rows
-        # C..C+K.
-        seed_ids = [
-            r[0]
-            for r in candidates.orderBy(id_col)
+        # C..C+K. The seeds are BY CONSTRUCTION the C lowest ids, so
+        # exclusion is one boundary comparison — an isin() over C ids
+        # would embed C literals in the plan (C = N/125 now that the
+        # geometry scales; r5 review finding), and only the boundary
+        # value crosses to the driver.
+        seed_max = (
+            candidates.select(id_col)
+            .orderBy(id_col)
             .limit(n_centroids)
-            .select(id_col)
-            .collect()
-        ]
-        cb_source = to_code.filter(~F.col(id_col).isin(seed_ids))
+            .agg(F.max(id_col).alias("m"))
+            .collect()[0]
+            .m
+        )
+        cb_source = to_code.filter(F.col(id_col) > seed_max)
     else:
         to_code = candidates
         cb_source = candidates

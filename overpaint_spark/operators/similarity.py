@@ -464,9 +464,18 @@ def assign_to_centroids_two_level(
     import numpy as np
     import pandas as pd
 
+    import math
+
     C = cmat.shape[0]
     G = max(1, int(np.ceil(np.sqrt(C))))
-    p = coarse_probe if coarse_probe is not None else 8
+    if coarse_probe is not None:
+        p = coarse_probe
+    else:
+        # default 8, raised when n_assign asks for more candidates than
+        # 8 groups hold on average (avg group size C/G) — without this,
+        # a large-n_assign caller (IVF probes at big C) would get -1
+        # fill in most slots (r5 review finding)
+        p = max(8, math.ceil(n_assign * G / max(C, 1)) + 1)
     p = min(p, G)
     reps, rnorm, members = _centroid_groups(cmat, G)
     cnorm = np.linalg.norm(cmat, axis=1)

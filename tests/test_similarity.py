@@ -325,3 +325,21 @@ def test_kmeans_training_two_level_path_matches_flat(spark, monkeypatch):
     monkeypatch.setattr(SIM, "_TWO_LEVEL_MIN_C", 16)
     two = SIM.train_kmeans_centroids(e, n_centroids=16, n_iter=2)
     assert np.array_equal(flat, two)
+
+
+def test_ivf_params_fixture_floor_and_probe_cap():
+    """All fixture SFs land on (C=16, probe=4) — the floor that keeps
+    the measured oracle margins valid — and the probe count is CAPPED
+    (uncapped C/4 made per-query work n_probe*N/C = N/4, linear: the
+    r5 review finding). Pure arithmetic + footer reads, no session."""
+    from overpaint_spark.queries import (
+        _IVF_PROBE_CAP,
+        _ivf_params,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        assert _ivf_params(f"/root/testdata/sf{sf}") == (16, 4)
+    # steady-state: at C large enough, probe pins to the cap, so
+    # per-query candidate work is cap * list-size = cap * 125, flat in N
+    big_c = 10**6
+    assert min(max(4, big_c // 4), _IVF_PROBE_CAP) == _IVF_PROBE_CAP
