@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "stream_length_histogram",
     "stream_lm_score",
     "bpe_learned_merges",
+    "bpe_vocab",
+    "dataset_mixture_temperature",
     "corpus_clean_v2",
     "embedding_sq8_error",
     "dedup_substring_spans",

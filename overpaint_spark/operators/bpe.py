@@ -117,22 +117,16 @@ def _merge_pair(state: DataFrame, left: str, right: str) -> DataFrame:
     return state.mapInPandas(fn, "word string, n long, syms array<string>")
 
 
-def bpe_train(
+def _train_loop(
     docs: DataFrame,
-    n_merges: int = 8,
-    min_count: int = 2,
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merge rules; returns the merge table
-    (merge_rank, left, right, pair_n) — the artifact a tokenizer ships.
-    Stops early (fewer rows) when no pair reaches ``min_count``.
-
-    Determinism: the argmax pair breaks ties by (left, right)
-    lexicographic order — a fixed total order, so re-runs and engine
-    ports produce the identical merge table. The argmax is
-    orderBy().limit(1), which Spark plans as TakeOrderedAndProject —
-    a per-partition top-1 heap merged on the driver, NOT a
-    materialized global sort of the pair relation."""
+    n_merges: int,
+    min_count: int,
+    text_col: str,
+):
+    """(merges list, final_state DataFrame) — shared by bpe_train (the
+    merge table) and bpe_vocabulary (the post-merge symbol inventory).
+    The returned state is CACHED; callers that materialize from it
+    should unpersist when done."""
     state = _initial_symbols(word_vocab(docs, text_col))
     # each round re-reads the evolving vocab-sized state several times;
     # caching it bounds the loop's lineage (and recomputation) growth
@@ -155,11 +149,63 @@ def bpe_train(
         new_state.count()  # materialize before unpersisting the parent
         state.unpersist()
         state = new_state
+    return merges, state
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules; returns the merge table
+    (merge_rank, left, right, pair_n) — the artifact a tokenizer ships.
+    Stops early (fewer rows) when no pair reaches ``min_count``.
+
+    Determinism: the argmax pair breaks ties by (left, right)
+    lexicographic order — a fixed total order, so re-runs and engine
+    ports produce the identical merge table. The argmax is
+    orderBy().limit(1), which Spark plans as TakeOrderedAndProject —
+    a per-partition top-1 heap merged on the driver, NOT a
+    materialized global sort of the pair relation."""
+    merges, state = _train_loop(docs, n_merges, min_count, text_col)
     state.unpersist()
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_n long"
     )
+
+
+def bpe_vocabulary(
+    docs: DataFrame,
+    n_merges: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(symbol, n_words, freq): the corpus symbol inventory AFTER the
+    learned merges — the tokenizer's actual vocabulary, with how many
+    distinct words each symbol appears in and its corpus-weighted
+    frequency. One vocab-sized explode + aggregate over the final
+    training state; rows-only like the trainer (same recurrence). The
+    final collect is BOUNDED by construction: distinct symbols ≤
+    |charset| + n_merges + 1 (every merge adds at most one new symbol),
+    so driver materialization is O(100) rows — done so the cached
+    training state can be dropped without the returned DataFrame's
+    lineage re-running the whole merge loop on first use."""
+    merges, state = _train_loop(docs, n_merges, min_count, text_col)
+    out = (
+        state.select("word", "n", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("freq"),
+        )
+    )
+    # materialize before dropping the cached lineage it reads from
+    rows = out.collect()
+    state.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(rows, "symbol string, n_words long, freq long")
 
 
 def bpe_segment(

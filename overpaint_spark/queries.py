@@ -4830,6 +4830,63 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_MERGES = 8
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge BPE symbol inventory (operators/bpe.bpe_vocabulary):
+    the tokenizer's actual vocabulary after the 8 learned merges, with
+    per-symbol distinct-word membership and corpus-weighted frequency.
+    Rows-only BY DESIGN (inherits the trainer's merge recurrence);
+    pinned against the reference python BPE's final vocab in
+    tests/test_bpe.py."""
+    from overpaint_spark.operators.bpe import bpe_vocabulary
+
+    return bpe_vocabulary(
+        _t(spark, sf_dir, "documents"),
+        n_merges=_BPE_TRAIN_MERGES,
+        min_count=_BPE_MIN_COUNT,
+    )
+
+
+def q_dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (the multilingual /
+    multi-source sampling-temperature trick, α = 0.5: small sources are
+    up-weighted as count^α so the mixture isn't dominated by the
+    largest corpus — used by every major multilingual LM recipe): per
+    source, doc count and the α-scaled weight in ppm RELATIVE TO THE
+    LARGEST source. Float-safety: weight = floor(sqrt(n)/sqrt(max_n) ·
+    1e6) uses only IEEE-correctly-rounded ops (sqrt, one divide, one
+    multiply, floor) on the same doubles in both engines — bit-identical
+    by construction, no summation-order hazard because nothing is
+    summed in float (the ratio is per-row against a 1-row broadcast
+    max, NOT normalized by a float Σ over sources)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    mx = counts.agg(F.max("n_docs").alias("max_n"))
+    return counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double"))
+            / F.sqrt(F.col("max_n").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+def _oracle_dataset_mixture_temperature() -> str:
+    return (
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source), "
+        "m AS (SELECT MAX(n_docs) AS max_n FROM c) "
+        "SELECT source, n_docs, CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) / "
+        "SQRT(CAST(max_n AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_ppm "
+        "FROM c CROSS JOIN m"
+    )
+
+
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-round BPE merge-rule training (operators/bpe.py — the real
     Sennrich et al. 2016 loop, not just the single-step pair statistic):
@@ -5382,9 +5439,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
     # -- streaming ---------------------------------------------------
     "stream_corpus_stats": q_stream_corpus_stats,
     "stream_length_histogram": q_stream_length_histogram,
+    "stream_lm_score": q_stream_lm_score,
     # -- multimodal --------------------------------------------------
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -5400,16 +5460,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_incremental": q_profile_incremental,
     "profile_top_values": q_profile_top_values,
     "profile_key_skew": q_profile_key_skew,
-    "profile_correlations": q_profile_correlations,
-    "profile_functional_deps": q_profile_functional_deps,
     # -- repaired oracle shapes (window SUM / range join / JSON agg /
     #    conditional agg) --------------------------------------------
-    "events_sessionize": q_events_sessionize,
     "priority_line_counts": q_priority_line_counts,
     # ---------------- entries below are outside the driver's 50-query
     # window (all still oracle-checked locally) ----------------------
-    # r5-ejected (families keep in-window witnesses; these rotated out
-    # to give the four r4 operators driver-green evidence)
+    # r5-ejected (families keep in-window witnesses; rotated out for
+    # the four r4 operators + the three new r5 flagships — residual
+    # oracle, recall report, streaming LM scorer)
+    "profile_correlations": q_profile_correlations,
+    "profile_functional_deps": q_profile_functional_deps,
+    "events_sessionize": q_events_sessionize,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
@@ -5480,18 +5541,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
-    # r5: residual IVF-PQ upgraded from rows-only to a full value-hash
-    # oracle, plus the recall report that compares the PQ tiers, plus
-    # the stateless streaming LM scorer (third streaming witness)
-    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    "stream_lm_score": q_stream_lm_score,
+    "dataset_mixture_temperature": q_dataset_mixture_temperature,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
     "profile_approx_distinct": q_profile_approx_distinct,
     "dataset_pack_ffd": q_dataset_pack_ffd,
     "bpe_learned_merges": q_bpe_learned_merges,
+    "bpe_vocab": q_bpe_vocab,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }
@@ -5623,6 +5680,7 @@ def oracles() -> dict[str, str]:
         # stateless streaming projection == the batch query's math, so
         # the batch oracle applies verbatim
         "stream_lm_score": _oracle_text_lm_score(),
+        "dataset_mixture_temperature": _oracle_dataset_mixture_temperature(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

@@ -124,3 +124,30 @@ def test_bpe_segment_counts_shrink_with_merges(spark):
     all_ = {r.doc_id: r.n_tokens for r in bpe_segment(d, rules).collect()}
     assert all(all_[k] <= none[k] for k in none)
     assert sum(all_.values()) < sum(none.values())
+
+
+def test_bpe_vocabulary_matches_reference(spark):
+    """The post-merge symbol inventory must equal the reference BPE's
+    final vocabulary state: per symbol, distinct-word membership and
+    corpus-weighted frequency."""
+    from collections import defaultdict
+
+    from overpaint_spark.operators.bpe import bpe_vocabulary
+    from overpaint_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in d.select("text").collect()]
+    wc = _word_counts(texts)
+    _, vocab = _ref_bpe(wc, n_merges=8, min_count=2)
+    words_of = defaultdict(set)
+    freq = defaultdict(int)
+    for w, (syms, n) in vocab.items():
+        for s in syms:
+            words_of[s].add(w)
+            freq[s] += n
+    got = {
+        r.symbol: (r.n_words, r.freq)
+        for r in bpe_vocabulary(d, n_merges=8, min_count=2).collect()
+    }
+    want = {s: (len(words_of[s]), freq[s]) for s in freq}
+    assert got == want

@@ -137,6 +137,9 @@ _CROSS_OK = {
     # tier: the nested-loop joins are the same bounded |Q|-row
     # broadcasts those two whitelisted queries make
     "ann_ivfpq_recall",
+    # temperature mixture: the only nested-loop join is the 1-row
+    # max-source-count scalar broadcast
+    "dataset_mixture_temperature",
     # SQ8 error audit: the 1-row per-dim bounds broadcast, same as
     # embedding_quantize
     "embedding_sq8_error",

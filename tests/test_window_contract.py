@@ -70,6 +70,11 @@ def test_window_contains_the_flagship_operators():
         "dataset_dsir_weights",
         "bpe_merge_pairs",
         "multimodal_video_frames",
+        # r5 flagships: the upgraded residual oracle, the PQ-tier
+        # recall report, and the third streaming witness
+        "ann_topk_ivfpq_residual",
+        "ann_ivfpq_recall",
+        "stream_lm_score",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_minhash_verified",
