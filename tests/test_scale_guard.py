@@ -49,6 +49,9 @@ GUARD_QUERIES = [
     "dedup_survivors",
     "dedup_incremental",
     "dataset_dsir_weights",
+    # r5 additions — both landed in the bench top-3 at sf0.1
+    "stream_lm_score",
+    "bpe_learned_merges",
 ]
 ALPHA_MAX = 1.0
 
