@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "bpe_vocab",
     "dataset_mixture_temperature",
     "corpus_clean_v2",
+    "corpus_clean_v3",
     "embedding_sq8_error",
     "dedup_substring_spans",
     "dataset_dsir_weights",

@@ -3709,6 +3709,82 @@ def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_DUP_MAX_PPM = 300_000
+
+
+def q_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean_v2 with the exact-substring-duplication gate added
+    — the five-predicate pipeline: heuristic quality ∧ LM band ∧
+    exact-dedup keeper ∧ near-dup cluster survivor ∧ span-duplication
+    cap (docs whose 10-token windows are > 30% cross-doc duplicated
+    are boilerplate carriers the whole-doc dedups cannot see — Lee et
+    al. 2021's motivation). The span gate is one more doc_id-keyed
+    LEFT join of the substring_span_stats relation; docs too short to
+    have any span (absent from the stats) carry no duplication
+    evidence and are KEPT (coalesce to 0), not silently dropped. The
+    cap compares exact integer ppm — no float boundary exists to flip
+    between engines. Payload still scanned once per predicate family."""
+    from overpaint_spark.operators.components import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ok = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
+    ).filter(F.col("quality_score") >= 0.5)
+    lm_ok = (
+        q_text_lm_score(spark, sf_dir)
+        .filter(
+            (F.col("lm_score_ppm") >= _LM_BAND_LO)
+            & (F.col("lm_score_ppm") <= _LM_BAND_HI)
+        )
+        .select("doc_id", "lm_score_ppm")
+    )
+    keepers = DD.exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    spans = substring_span_stats(docs).select("doc_id", "dup_frac_ppm")
+    return (
+        dedup_survivors(docs, pairs)
+        .join(keepers, "doc_id", "left_semi")
+        .join(quality_ok, "doc_id")
+        .join(lm_ok, "doc_id")
+        .join(spans, "doc_id", "left")
+        .filter(F.coalesce(F.col("dup_frac_ppm"), F.lit(0)) <= _SPAN_DUP_MAX_PPM)
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            "lm_score_ppm",
+            F.coalesce(F.col("dup_frac_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_frac_ppm"),
+        )
+    )
+
+
+def _oracle_corpus_clean_v3() -> str:
+    comp = _oracle_dedup_clusters()
+    quality = _oracle_text_quality()
+    lm = _oracle_text_lm_score()
+    spans = _oracle_dedup_substring_spans()
+    return (
+        f"WITH comp AS ({comp}), q AS ({quality}), lm AS ({lm}), "
+        f"sp AS ({spans}) "
+        "SELECT d.doc_id, d.lang, q.quality_score, lm.lm_score_ppm, "
+        "CAST(COALESCE(sp.dup_frac_ppm, 0) AS BIGINT) AS dup_frac_ppm "
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+        "JOIN lm ON d.doc_id = lm.doc_id "
+        "LEFT JOIN sp ON d.doc_id = sp.doc_id "
+        "WHERE q.quality_score >= 0.5 "
+        f"AND lm.lm_score_ppm BETWEEN {_LM_BAND_LO} AND {_LM_BAND_HI} "
+        f"AND COALESCE(sp.dup_frac_ppm, 0) <= {_SPAN_DUP_MAX_PPM} "
+        "AND d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text)) "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)"
+    )
+
+
 def _oracle_corpus_clean_v2() -> str:
     comp = _oracle_dedup_clusters()
     quality = _oracle_text_quality()
@@ -5542,6 +5618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
+    "corpus_clean_v3": q_corpus_clean_v3,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -5681,6 +5758,7 @@ def oracles() -> dict[str, str]:
         # the batch oracle applies verbatim
         "stream_lm_score": _oracle_text_lm_score(),
         "dataset_mixture_temperature": _oracle_dataset_mixture_temperature(),
+        "corpus_clean_v3": _oracle_corpus_clean_v3(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

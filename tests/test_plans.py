@@ -126,6 +126,8 @@ _CROSS_OK = {
     # clean v2 embeds the LM score, inheriting the same 1-row scalar
     # broadcast
     "corpus_clean_v2",
+    # clean v3 = v2 + the span gate; same inherited 1-row broadcast
+    "corpus_clean_v3",
     # quantization: the only nested-loop join is the 1-row per-dim
     # bounds broadcast
     "embedding_quantize",
