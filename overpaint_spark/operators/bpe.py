@@ -192,7 +192,7 @@ def bpe_vocabulary(
     so driver materialization is O(100) rows — done so the cached
     training state can be dropped without the returned DataFrame's
     lineage re-running the whole merge loop on first use."""
-    merges, state = _train_loop(docs, n_merges, min_count, text_col)
+    _, state = _train_loop(docs, n_merges, min_count, text_col)
     out = (
         state.select("word", "n", F.explode("syms").alias("symbol"))
         .groupBy("symbol")

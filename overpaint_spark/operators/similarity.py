@@ -459,25 +459,35 @@ def assign_to_centroids_two_level(
     0.72 at p=2/G=4 and 0.876 at p=3/G=4 (pinned as lower bounds);
     clustered production embeddings — the data this path exists for —
     concentrate the nearest centroid's group near the top coarse ranks.
-    ``coarse_probe`` defaults to 8 (clamped to G): total flops
-    ≈ N·9√C, a ~100× cut at C = 10⁶."""
+
+    ``coarse_probe`` default: max(8, the smallest p such that even the
+    p SMALLEST groups jointly hold ≥ n_assign centroids) — a worst-case
+    supply guarantee, so the default can never return -1 fill no matter
+    how skewed the grouping is (an average-based sizing could leave
+    most slots unfilled under group skew: r5 review finding). With
+    balanced groups that is p = 8 and total flops ≈ N·9√C (~100× fewer
+    than flat at C = 10⁶); heavy skew raises p — honestly pricing the
+    probe instead of silently under-probing. An EXPLICIT coarse_probe
+    is respected as given (the partial-probe agreement tests rely on
+    it); -1 fill is then possible and flagged."""
     import numpy as np
     import pandas as pd
 
-    import math
-
     C = cmat.shape[0]
     G = max(1, int(np.ceil(np.sqrt(C))))
+    reps, rnorm, members = _centroid_groups(cmat, G)
     if coarse_probe is not None:
         p = coarse_probe
     else:
-        # default 8, raised when n_assign asks for more candidates than
-        # 8 groups hold on average (avg group size C/G) — without this,
-        # a large-n_assign caller (IVF probes at big C) would get -1
-        # fill in most slots (r5 review finding)
-        p = max(8, math.ceil(n_assign * G / max(C, 1)) + 1)
+        sizes = sorted(len(m) for m in members)
+        acc, need = 0, G
+        for i, s in enumerate(sizes, 1):
+            acc += s
+            if acc >= n_assign:
+                need = i
+                break
+        p = max(8, need)
     p = min(p, G)
-    reps, rnorm, members = _centroid_groups(cmat, G)
     cnorm = np.linalg.norm(cmat, axis=1)
     out_schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
 

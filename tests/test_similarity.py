@@ -327,19 +327,23 @@ def test_kmeans_training_two_level_path_matches_flat(spark, monkeypatch):
     assert np.array_equal(flat, two)
 
 
-def test_ivf_params_fixture_floor_and_probe_cap():
+def test_ivf_params_fixture_floor_and_probe_cap(monkeypatch):
     """All fixture SFs land on (C=16, probe=4) — the floor that keeps
     the measured oracle margins valid — and the probe count is CAPPED
     (uncapped C/4 made per-query work n_probe*N/C = N/4, linear: the
-    r5 review finding). Pure arithmetic + footer reads, no session."""
-    from overpaint_spark.queries import (
-        _IVF_PROBE_CAP,
-        _ivf_params,
-    )
+    r5 review finding). The big-N half drives THE PRODUCTION FUNCTION
+    with a faked footer count (an inline re-derivation of the formula
+    would stay green if someone deleted the clamp — second r5 review
+    finding); footer reads only, no session."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.sources import catalog as CAT
 
     for sf in ("0.001", "0.01", "0.1"):
-        assert _ivf_params(f"/root/testdata/sf{sf}") == (16, 4)
-    # steady-state: at C large enough, probe pins to the cap, so
+        assert Q._ivf_params(f"/root/testdata/sf{sf}") == (16, 4)
+
+    # steady-state: at N = 10^8 the probe must pin to the cap so
     # per-query candidate work is cap * list-size = cap * 125, flat in N
-    big_c = 10**6
-    assert min(max(4, big_c // 4), _IVF_PROBE_CAP) == _IVF_PROBE_CAP
+    monkeypatch.setattr(CAT, "footer_row_count", lambda path: 10**8)
+    n_cent, n_probe = Q._ivf_params("/does/not/matter")
+    assert n_cent == 10**8 // 125
+    assert n_probe == Q._IVF_PROBE_CAP
