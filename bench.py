@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "documents_tokenized",
     "embedding_pq_codes",
     "ann_topk_pq",
+    "ann_topk_opq",
     "corpus_dataset_card",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",

@@ -135,6 +135,8 @@ _CROSS_OK = {
     # of the per-query lookup tables (the candidate side reads codes
     # only — that asymmetry IS the operator)
     "ann_topk_pq",
+    # OPQ ADC search: same |Q|-row LUT broadcast as ann_topk_pq
+    "ann_topk_opq",
     # recall report embeds the brute-force ground truth + the full-ADC
     # tier: the nested-loop joins are the same bounded |Q|-row
     # broadcasts those two whitelisted queries make

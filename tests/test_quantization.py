@@ -346,3 +346,101 @@ def test_dimension_stats_degenerate_inputs_paths_agree(spark, monkeypatch):
     assert flat.mins == [1.0, 1.0, 5.0, None]
     assert flat.maxs == [3.0, 2.0, 5.0, None]
     assert chunked.mins == flat.mins and chunked.maxs == flat.maxs
+
+
+def _opq_fixture(spark):
+    """Anisotropic + cross-subspace-correlated synthetic data — the
+    regime OPQ exists for (plain PQ's fixed coordinate slices waste
+    code budget on correlated dims)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    dim, n = 64, 600
+    spread = np.linspace(3.0, 0.1, dim)
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    X = (rng.normal(size=(n, dim)) * spread) @ Q
+    rows = [Row(vec_id=i, embedding=[float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    Xf = np.array(
+        [[np.float32(v) for v in X[i]] for i in range(n)], dtype=np.float64
+    )
+    return df, Xf
+
+
+def _recon(codes, cb, n, dim):
+    import numpy as np
+
+    m = len(cb)
+    out = np.empty((n, dim))
+    for i in range(n):
+        out[i] = np.concatenate([cb[mi][codes[i][mi]] for mi in range(m)])
+    return out
+
+
+def test_opq_beats_plain_pq_on_correlated_data(spark):
+    """The whole point of the rotation: on anisotropic data OPQ's
+    reconstruction MSE must be well below plain PQ's at the same code
+    budget (measured 0.57x at 5 iters; pinned at <= 0.8x), and the
+    alternation must be non-increasing (Procrustes guarantee)."""
+    dim, n = 64, 600
+    df, Xf = _opq_fixture(spark)
+
+    cb_p = QZ.pq_codebooks(df, dim)
+    codes_p = {
+        r.vec_id: r.codes for r in QZ.pq_encode(df, dim, codebook=cb_p).collect()
+    }
+    mse_p = ((Xf - _recon(codes_p, cb_p, n, dim)) ** 2).mean()
+
+    mses = {}
+    for it in (1, 5):
+        R, cb_o = QZ.opq_train(df, dim, n_iter=it)
+        codes_o = {
+            r.vec_id: r.codes for r in QZ.opq_encode(df, R, cb_o).collect()
+        }
+        mses[it] = (((Xf @ R) - _recon(codes_o, cb_o, n, dim)) ** 2).mean()
+    assert mses[5] <= 0.8 * mse_p, (mses, mse_p)
+    assert mses[5] <= mses[1] + 1e-9
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    """R must be orthogonal (distances in the rotated space ARE the
+    original distances — what makes opq_adc_topk search the original
+    space) and training bit-reproducible on re-runs."""
+    import numpy as np
+
+    df, _ = _opq_fixture(spark)
+    R1, cb1 = QZ.opq_train(df, 64, n_iter=3)
+    R2, cb2 = QZ.opq_train(df, 64, n_iter=3)
+    assert np.array_equal(R1, R2) and np.array_equal(cb1, cb2)
+    assert np.allclose(R1 @ R1.T, np.eye(64), atol=1e-10)
+
+
+def test_opq_adc_topk_ranks_and_recall(spark):
+    """OPQ ADC search returns gapless per-query ranks, never the query
+    itself, and on the correlated fixture its recall@5 vs exact
+    brute force is at least plain PQ ADC's (finer codes -> no worse
+    candidate ranking)."""
+    from overpaint_spark.operators import similarity as SIM
+
+    df, _ = _opq_fixture(spark)
+    q = df.filter("vec_id < 8")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(df, q, k=5).collect()
+    }
+    opq = QZ.opq_adc_topk(df, q, dim=64, k=5).collect()
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in QZ.pq_adc_topk(df, q, dim=64, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in opq}
+    assert all(qid != nid for qid, nid in got)
+    by_q = {}
+    for r in opq:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for rs in by_q.values():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    r_opq = len(exact & got) / len(exact)
+    r_pq = len(exact & pq) / len(exact)
+    assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
