@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "embedding_pq_codes",
     "ann_topk_pq",
     "ann_topk_opq",
+    "ann_topk_hamming",
     "corpus_dataset_card",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",

@@ -2269,6 +2269,43 @@ def _oracle_ann_ivfpq_recall() -> str:
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
 
+def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch top-5 (sign-bit signatures + XOR popcount — 8
+    bytes/vector, the cheapest ANN tier; similarity.hamming_topk):
+    the whole index AND search are exact JVM integer expressions, so
+    unlike every float tier there is NO margin analysis to do — the
+    SQL twin reproduces the fold bit-for-bit by construction
+    (MSB-first acc·2+b ≡ Σ bit·2^pos). Ties break on neighbor_id
+    (hamming over 64 bits has only 65 distinct values, so ties are
+    structural, not incidental)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.hamming_topk(e, e.filter(F.col("vec_id") < 10), dim=_QUANT_DIM, k=5)
+
+
+def _oracle_ann_topk_hamming() -> str:
+    half = _QUANT_DIM // 2
+
+    def sig(lo, hi):
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
+            f"i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << ({hi} - i)) "
+            "ELSE 0 END)) AS BIGINT)"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"s AS (SELECT vec_id, {sig(1, half)} AS h1, "
+        f"{sig(half + 1, _QUANT_DIM)} AS h2 FROM e), "
+        "q AS (SELECT vec_id AS query_id, h1, h2 FROM s WHERE vec_id < 10), "
+        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        "CAST(bit_count(xor(c.h1, q.h1)) + bit_count(xor(c.h2, q.h2)) AS BIGINT) "
+        "AS hamming FROM q JOIN s c ON c.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, hamming, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank FROM d) "
+        "SELECT query_id, neighbor_id, rank, hamming FROM r WHERE rank <= 5"
+    )
+
+
 def q_ann_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-rotated ADC top-5 (Ge et al. 2013; FAISS OPQMatrix+PQ — the
     quantization tier between plain PQ and IVF-PQ): an orthogonal
@@ -5642,6 +5679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
     "corpus_clean_v3": q_corpus_clean_v3,
+    "ann_topk_hamming": q_ann_topk_hamming,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -5783,6 +5821,7 @@ def oracles() -> dict[str, str]:
         "stream_lm_score": _oracle_text_lm_score(),
         "dataset_mixture_temperature": _oracle_dataset_mixture_temperature(),
         "corpus_clean_v3": _oracle_corpus_clean_v3(),
+        "ann_topk_hamming": _oracle_ann_topk_hamming(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

@@ -137,6 +137,8 @@ _CROSS_OK = {
     "ann_topk_pq",
     # OPQ ADC search: same |Q|-row LUT broadcast as ann_topk_pq
     "ann_topk_opq",
+    # hamming search: the |Q|-row query-sketch broadcast (8 bytes/row)
+    "ann_topk_hamming",
     # recall report embeds the brute-force ground truth + the full-ADC
     # tier: the nested-loop joins are the same bounded |Q|-row
     # broadcasts those two whitelisted queries make

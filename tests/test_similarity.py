@@ -347,3 +347,53 @@ def test_ivf_params_fixture_floor_and_probe_cap(monkeypatch):
     n_cent, n_probe = Q._ivf_params("/does/not/matter")
     assert n_cent == 10**8 // 125
     assert n_probe == Q._IVF_PROBE_CAP
+
+
+def test_hamming_topk_structure_and_recall(spark):
+    """Binary-sketch search: gapless ranks, no self-matches, distances
+    in [0, dim], and non-trivial recall vs exact cosine (0.16 measured
+    on the random fixture — the 1-bit/dim sketch is the COARSE tier;
+    its job is cheap candidate pruning, not final ranking; floor 0.1
+    guards against a broken signature, not sketch quality)."""
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    out = SIM.hamming_topk(e, q, dim=64, k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    assert all(0 <= r.hamming <= 64 for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for rs in by_q.values():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in SIM.brute_force_topk(e, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(exact & got) / len(exact) >= 0.1
+
+
+def test_binary_signature_matches_python_model(spark):
+    """The MSB-first fold must equal the independent bit-weight sum —
+    the identity the SQL oracle relies on."""
+    from pyspark.sql import Row, functions as F
+
+    vecs = [
+        [1.0, -1.0, 0.0, -0.5],
+        [-1.0, -1.0, -1.0, -1.0],
+        [0.5, 0.5, 0.5, 0.5],
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id",
+            SIM.binary_signature(F.col("embedding"), 1, 4).alias("s"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = sum((1 if x >= 0 else 0) << (3 - j) for j, x in enumerate(v))
+        assert got[i] == want
