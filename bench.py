@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "ann_topk_opq",
     "ann_topk_hamming",
+    "ann_topk_hamming_rerank",
     "corpus_dataset_card",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",

@@ -586,6 +586,52 @@ def hamming_topk(
     )
 
 
+def hamming_rerank_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary-sketch search — the PRODUCTION use of a 1-bit
+    sketch: stage 1 shortlists ``shortlist`` candidates per query by
+    XOR-popcount over the 8-byte signatures (integer codegen, vectors
+    untouched), stage 2 reranks ONLY the shortlist by exact cosine.
+    Per-query float work drops from N dot products to ``shortlist``,
+    while the integer stage scans N 8-byte sketches — at 100 TB the
+    vector column is never read outside the shortlist join. Both stages
+    are deterministic (integer distances + id ties, then cosine + id
+    ties), so the composition is fully SQL-oracle-checkable — unlike
+    every trained tier."""
+    short = hamming_topk(
+        candidates, queries, dim, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", V.norm(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", V.norm(F.col("q_vec")))
+    sim = V.cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    scored = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

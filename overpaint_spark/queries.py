@@ -2306,6 +2306,63 @@ def _oracle_ann_topk_hamming() -> str:
     )
 
 
+_HAMMING_SHORTLIST = 50
+
+
+def q_ann_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-sketch search (similarity.hamming_rerank_topk):
+    integer XOR-popcount shortlist of 50, exact-cosine rerank to top-5
+    — per-query float work drops N → 50 while the integer stage reads
+    8-byte sketches only. Fully oracle-checkable: the shortlist
+    boundary is exact integer math + id ties, the rerank reuses the
+    measured brute-force cosine margins (≥ 1.9e-5 at 4 dp rounding).
+    On the random fixture the 50-deep shortlist recovers most of the
+    exact top-5 that the raw 1-bit ranking (ann_topk_hamming) misses —
+    the relation pair shows the sketch's honest precision/recall
+    trade."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.hamming_rerank_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        dim=_QUANT_DIM, k=5, shortlist=_HAMMING_SHORTLIST,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine_sim", 4).alias("cosine_sim_r"),
+    )
+
+
+def _oracle_ann_topk_hamming_rerank() -> str:
+    half = _QUANT_DIM // 2
+
+    def sig(lo, hi):
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
+            f"i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << ({hi} - i)) "
+            "ELSE 0 END)) AS BIGINT)"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"s AS (SELECT vec_id, {sig(1, half)} AS h1, "
+        f"{sig(half + 1, _QUANT_DIM)} AS h2 FROM e), "
+        "q AS (SELECT vec_id AS query_id, h1, h2 FROM s WHERE vec_id < 10), "
+        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        "bit_count(xor(c.h1, q.h1)) + bit_count(xor(c.h2, q.h2)) "
+        "AS hamming FROM q JOIN s c ON c.vec_id <> q.query_id), "
+        "hr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) "
+        f"AS rk FROM d) WHERE rk <= {_HAMMING_SHORTLIST}), "
+        "s2 AS (SELECT hr.query_id, hr.neighbor_id, "
+        "LIST_COSINE_SIMILARITY(qe.v, ce.v) AS sim "
+        "FROM hr JOIN e qe ON qe.vec_id = hr.query_id "
+        "JOIN e ce ON ce.vec_id = hr.neighbor_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s2) "
+        "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r "
+        "FROM r WHERE rank <= 5"
+    )
+
+
 def q_ann_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-rotated ADC top-5 (Ge et al. 2013; FAISS OPQMatrix+PQ — the
     quantization tier between plain PQ and IVF-PQ): an orthogonal
@@ -5555,7 +5612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_score": q_text_lm_score,
     # -- corpus / dataset pipeline -----------------------------------
     "dataset_dsir_weights": q_dataset_dsir_weights,
-    "corpus_clean": q_corpus_clean,
+    "corpus_clean_v3": q_corpus_clean_v3,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
     "corpus_vocabulary": q_corpus_vocabulary,
@@ -5577,6 +5634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_topk_hamming": q_ann_topk_hamming,
     # -- streaming ---------------------------------------------------
     "stream_corpus_stats": q_stream_corpus_stats,
     "stream_length_histogram": q_stream_length_histogram,
@@ -5594,7 +5652,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_percentiles": q_profile_percentiles,
     "profile_null_distinct": q_profile_null_distinct,
     "profile_incremental": q_profile_incremental,
-    "profile_top_values": q_profile_top_values,
     "profile_key_skew": q_profile_key_skew,
     # -- repaired oracle shapes (window SUM / range join / JSON agg /
     #    conditional agg) --------------------------------------------
@@ -5606,7 +5663,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle, recall report, streaming LM scorer)
     "profile_correlations": q_profile_correlations,
     "profile_functional_deps": q_profile_functional_deps,
+    "profile_top_values": q_profile_top_values,
     "events_sessionize": q_events_sessionize,
+    "corpus_clean": q_corpus_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
@@ -5678,8 +5737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
-    "corpus_clean_v3": q_corpus_clean_v3,
-    "ann_topk_hamming": q_ann_topk_hamming,
+    "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -5822,6 +5880,7 @@ def oracles() -> dict[str, str]:
         "dataset_mixture_temperature": _oracle_dataset_mixture_temperature(),
         "corpus_clean_v3": _oracle_corpus_clean_v3(),
         "ann_topk_hamming": _oracle_ann_topk_hamming(),
+        "ann_topk_hamming_rerank": _oracle_ann_topk_hamming_rerank(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

@@ -139,6 +139,8 @@ _CROSS_OK = {
     "ann_topk_opq",
     # hamming search: the |Q|-row query-sketch broadcast (8 bytes/row)
     "ann_topk_hamming",
+    # rerank composes the hamming shortlist + a |Q|-row vector broadcast
+    "ann_topk_hamming_rerank",
     # recall report embeds the brute-force ground truth + the full-ADC
     # tier: the nested-loop joins are the same bounded |Q|-row
     # broadcasts those two whitelisted queries make

@@ -397,3 +397,30 @@ def test_binary_signature_matches_python_model(spark):
     for i, v in enumerate(vecs):
         want = sum((1 if x >= 0 else 0) << (3 - j) for j, x in enumerate(v))
         assert got[i] == want
+
+
+def test_hamming_rerank_beats_raw_hamming_recall(spark):
+    """The rerank stage is the sketch's production payoff: a 50-deep
+    integer shortlist reranked by exact cosine must recover strictly
+    more of the exact top-5 than the raw 1-bit ranking (0.16 raw on
+    the fixture), and every similarity it reports is the TRUE cosine
+    (reranking never distorts, it only prunes)."""
+    import math
+
+    from overpaint_spark.sources.catalog import load_table
+
+    e = load_table(spark, f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in SIM.brute_force_topk(e, q, k=5).collect()}
+    raw = {(r.query_id, r.neighbor_id)
+           for r in SIM.hamming_topk(e, q, dim=64, k=5).collect()}
+    rr = {(r.query_id, r.neighbor_id): r.cosine_sim
+          for r in SIM.hamming_rerank_topk(e, q, dim=64, k=5, shortlist=50).collect()}
+    r_raw = len(set(exact) & raw) / len(exact)
+    r_rr = len(set(exact) & set(rr)) / len(exact)
+    assert r_rr > r_raw, (r_rr, r_raw)
+    assert r_rr >= 0.4, r_rr
+    for key, sim in rr.items():
+        if key in exact:
+            assert math.isclose(sim, exact[key], rel_tol=1e-9)

@@ -71,10 +71,13 @@ def test_window_contains_the_flagship_operators():
         "bpe_merge_pairs",
         "multimodal_video_frames",
         # r5 flagships: the upgraded residual oracle, the PQ-tier
-        # recall report, and the third streaming witness
+        # recall report, the third streaming witness, the all-integer
+        # binary-sketch tier, and the five-predicate cleaner
         "ann_topk_ivfpq_residual",
         "ann_ivfpq_recall",
         "stream_lm_score",
+        "ann_topk_hamming",
+        "corpus_clean_v3",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_minhash_verified",
@@ -82,7 +85,6 @@ def test_window_contains_the_flagship_operators():
         "dedup_clusters",
         "dedup_incremental",
         "semantic_dedup",
-        "corpus_clean",
         "corpus_clean_v2",
         "decontaminate_overlap",
         "corpus_vocabulary",
