@@ -172,6 +172,7 @@ def pq_encode(
     vec_col: str = "embedding",
     train_iters: int = 0,
     codebook=None,
+    rotation=None,
 ) -> DataFrame:
     """(id, codes array<int>) — classic product quantization (Jégou et
     al. 2011, the FAISS "PQ" tier): the vector splits into
@@ -188,7 +189,12 @@ def pq_encode(
     ``codebook``: a precomputed :func:`pq_codebooks` result — callers
     that already built one (the ADC/IVF-PQ searches) pass it through so
     the two seeding collect jobs (and any Lloyd's refinement) run
-    once, not twice."""
+    once, not twice.
+
+    ``rotation``: an optional dim×dim orthogonal matrix applied before
+    coding — the OPQ pre-transform. One GEMM per batch; the matrix
+    rides in the closure. Identity semantics when absent, so OPQ's
+    encode IS this function (r5 review finding: it was a copy)."""
     import numpy as np
     import pandas as pd
 
@@ -202,6 +208,8 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if rotation is not None:
+                x = x @ rotation
             codes = np.empty((len(x), n_subspaces), dtype=np.int32)
             for mi in range(n_subspaces):
                 sub = x[:, mi * dsub : (mi + 1) * dsub]
@@ -240,19 +248,42 @@ def pq_adc_topk(
     rows. Ranking ties break on neighbor id. The left-to-right add
     chain keeps the distance bit-reproducible in SQL.
     """
-    import numpy as np
-
     spark = candidates.sparkSession
     cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
                       train_iters=train_iters)
-    dsub = dim // n_subspaces
     codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
                       codebook=cb)
-
     q_rows = queries.select(id_col, vec_col).collect()
+    return _adc_search(
+        spark, codes, cb, q_rows, dim, n_subspaces, n_codes, k, id_col
+    )
+
+
+def _adc_search(
+    spark,
+    codes: DataFrame,
+    cb,
+    q_rows,
+    dim: int,
+    n_subspaces: int,
+    n_codes: int,
+    k: int,
+    id_col: str,
+    rotation=None,
+) -> DataFrame:
+    """Shared ADC search body — LUT build (optionally in a rotated
+    space), |Q|-row broadcast scan over code bytes, top-k window.
+    ONE copy serves pq_adc_topk and opq_adc_topk so tie-break, LUT
+    schema, and dist-expression fixes cannot drift between the tiers
+    (r5 review finding: they were near-verbatim copies)."""
+    import numpy as np
+
+    dsub = dim // n_subspaces
     lut_rows = []
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
+        if rotation is not None:
+            qv = qv @ rotation
         lut = [
             [
                 float(((qv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
@@ -262,10 +293,9 @@ def pq_adc_topk(
         ]
         lut_rows.append((int(r[0]), lut))
     lut_df = spark.createDataFrame(
-        lut_rows, f"q_id long, lut array<array<double>>"
+        lut_rows, "q_id long, lut array<array<double>>"
     )
 
-    dist = _adc_dist_expr(n_subspaces)
     from pyspark.sql.window import Window
 
     scored = (
@@ -274,7 +304,7 @@ def pq_adc_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            dist.alias("adc_dist"),
+            _adc_dist_expr(n_subspaces).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
@@ -336,16 +366,20 @@ def opq_train(
     )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     R = np.eye(dim)
-    cb = None
+    # codebooks seed ONCE (first n_codes rows in the initial space) and
+    # PERSIST across alternations — each round refines the PREVIOUS
+    # round's centroids in the current rotated space. Re-seeding every
+    # round (the original implementation) voids Ge et al.'s
+    # non-increasing-error argument, which assumes both sub-steps only
+    # improve the shared objective (r5 review finding); per-round
+    # monotonicity is pinned in tests now.
+    cb = (
+        X[:n_codes].reshape(n_codes, n_subspaces, dsub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
     for _ in range(n_iter):
         XR = X @ R
-        # per-subspace codebooks: seeded from the first n_codes rotated
-        # rows, one Lloyd's refinement per alternation (argmin + mean)
-        cb = (
-            XR[:n_codes].reshape(n_codes, n_subspaces, dsub)
-            .transpose(1, 0, 2)
-            .copy()
-        )
         codes = np.empty((len(XR), n_subspaces), dtype=np.int64)
         for mi in range(n_subspaces):
             sub = XR[:, mi * dsub : (mi + 1) * dsub]
@@ -373,32 +407,22 @@ def opq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>): rotate then PQ-code. The rotation matrix
-    (dim² doubles — 32 KB at dim 64) and codebook ride in the task
-    closure; per batch one GEMM + one argmin per subspace. Nothing
-    shuffles but the output codes."""
-    import numpy as np
-    import pandas as pd
-
+    """(id, codes array<int>): rotate then PQ-code — a thin wrapper
+    over :func:`pq_encode`'s rotation parameter (ONE encode body for
+    both tiers; r5 review finding: this was a copy). The rotation
+    matrix (dim² doubles — 32 KB at dim 64) and codebook ride in the
+    task closure; per batch one GEMM + one argmin per subspace."""
     n_subspaces = len(codebook)
     dsub = codebook[0].shape[1]
-
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64) @ R
-            codes = np.empty((len(x), n_subspaces), dtype=np.int32)
-            for mi in range(n_subspaces):
-                sub = x[:, mi * dsub : (mi + 1) * dsub]
-                d2 = ((sub[:, None, :] - codebook[mi][None, :, :]) ** 2).sum(axis=2)
-                codes[:, mi] = np.argmin(d2, axis=1)  # first min = lowest code
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
-            )
-
-    return vectors.select(id_col, vec_col).mapInPandas(
-        fn, f"{id_col} long, codes array<int>"
+    return pq_encode(
+        vectors,
+        dim=n_subspaces * dsub,
+        n_subspaces=n_subspaces,
+        n_codes=codebook[0].shape[0],
+        id_col=id_col,
+        vec_col=vec_col,
+        codebook=codebook,
+        rotation=R,
     )
 
 
@@ -418,51 +442,18 @@ def opq_adc_topk(
     LUT-summing against rotated-space codes searches the ORIGINAL
     space, just with less quantization error per code byte. Same scale
     shape as pq_adc_topk: |Q|·M·K LUTs broadcast, candidates read code
-    bytes only, one final top-k window."""
-    import numpy as np
-
+    bytes only, one final top-k window — the search body is the SHARED
+    :func:`_adc_search` with the rotation applied to queries."""
     spark = candidates.sparkSession
     R, cb = opq_train(
         candidates, dim, n_subspaces, n_codes, n_iter=n_iter,
         id_col=id_col, vec_col=vec_col,
     )
-    dsub = dim // n_subspaces
     codes = opq_encode(candidates, R, cb, id_col, vec_col)
-
     q_rows = queries.select(id_col, vec_col).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64) @ R
-        lut = [
-            [
-                float(((qv[mi * dsub : (mi + 1) * dsub] - cb[mi][ki]) ** 2).sum())
-                for ki in range(n_codes)
-            ]
-            for mi in range(n_subspaces)
-        ]
-        lut_rows.append((int(r[0]), lut))
-    lut_df = spark.createDataFrame(
-        lut_rows, "q_id long, lut array<array<double>>"
-    )
-
-    from pyspark.sql.window import Window
-
-    scored = (
-        codes.crossJoin(F.broadcast(lut_df))
-        .filter(F.col(id_col) != F.col("q_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col(id_col).alias("neighbor_id"),
-            _adc_dist_expr(n_subspaces).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    return _adc_search(
+        spark, codes, cb, q_rows, dim, n_subspaces, n_codes, k, id_col,
+        rotation=R,
     )
 
 

@@ -515,21 +515,40 @@ def assign_to_centroids_two_level(
     return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
 
+_SIG_WORD_BITS = 32
+
+
 def binary_signature(vec_col, lo: int, hi: int):
     """Sign-bit signature of dims ``lo..hi`` (1-based, inclusive) as a
     bigint: bit for dim i set iff v[i] ≥ 0, MSB-first left fold
-    (acc·2 + b — exact integer math, identical in any engine; keep
-    hi−lo+1 ≤ 62 so the fold never overflows a signed bigint)."""
+    (acc·2 + b — exact integer math, identical in any engine; callers
+    keep hi−lo+1 ≤ 62 so the fold never overflows a signed bigint —
+    :func:`_signature_words` chunks at 32). ``try_element_at``: a
+    ragged vector's missing dims contribute a 0-bit on every engine
+    instead of throwing under ANSI / silently signing negative under
+    non-ANSI (r5 review finding; same convention as dimension_stats)."""
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(lo), F.lit(hi)),
-            lambda i: F.when(F.element_at(vec_col, i) >= 0, F.lit(1))
+            lambda i: F.when(F.try_element_at(vec_col, i) >= 0, F.lit(1))
             .otherwise(F.lit(0))
             .cast("bigint"),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, b: acc * F.lit(2) + b,
     )
+
+
+def _signature_words(dim: int) -> list[tuple[int, int]]:
+    """(lo, hi) 1-based inclusive spans covering ``dim`` in ≤32-bit
+    words — the chunking that keeps every fold overflow-free for ANY
+    dim (the old fixed two-half split overflowed past dim 124: r5
+    review finding). dim 64 → [(1,32),(33,64)], matching the SQL
+    oracle's two-word formula exactly."""
+    return [
+        (w * _SIG_WORD_BITS + 1, min((w + 1) * _SIG_WORD_BITS, dim))
+        for w in range((dim + _SIG_WORD_BITS - 1) // _SIG_WORD_BITS)
+    ]
 
 
 def hamming_topk(
@@ -549,24 +568,30 @@ def hamming_topk(
     broadcast |Q|-row query sketches — no Python, no codebooks, no
     training. Rank ties (hamming has only dim+1 distinct values, so
     ties are the NORM, not an edge case) break on neighbor_id. The
-    signature packs into two ≤32-bit halves rather than one 64-bit
-    word so the fold can never overflow a signed bigint under ANSI."""
-    half = dim // 2
+    signature packs into ⌈dim/32⌉ ≤32-bit bigint words
+    (``_signature_words``) so the fold can never overflow a signed
+    bigint under ANSI at ANY dim — the old fixed two-half split
+    overflowed past dim 124 (r5 review finding); 128/768-dim
+    embeddings now work, not just the 64-dim fixtures."""
+    words = _signature_words(dim)
     v = F.col(vec_col).cast("array<double>")
 
     def sigs(df, prefix):
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            binary_signature(v, 1, half).alias(f"{prefix}_h1"),
-            binary_signature(v, half + 1, dim).alias(f"{prefix}_h2"),
+            *[
+                binary_signature(v, lo, hi).alias(f"{prefix}_w{i}")
+                for i, (lo, hi) in enumerate(words)
+            ],
         )
 
     c = sigs(candidates, "c")
     q = sigs(queries, "q")
-    dist = (
-        F.bit_count(F.col("c_h1").bitwiseXOR(F.col("q_h1")))
-        + F.bit_count(F.col("c_h2").bitwiseXOR(F.col("q_h2")))
-    ).cast("bigint")
+    dist = None
+    for i in range(len(words)):
+        term = F.bit_count(F.col(f"c_w{i}").bitwiseXOR(F.col(f"q_w{i}")))
+        dist = term if dist is None else dist + term
+    dist = dist.cast("bigint")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))

@@ -2282,24 +2282,37 @@ def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hamming_topk(e, e.filter(F.col("vec_id") < 10), dim=_QUANT_DIM, k=5)
 
 
-def _oracle_ann_topk_hamming() -> str:
+def _hamming_sig_sql(lo: int, hi: int) -> str:
+    """One ≤32-bit sign-bit word as SQL — the bit-weight identity of
+    similarity.binary_signature's MSB-first fold. SHARED by both
+    hamming oracles so the signature formula exists exactly once (r5
+    review finding: it was duplicated)."""
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
+        f"i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << ({hi} - i)) "
+        "ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def _hamming_dist_cte() -> str:
+    """Shared CTE prefix: embeddings → per-word signatures → query set
+    → all-pairs hamming distances (relation ``d``). Mirrors
+    similarity._signature_words' 32-bit chunking at the fixture dim."""
     half = _QUANT_DIM // 2
-
-    def sig(lo, hi):
-        return (
-            f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
-            f"i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << ({hi} - i)) "
-            "ELSE 0 END)) AS BIGINT)"
-        )
-
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        f"s AS (SELECT vec_id, {sig(1, half)} AS h1, "
-        f"{sig(half + 1, _QUANT_DIM)} AS h2 FROM e), "
+        f"s AS (SELECT vec_id, {_hamming_sig_sql(1, half)} AS h1, "
+        f"{_hamming_sig_sql(half + 1, _QUANT_DIM)} AS h2 FROM e), "
         "q AS (SELECT vec_id AS query_id, h1, h2 FROM s WHERE vec_id < 10), "
         "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
         "CAST(bit_count(xor(c.h1, q.h1)) + bit_count(xor(c.h2, q.h2)) AS BIGINT) "
-        "AS hamming FROM q JOIN s c ON c.vec_id <> q.query_id), "
+        "AS hamming FROM q JOIN s c ON c.vec_id <> q.query_id)"
+    )
+
+
+def _oracle_ann_topk_hamming() -> str:
+    return (
+        f"{_hamming_dist_cte()}, "
         "r AS (SELECT query_id, neighbor_id, hamming, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank FROM d) "
         "SELECT query_id, neighbor_id, rank, hamming FROM r WHERE rank <= 5"
@@ -2332,23 +2345,8 @@ def q_ann_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_topk_hamming_rerank() -> str:
-    half = _QUANT_DIM // 2
-
-    def sig(lo, hi):
-        return (
-            f"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES({lo}, {hi}), "
-            f"i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << ({hi} - i)) "
-            "ELSE 0 END)) AS BIGINT)"
-        )
-
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        f"s AS (SELECT vec_id, {sig(1, half)} AS h1, "
-        f"{sig(half + 1, _QUANT_DIM)} AS h2 FROM e), "
-        "q AS (SELECT vec_id AS query_id, h1, h2 FROM s WHERE vec_id < 10), "
-        "d AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
-        "bit_count(xor(c.h1, q.h1)) + bit_count(xor(c.h2, q.h2)) "
-        "AS hamming FROM q JOIN s c ON c.vec_id <> q.query_id), "
+        f"{_hamming_dist_cte()}, "
         "hr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) "
         f"AS rk FROM d) WHERE rk <= {_HAMMING_SHORTLIST}), "

@@ -381,8 +381,11 @@ def _recon(codes, cb, n, dim):
 def test_opq_beats_plain_pq_on_correlated_data(spark):
     """The whole point of the rotation: on anisotropic data OPQ's
     reconstruction MSE must be well below plain PQ's at the same code
-    budget (measured 0.57x at 5 iters; pinned at <= 0.8x), and the
-    alternation must be non-increasing (Procrustes guarantee)."""
+    budget (measured 0.55x at 5 iters; pinned at <= 0.8x), and the
+    alternation must be NON-INCREASING round over round — the Ge et
+    al. guarantee, which only holds because the codebooks persist
+    across alternations (the r5 review caught an implementation that
+    re-seeded them every round and voided it)."""
     dim, n = 64, 600
     df, Xf = _opq_fixture(spark)
 
@@ -393,14 +396,15 @@ def test_opq_beats_plain_pq_on_correlated_data(spark):
     mse_p = ((Xf - _recon(codes_p, cb_p, n, dim)) ** 2).mean()
 
     mses = {}
-    for it in (1, 5):
+    for it in (1, 2, 3, 4, 5):
         R, cb_o = QZ.opq_train(df, dim, n_iter=it)
         codes_o = {
             r.vec_id: r.codes for r in QZ.opq_encode(df, R, cb_o).collect()
         }
         mses[it] = (((Xf @ R) - _recon(codes_o, cb_o, n, dim)) ** 2).mean()
     assert mses[5] <= 0.8 * mse_p, (mses, mse_p)
-    assert mses[5] <= mses[1] + 1e-9
+    for it in (2, 3, 4, 5):
+        assert mses[it] <= mses[it - 1] + 1e-9, mses
 
 
 def test_opq_rotation_is_orthogonal_and_deterministic(spark):

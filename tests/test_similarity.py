@@ -424,3 +424,22 @@ def test_hamming_rerank_beats_raw_hamming_recall(spark):
     for key, sim in rr.items():
         if key in exact:
             assert math.isclose(sim, exact[key], rel_tol=1e-9)
+
+
+def test_hamming_topk_works_at_dim_128(spark):
+    """dim 128 needs four signature words — the old fixed two-half
+    split overflowed a signed bigint past dim 124 (ANSI crash or
+    silent corruption; r5 review finding). Verify against a python
+    popcount model."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 128))
+    rows = [Row(vec_id=i, embedding=[float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.hamming_topk(df, df.filter("vec_id < 3"), dim=128, k=4).collect()
+    assert len(out) == 12
+    bits = (np.array([[np.float64(np.float64(v)) for v in X[i]] for i in range(40)]) >= 0)
+    for r in out:
+        want = int((bits[r.query_id] ^ bits[r.neighbor_id]).sum())
+        assert r.hamming == want
