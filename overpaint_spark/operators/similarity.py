@@ -18,8 +18,6 @@ Norms are always precomputed per side before any join.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window

@@ -220,3 +220,50 @@ def test_dsir_bucket_feature_space_is_full():
     hexv = [ord(c) for c in "0123456789abcdef"]
     reached = {(13 * a + b) % _DSIR_BUCKETS for a in hexv for b in hexv}
     assert len(reached) == _DSIR_BUCKETS
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["web", "books", "code", "wiki", "news"]),
+        st.integers(min_value=1, max_value=10**6),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_mixture_temperature_matches_python_model(spark, counts):
+    """dataset_mixture_temperature's floor(sqrt(n)/sqrt(max)*1e6) must
+    equal the python-math model exactly for any source counts — both
+    go through the same IEEE-correctly-rounded double ops, which is
+    the query's whole cross-engine-determinism argument."""
+    import math
+
+    from overpaint_spark.queries import q_dataset_mixture_temperature
+
+    rows = []
+    doc_id = 0
+    for src, n in counts.items():
+        # cap fixture size: weight depends only on counts, so scale
+        # counts down while keeping exact integers
+        for _ in range(min(n, 40)):
+            rows.append((doc_id, "t", "en", src, 1))
+            doc_id += 1
+    eff = {s: min(n, 40) for s, n in counts.items()}
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import unittest.mock as mock
+
+    from overpaint_spark import queries as Q
+
+    with mock.patch.object(Q, "_t", lambda spark_, sf, name: df):
+        got = {
+            r.source: (r.n_docs, r.weight_ppm)
+            for r in q_dataset_mixture_temperature(spark, "unused").collect()
+        }
+    mx = max(eff.values())
+    want = {
+        s: (n, int(math.floor(math.sqrt(float(n)) / math.sqrt(float(mx)) * 1e6)))
+        for s, n in eff.items()
+    }
+    assert got == want
