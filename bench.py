@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "corpus_clean_v3",
     "embedding_sq8_error",
     "dedup_substring_spans",
+    "corpus_span_scrubbed",
     "dataset_dsir_weights",
     "bpe_merge_pairs",
     "multimodal_metadata",

