@@ -10,22 +10,29 @@ corpus again:
    the corpus's exploded words. O(corpus tokens) once; the result is
    zipf-bounded (≈10⁵–10⁶ distinct words at web scale), NOT
    corpus-sized.
-2. Per merge round, on the vocab relation only: explode each word's
-   current symbol sequence into adjacent pairs weighted by word count,
-   ONE count aggregate (shuffle O(distinct pairs)), take the argmax
-   pair (ties broken lexicographically — deterministic without a
-   global sort: a 1-row min-over-maxcount broadcast), and rewrite each
-   word's symbols left-to-right non-overlapping (Arrow-batched pandas
-   over the vocab relation — vocab-sized, vectorizable, and the
-   recurrence that makes this op non-SQL-expressible).
+2. The merge recurrence then runs entirely in DRIVER MEMORY on the
+   collected vocab (the shape of every production tokenizer trainer —
+   HF-tokenizers, sentencepiece, Sennrich's learn_bpe): pair counts
+   maintained INCREMENTALLY (only words containing the merged pair are
+   rewritten, only their touched pairs re-counted) with a lazy-deletion
+   max-heap for the per-round argmax, so a 32k-merge production run is
+   ONE Spark job + a driver loop — not 32k sequential Spark jobs of
+   per-round agg + collect + mapInPandas (the r5 design, kept below as
+   ``_train_loop_distributed`` strictly as a fallback for vocabularies
+   that genuinely exceed driver memory, dispatched by
+   ``max_driver_vocab``).
 
-``n_merges`` rounds cost n_merges small-relation shuffles — a driver
-LOOP, not driver DATA: nothing corpus-sized is ever collected. The
-declared query (``bpe_learned_merges``) is rows-only BY DESIGN: the
-left-to-right merge recurrence inside each round has no non-recursive
-SQL form (same class as dataset_pack_ffd's first-fit); correctness is
-pinned against an independent pure-python reference BPE in
-tests/test_bpe.py (fixture + hypothesis corpora).
+Both paths share ``_merge_once`` (the left-to-right non-overlapping
+merge semantics) and produce byte-identical merge tables: the argmax
+is max pair count ≥ min_count with ties to the lexicographically
+smallest (left, right) — Python's str ordering (code points) and
+Spark's default UTF8_BINARY string ordering agree because UTF-8 byte
+order preserves code-point order. Equivalence of the two paths is
+pinned in tests/test_bpe.py alongside the independent pure-python
+reference BPE (fixture + hypothesis corpora). The declared queries
+(``bpe_learned_merges``, ``bpe_vocab``) are rows-only BY DESIGN: the
+merge recurrence has no non-recursive SQL form (same class as
+dataset_pack_ffd's first-fit).
 
 Reference parity: overpaint (the profiling CLI) has no tokenizer; this
 belongs to the north-star LLM-pipeline extension set (SURVEY §7.4).
@@ -33,8 +40,18 @@ belongs to the north-star LLM-pipeline extension set (SURVEY §7.4).
 
 from __future__ import annotations
 
+import heapq
+from collections import defaultdict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Vocabularies up to this many distinct words run the merge loop in
+# driver memory (a (word, n) row is tens of bytes; 4M rows ≈ a few
+# hundred MB — comfortable in any driver sized for this engine).
+# Above it, the distributed per-round fallback keeps correctness at
+# the cost of one Spark job per merge.
+DEFAULT_MAX_DRIVER_VOCAB = 4_000_000
 
 # End-of-word sentinel (classic BPE: lets merges distinguish suffixes
 # from mid-word sequences). Kept out of the corpus charset.
@@ -117,17 +134,16 @@ def _merge_pair(state: DataFrame, left: str, right: str) -> DataFrame:
     return state.mapInPandas(fn, "word string, n long, syms array<string>")
 
 
-def _train_loop(
-    docs: DataFrame,
+def _train_loop_distributed(
+    state: DataFrame,
     n_merges: int,
     min_count: int,
-    text_col: str,
 ):
-    """(merges list, final_state DataFrame) — shared by bpe_train (the
-    merge table) and bpe_vocabulary (the post-merge symbol inventory).
-    The returned state is CACHED; callers that materialize from it
-    should unpersist when done."""
-    state = _initial_symbols(word_vocab(docs, text_col))
+    """(merges list, final_state DataFrame) — the per-round Spark-job
+    fallback for vocabularies too large to collect. Each round: one
+    pair-count aggregate + a 1-row argmax collect + an Arrow-batched
+    rewrite of the vocab-sized state. The returned state is CACHED;
+    callers that materialize from it should unpersist when done."""
     # each round re-reads the evolving vocab-sized state several times;
     # caching it bounds the loop's lineage (and recomputation) growth
     state = state.cache()
@@ -152,25 +168,120 @@ def _train_loop(
     return merges, state
 
 
+def _train_driver(
+    vocab_rows: list,
+    n_merges: int,
+    min_count: int,
+):
+    """(merges, words, counts) — the in-memory merge recurrence over
+    the collected (word, n) vocab. Incremental pair maintenance: a
+    pair→word-index postings map limits each round's rewrite to the
+    words that actually contain the merged pair, and only THEIR
+    adjacency counts change; the per-round argmax is a lazy-deletion
+    max-heap (every count change pushes the pair's current value; pops
+    discard entries whose recorded count no longer matches), ordered
+    (-count, left, right) so heapq's min-pop yields exactly the
+    distributed path's ORDER BY pair_n DESC, left, right LIMIT 1.
+
+    A pop'd valid entry IS the global argmax because every pair always
+    has an entry at its current count (pushed at init and after every
+    change). The merged pair's postings set can be popped outright: a
+    left-to-right non-overlapping pass leaves no adjacent (left,
+    right) in its output (any surviving left would have been followed
+    by a non-right symbol at scan time, and merged symbols left+right
+    can equal neither left nor right since both halves are non-empty).
+    """
+    words = [list(w) + [EOW] for w, _ in vocab_rows]
+    counts = [int(n) for _, n in vocab_rows]
+
+    pair_n: dict = defaultdict(int)
+    where: dict = defaultdict(set)  # pair -> word indices (may go stale)
+    for idx, syms in enumerate(words):
+        n = counts[idx]
+        for p in zip(syms, syms[1:]):
+            pair_n[p] += n
+            where[p].add(idx)
+    heap = [(-c, p[0], p[1]) for p, c in pair_n.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if pair_n.get((left, right), 0) == -negc:
+                best = (left, right, -negc)
+                break
+        if best is None or best[2] < min_count:
+            break
+        left, right, c = best
+        merges.append((rank, left, right, c))
+        touched = set()
+        for idx in where.pop((left, right), ()):
+            syms = words[idx]
+            new = _merge_once(syms, left, right)
+            if len(new) == len(syms):
+                continue  # stale postings entry — pair no longer present
+            n = counts[idx]
+            for p in zip(syms, syms[1:]):
+                pair_n[p] -= n
+                touched.add(p)
+            for p in zip(new, new[1:]):
+                pair_n[p] += n
+                touched.add(p)
+                where[p].add(idx)
+            words[idx] = new
+        touched.discard((left, right))
+        pair_n.pop((left, right), None)
+        for p in touched:
+            cur = pair_n.get(p, 0)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, p[0], p[1]))
+            else:
+                pair_n.pop(p, None)
+                where.pop(p, None)
+    return merges, words, counts
+
+
+def _collect_vocab(vocab: DataFrame, max_rows: int):
+    """The collected [(word, n)] vocab, or None if it exceeds
+    ``max_rows`` (LIMIT max_rows+1 returns every row iff the relation
+    fits — one job, no separate count)."""
+    rows = vocab.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    return [(r.word, r.n) for r in rows]
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     min_count: int = 2,
     text_col: str = "text",
+    max_driver_vocab: int = DEFAULT_MAX_DRIVER_VOCAB,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns the merge table
     (merge_rank, left, right, pair_n) — the artifact a tokenizer ships.
     Stops early (fewer rows) when no pair reaches ``min_count``.
 
-    Determinism: the argmax pair breaks ties by (left, right)
-    lexicographic order — a fixed total order, so re-runs and engine
-    ports produce the identical merge table. The argmax is
-    orderBy().limit(1), which Spark plans as TakeOrderedAndProject —
-    a per-partition top-1 heap merged on the driver, NOT a
-    materialized global sort of the pair relation."""
-    merges, state = _train_loop(docs, n_merges, min_count, text_col)
-    state.unpersist()
+    One corpus-sized Spark job (the word-count aggregate) + the driver
+    merge loop when the vocab fits ``max_driver_vocab``; otherwise the
+    per-round distributed fallback. Determinism on both paths: the
+    argmax pair breaks ties by (left, right) lexicographic order — a
+    fixed total order, so re-runs and engine ports produce the
+    identical merge table (the distributed argmax plans as
+    TakeOrderedAndProject — a per-partition top-1 heap, not a
+    materialized global sort)."""
     spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col)
+    rows = _collect_vocab(vocab, max_driver_vocab)
+    if rows is not None:
+        merges, _, _ = _train_driver(rows, n_merges, min_count)
+    else:
+        merges, state = _train_loop_distributed(
+            _initial_symbols(vocab), n_merges, min_count
+        )
+        state.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_n long"
     )
@@ -181,30 +292,45 @@ def bpe_vocabulary(
     n_merges: int = 8,
     min_count: int = 2,
     text_col: str = "text",
+    max_driver_vocab: int = DEFAULT_MAX_DRIVER_VOCAB,
 ) -> DataFrame:
     """(symbol, n_words, freq): the corpus symbol inventory AFTER the
     learned merges — the tokenizer's actual vocabulary, with how many
     distinct words each symbol appears in and its corpus-weighted
-    frequency. One vocab-sized explode + aggregate over the final
-    training state; rows-only like the trainer (same recurrence). The
-    final collect is BOUNDED by construction: distinct symbols ≤
-    |charset| + n_merges + 1 (every merge adds at most one new symbol),
-    so driver materialization is O(100) rows — done so the cached
-    training state can be dropped without the returned DataFrame's
-    lineage re-running the whole merge loop on first use."""
-    _, state = _train_loop(docs, n_merges, min_count, text_col)
-    out = (
-        state.select("word", "n", F.explode("syms").alias("symbol"))
-        .groupBy("symbol")
-        .agg(
-            F.countDistinct("word").cast("bigint").alias("n_words"),
-            F.sum("n").cast("bigint").alias("freq"),
-        )
-    )
-    # materialize before dropping the cached lineage it reads from
-    rows = out.collect()
-    state.unpersist()
+    frequency. The result is BOUNDED by construction: distinct symbols
+    ≤ |charset| + n_merges + 1 (every merge adds at most one new
+    symbol), so it is an O(100)-row relation either way. Driver path:
+    the inventory falls directly out of the final in-memory state.
+    Distributed fallback: one vocab-sized explode + aggregate over the
+    final training state, materialized before dropping the cached
+    lineage (so first use doesn't re-run the merge loop)."""
     spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col)
+    vrows = _collect_vocab(vocab, max_driver_vocab)
+    if vrows is not None:
+        _, words, counts = _train_driver(vrows, n_merges, min_count)
+        n_words_of: dict = defaultdict(int)
+        freq: dict = defaultdict(int)
+        for syms, n in zip(words, counts):
+            for s in set(syms):
+                n_words_of[s] += 1
+            for s in syms:
+                freq[s] += n
+        rows = [(s, n_words_of[s], freq[s]) for s in freq]
+    else:
+        _, state = _train_loop_distributed(
+            _initial_symbols(vocab), n_merges, min_count
+        )
+        out = (
+            state.select("word", "n", F.explode("syms").alias("symbol"))
+            .groupBy("symbol")
+            .agg(
+                F.countDistinct("word").cast("bigint").alias("n_words"),
+                F.sum("n").cast("bigint").alias("freq"),
+            )
+        )
+        rows = [(r.symbol, r.n_words, r.freq) for r in out.collect()]
+        state.unpersist()
     return spark.createDataFrame(rows, "symbol string, n_words long, freq long")
 
 

@@ -93,6 +93,31 @@ def test_bpe_train_matches_reference_random(spark, docs):
     assert got == want
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """The in-memory merge loop (default) and the per-round Spark-job
+    fallback (forced via max_driver_vocab=0) must produce byte-identical
+    merge tables and vocabularies — the dispatch threshold is a
+    performance knob, never a semantics knob."""
+    from overpaint_spark.operators.bpe import bpe_vocabulary
+    from overpaint_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001/documents.parquet").limit(80)
+    key = lambda r: tuple(r)  # noqa: E731
+    drv = sorted(map(key, bpe_train(d, n_merges=5, min_count=2).collect()))
+    dist = sorted(
+        map(
+            key,
+            bpe_train(d, n_merges=5, min_count=2, max_driver_vocab=0).collect(),
+        )
+    )
+    assert drv == dist and len(drv) == 5
+    v_drv = sorted(map(key, bpe_vocabulary(d, 5, 2).collect()))
+    v_dist = sorted(
+        map(key, bpe_vocabulary(d, 5, 2, max_driver_vocab=0).collect())
+    )
+    assert v_drv == v_dist
+
+
 def test_bpe_segment_counts_match_reference(spark):
     """Applying the learned merge table via bpe_segment must produce
     exactly the reference vocabulary's post-merge symbol counts."""
