@@ -5692,6 +5692,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- dedup family ------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "dedup_substring_spans": q_dedup_substring_spans,
+    # r6 rotation: the span SCRUBBER (remediation twin of the span
+    # detector above) earns a driver row next to it
+    "corpus_span_scrubbed": q_corpus_span_scrubbed,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -5702,10 +5705,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- text analysis ----------------------------------------------
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
-    "text_top_tokens": q_text_top_tokens,
     "text_lm_score": q_text_lm_score,
     # -- corpus / dataset pipeline -----------------------------------
     "dataset_dsir_weights": q_dataset_dsir_weights,
+    # r6 rotation: the IEEE-exact temperature-mixture weights
+    "dataset_mixture_temperature": q_dataset_mixture_temperature,
     "corpus_clean_v3": q_corpus_clean_v3,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
@@ -5721,7 +5725,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "embedding_sq8_error": q_embedding_sq8_error,
     # -- similarity search -------------------------------------------
-    "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
@@ -5729,9 +5732,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ann_topk_hamming": q_ann_topk_hamming,
+    # r6 rotation: the two-stage hamming-shortlist + cosine rerank
+    "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
     # -- streaming ---------------------------------------------------
     "stream_corpus_stats": q_stream_corpus_stats,
-    "stream_length_histogram": q_stream_length_histogram,
     "stream_lm_score": q_stream_lm_score,
     # -- multimodal --------------------------------------------------
     "multimodal_metadata": q_multimodal_metadata,
@@ -5752,6 +5756,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_line_counts": q_priority_line_counts,
     # ---------------- entries below are outside the driver's 50-query
     # window (all still oracle-checked locally) ----------------------
+    # r6-ejected (families keep in-window witnesses; rotated out for
+    # the three r5 orphans — span scrubber, hamming rerank,
+    # temperature mixture; all three ejectees stay oracle-checked
+    # locally every round)
+    "text_top_tokens": q_text_top_tokens,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "stream_length_histogram": q_stream_length_histogram,
     # r5-ejected (families keep in-window witnesses; rotated out for
     # the four r4 operators + the three new r5 flagships — residual
     # oracle, recall report, streaming LM scorer)
@@ -5830,9 +5841,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
-    "dataset_mixture_temperature": q_dataset_mixture_temperature,
-    "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
-    "corpus_span_scrubbed": q_corpus_span_scrubbed,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
