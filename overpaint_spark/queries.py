@@ -4934,10 +4934,14 @@ def q_corpus_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicated_spans(_t(spark, sf_dir, "documents"))
 
 
-def _oracle_corpus_span_scrubbed() -> str:
+def _span_scrub_ctes(src: str = "documents") -> str:
+    """CTE body ``d … reb, tot`` of the span scrubber over any
+    (doc_id, text) relation ``src`` — shared by the standalone oracle
+    and the end-to-end pipeline oracle (which scrubs the CLEANED
+    subcorpus, not raw documents), so the two can never drift."""
     L = _SPAN_L
     return (
-        "WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents), "
+        f"d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM {src}), "
         "sp AS (SELECT doc_id, "
         f"UNNEST(CASE WHEN LEN(t) >= {L} THEN GENERATE_SERIES(1, LEN(t) - {L - 1}) "
         "ELSE [] END) AS i, "
@@ -4955,11 +4959,114 @@ def _oracle_corpus_span_scrubbed() -> str:
         "WHERE cov.pos IS NULL), "
         "reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
         "STRING_AGG(tok, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id), "
-        "tot AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens FROM d) "
-        "SELECT tot.doc_id, tot.n_tokens, "
-        "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept, "
-        "COALESCE(reb.text_clean, '') AS text_clean "
-        "FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id"
+        "tot AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens FROM d)"
+    )
+
+
+_SPAN_SCRUB_SELECT = (
+    "SELECT tot.doc_id, tot.n_tokens, "
+    "CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept, "
+    "COALESCE(reb.text_clean, '') AS text_clean "
+    "FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id"
+)
+
+
+def _oracle_corpus_span_scrubbed() -> str:
+    return f"WITH {_span_scrub_ctes()} {_SPAN_SCRUB_SELECT}"
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline witness (VERDICT r5 #6): ONE
+    relation chaining the flagship operators so cross-operator contract
+    drift (column renames, ppm conventions, id types) breaks ONE oracle
+    row instead of only per-operator tests:
+
+      clean_v3 survivors → span-scrub the RETAINED subcorpus → drop
+      docs scrubbed to empty → OOV count vs the corpus vocabulary →
+      seeded shuffle + shard assignment over the survivors → concat-
+      pack each shard stream in training order.
+
+    Output: one row per surviving doc — (doc_id, shard, position,
+    n_kept, n_oov, pack_id, tok_offset). Every stage is the PRODUCTION
+    helper, not a copy: q_corpus_clean_v3, scrub_duplicated_spans,
+    q_corpus_vocabulary (broadcast join), seeded_shuffle (two-phase
+    rank — no global sort), and the pack_concat window arithmetic with
+    shard as the bucket stream. The only data-sized windows are
+    partitioned (by md5-prefix bucket inside seeded_shuffle, by shard
+    for the pack offsets); shard count is the parallelism knob a real
+    deployment raises with cluster size (tok budget stays 256)."""
+    docs = _t(spark, sf_dir, "documents")
+    surv = q_corpus_clean_v3(spark, sf_dir).select("doc_id")
+    scrubbed = scrub_duplicated_spans(docs.join(surv, "doc_id", "left_semi"))
+    alive = scrubbed.filter(F.col("n_kept") > 0).select(
+        "doc_id", "n_kept", "text_clean"
+    )
+    vocab = q_corpus_vocabulary(spark, sf_dir).select("token", "token_id")
+    ct = alive.select(
+        "doc_id", F.explode(TX.words(F.col("text_clean"))).alias("token")
+    )
+    oov = (
+        ct.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov")
+        )
+    )
+    order = seeded_shuffle(alive.select("doc_id"))
+    w = Window.partitionBy("shard").orderBy("position")
+    packed = (
+        order.join(alive.select("doc_id", "n_kept"), "doc_id")
+        .withColumn(
+            "start_off",
+            (F.sum("n_kept").over(w) - F.col("n_kept")).cast("bigint"),
+        )
+    )
+    return packed.join(oov, "doc_id").select(
+        "doc_id",
+        "shard",
+        "position",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "n_oov",
+        F.expr("start_off div 256").cast("bigint").alias("pack_id"),
+        (F.col("start_off") % 256).cast("bigint").alias("tok_offset"),
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    """The same five-stage chain as composed CTEs: clean_v3 (nested
+    WITH), the span-scrub CTE body re-targeted at the cleaned
+    subcorpus (d2), the vocabulary CTEs, and the shuffle/pack window
+    arithmetic — each fragment the SAME helper its standalone oracle
+    uses, so pipeline and per-operator oracles cannot drift apart."""
+    return (
+        f"WITH cv AS ({_oracle_corpus_clean_v3()}), "
+        "d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN cv USING (doc_id)), "
+        f"{_span_scrub_ctes('d2')}, "
+        f"scr AS ({_SPAN_SCRUB_SELECT}), "
+        "alive AS (SELECT doc_id, n_kept, text_clean FROM scr WHERE n_kept > 0), "
+        f"{_vocabulary_ctes()}, "
+        f"vocab AS ({_VOCABULARY_SELECT}), "
+        "ct AS (SELECT doc_id, UNNEST(STRING_SPLIT(text_clean, ' ')) AS token "
+        "FROM alive), "
+        "oov AS (SELECT ct.doc_id, CAST(SUM(CASE WHEN v.token_id IS NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM ct "
+        "LEFT JOIN vocab v USING (token) GROUP BY ct.doc_id), "
+        "k AS (SELECT doc_id, "
+        f"MD5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey FROM alive), "
+        "r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 "
+        "AS BIGINT) AS position FROM k), "
+        f"shd AS (SELECT doc_id, position, CAST(position % {_SHUFFLE_SHARDS} "
+        "AS INTEGER) AS shard FROM r), "
+        "p AS (SELECT shd.doc_id, shard, position, n_kept, "
+        "CAST(CAST(SUM(n_kept) OVER (PARTITION BY shard ORDER BY position) "
+        "AS BIGINT) - n_kept AS BIGINT) AS start_off "
+        "FROM shd JOIN alive USING (doc_id)) "
+        "SELECT p.doc_id, p.shard, p.position, "
+        "CAST(p.n_kept AS BIGINT) AS n_kept, o.n_oov, "
+        "start_off // 256 AS pack_id, start_off % 256 AS tok_offset "
+        "FROM p JOIN oov o ON o.doc_id = p.doc_id"
     )
 
 
@@ -5264,10 +5371,11 @@ _SHUFFLE_PREFIX_HEX = 2
 _SHUFFLE_BUCKETS = 16 ** _SHUFFLE_PREFIX_HEX
 
 
-def q_dataset_shuffle(
-    spark: SparkSession, sf_dir: str, prefix_hex: int = _SHUFFLE_PREFIX_HEX
+def seeded_shuffle(
+    d: DataFrame, prefix_hex: int = _SHUFFLE_PREFIX_HEX
 ) -> DataFrame:
-    """Deterministic global training-order shuffle + shard assignment:
+    """(doc_id, position, shard) over any doc_id relation — the
+    deterministic global training-order shuffle + shard assignment:
     position = rank of md5(seed:doc_id) — a seeded permutation that is
     stable under repartitioning (no RNG state, reruns bit-identical).
     The global rank is TWO-PHASE (same pattern as q_corpus_vocabulary):
@@ -5276,8 +5384,8 @@ def q_dataset_shuffle(
     bucket plus a broadcast 16^prefix_hex-row prefix offset reproduces
     the global rank with no single-task sort of the corpus. Shard =
     position mod n_shards gives the round-robin writer split a training
-    job shards by."""
-    d = _t(spark, sf_dir, "documents")
+    job shards by. Taken relation-in so the end-to-end pipeline
+    (q_corpus_pipeline) exercises THIS code on its cleaned subcorpus."""
     keyed = d.select(
         "doc_id",
         F.md5(
@@ -5302,6 +5410,10 @@ def q_dataset_shuffle(
             (F.col("position") % _SHUFFLE_SHARDS).cast("int").alias("shard"),
         )
     )
+
+
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seeded_shuffle(_t(spark, sf_dir, "documents"))
 
 
 def _oracle_dataset_shuffle() -> str:
@@ -5711,10 +5823,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6 rotation: the IEEE-exact temperature-mixture weights
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
     "corpus_clean_v3": q_corpus_clean_v3,
+    # r6: the end-to-end five-stage pipeline witness (clean → scrub →
+    # OOV → shuffle/shard → pack); subsumes dataset_shuffle's window
+    # slot (seeded_shuffle runs inside it)
+    "corpus_pipeline": q_corpus_pipeline,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
     "corpus_vocabulary": q_corpus_vocabulary,
-    "dataset_shuffle": q_dataset_shuffle,
     "documents_tokenized": q_documents_tokenized,
     "curriculum_stages": q_curriculum_stages,
     "corpus_dataset_card": q_corpus_dataset_card,
@@ -5763,6 +5878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_tokens": q_text_top_tokens,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "stream_length_histogram": q_stream_length_histogram,
+    "dataset_shuffle": q_dataset_shuffle,
     # r5-ejected (families keep in-window witnesses; rotated out for
     # the four r4 operators + the three new r5 flagships — residual
     # oracle, recall report, streaming LM scorer)
@@ -5985,6 +6101,7 @@ def oracles() -> dict[str, str]:
         "ann_topk_hamming": _oracle_ann_topk_hamming(),
         "ann_topk_hamming_rerank": _oracle_ann_topk_hamming_rerank(),
         "corpus_span_scrubbed": _oracle_corpus_span_scrubbed(),
+        "corpus_pipeline": _oracle_corpus_pipeline(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

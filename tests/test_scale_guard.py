@@ -52,6 +52,15 @@ GUARD_QUERIES = [
     # r5 additions — both landed in the bench top-3 at sf0.1
     "stream_lm_score",
     "bpe_learned_merges",
+    # r6 additions (VERDICT r5 #3): the span scrubber's
+    # covered-position explode is O(dup spans * L) — exactly the shape
+    # this guard watches — and clean_v3 now guards directly, not just
+    # via its v2 core
+    "corpus_span_scrubbed",
+    "corpus_clean_v3",
+    # r6: the end-to-end pipeline witness chains the five heaviest
+    # operator families — the first place cross-stage blowup would show
+    "corpus_pipeline",
 ]
 ALPHA_MAX = 1.0
 

@@ -83,6 +83,9 @@ def test_window_contains_the_flagship_operators():
         "corpus_span_scrubbed",
         "ann_topk_hamming_rerank",
         "dataset_mixture_temperature",
+        # r6: the end-to-end pipeline witness (VERDICT r5 #6); it
+        # embeds seeded_shuffle, taking dataset_shuffle's slot
+        "corpus_pipeline",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_minhash_verified",
@@ -93,7 +96,6 @@ def test_window_contains_the_flagship_operators():
         "corpus_clean_v2",
         "decontaminate_overlap",
         "corpus_vocabulary",
-        "dataset_shuffle",
         "documents_tokenized",
         "curriculum_stages",
         "corpus_dataset_card",
