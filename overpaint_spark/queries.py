@@ -2265,6 +2265,102 @@ def _oracle_ann_ivfpq_recall() -> str:
     )
 
 
+def q_ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible evidence for the TRAINED index tiers (VERDICT r5
+    #7): per query (vec_id < 10), recall@5 vs exact brute-force cosine
+    for five tiers — seeded IVF vs 3-round k-means-trained IVF
+    (train_kmeans_centroids), seeded PQ-ADC vs 5-round Lloyd's-trained
+    PQ-ADC, and OPQ-ADC (learned rotation) — plus three summary rows
+    pinning the reconstruction-error story on the bounded train
+    sample: train-set MSE ratios opq/pq_seeded, opq/pq_trained and
+    pq_trained/pq_seeded in ppm (< 1e6 ⟺ the left index reconstructs
+    better). Output: (method, query_id, metric, value) with metric ∈
+    {recall_at_5_ppm, mse_ratio_ppm}; summary rows carry query_id -1.
+
+    Rows-only BY DESIGN: k-means, Lloyd's PQ and OPQ's SVD alternation
+    are iterative training loops with no non-recursive SQL form (the
+    same class as bpe_learned_merges); determinism given the id-seeded
+    samples is what makes the rows stable across runs, and the
+    structural invariants are pinned in tests/test_quantization.py.
+    Scale shape: training cost is sample-bounded (≤1024×dim doubles on
+    the driver), searches are the declared tiers' own plans."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    n_cent, n_probe = _ivf_params(sf_dir)
+    exact = SIM.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    common = dict(dim=_QUANT_DIM, n_subspaces=_PQ_M, n_codes=_PQ_K, k=5)
+    tiers = [
+        ("ivf_seeded", SIM.ivf_topk(e, q, k=5, n_centroids=n_cent, n_probe=n_probe)),
+        (
+            "ivf_trained",
+            SIM.ivf_topk(
+                e, q, k=5, n_centroids=n_cent, n_probe=n_probe, train_iters=3
+            ),
+        ),
+        ("pq_adc_seeded", QZ.pq_adc_topk(e, q, **common)),
+        ("pq_adc_trained", QZ.pq_adc_topk(e, q, train_iters=5, **common)),
+        ("opq_adc", QZ.opq_adc_topk(e, q, **common)),
+    ]
+    parts = [
+        t.select(F.lit(name).alias("method"), "query_id", "neighbor_id")
+        for name, t in tiers
+    ]
+    allm = parts[0]
+    for p in parts[1:]:
+        allm = allm.unionByName(p)
+    recall = (
+        allm.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .selectExpr(
+            "method",
+            "query_id",
+            "'recall_at_5_ppm' AS metric",
+            "n_hits * 1000000 div 5 AS value",
+        )
+    )
+
+    # reconstruction-error ratios on the SAME id-ordered train sample
+    sample = 1024
+    rows = e.orderBy("vec_id").limit(sample).select("embedding").collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+
+    def mse(Xs, cb):
+        dsub = cb[0].shape[1]
+        err = 0.0
+        for mi in range(len(cb)):
+            sub = Xs[:, mi * dsub : (mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err / Xs.size
+
+    cb_seed = QZ.pq_codebooks(e, _QUANT_DIM, _PQ_M, _PQ_K)
+    cb_tr = QZ.pq_codebooks(
+        e, _QUANT_DIM, _PQ_M, _PQ_K, train_iters=5, train_sample=sample
+    )
+    R, cb_opq = QZ.opq_train(
+        e, _QUANT_DIM, _PQ_M, _PQ_K, n_iter=5, train_sample=sample
+    )
+    m_seed, m_tr, m_opq = mse(X, cb_seed), mse(X, cb_tr), mse(X @ R, cb_opq)
+
+    def ppm(a: float, b: float) -> int:
+        return int(a * 1_000_000 // b) if b > 0 else -1
+
+    extra = spark.createDataFrame(
+        [
+            ("opq_vs_pq_seeded", -1, "mse_ratio_ppm", ppm(m_opq, m_seed)),
+            ("opq_vs_pq_trained", -1, "mse_ratio_ppm", ppm(m_opq, m_tr)),
+            ("pq_trained_vs_seeded", -1, "mse_ratio_ppm", ppm(m_tr, m_seed)),
+        ],
+        "method string, query_id bigint, metric string, value bigint",
+    )
+    return recall.unionByName(extra)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (SURVEY §7.4.4)
 # ---------------------------------------------------------------------------
@@ -5965,6 +6061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_learned_merges": q_bpe_learned_merges,
     "bpe_vocab": q_bpe_vocab,
     "ann_topk_opq": q_ann_topk_opq,
+    "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
 }

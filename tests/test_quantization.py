@@ -448,3 +448,27 @@ def test_opq_adc_topk_ranks_and_recall(spark):
     r_opq = len(exact & got) / len(exact)
     r_pq = len(exact & pq) / len(exact)
     assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
+
+
+def test_ann_trained_recall_relation_shape(spark):
+    """The declared rows-only trained-tier report (queries.py
+    q_ann_trained_recall): 5 tiers x 10 queries of recall@5 plus the 3
+    train-sample MSE-ratio summary rows, all ppm-bounded, and the
+    Lloyd's-monotonicity guarantee (trained PQ reconstructs its train
+    sample no worse than its seed) visible in the data."""
+    from overpaint_spark.queries import q_ann_trained_recall
+
+    rows = q_ann_trained_recall(spark, "/root/testdata/sf0.001").collect()
+    recall = [r for r in rows if r.metric == "recall_at_5_ppm"]
+    ratios = {r.method: r.value for r in rows if r.metric == "mse_ratio_ppm"}
+    assert len(recall) == 50 and len(ratios) == 3
+    methods = {r.method for r in recall}
+    assert methods == {
+        "ivf_seeded", "ivf_trained", "pq_adc_seeded", "pq_adc_trained",
+        "opq_adc",
+    }
+    assert all(0 <= r.value <= 1_000_000 for r in recall)
+    assert all(r.query_id == -1 for r in rows if r.metric == "mse_ratio_ppm")
+    assert all(v > 0 for v in ratios.values())
+    # Lloyd's updates never increase train-sample MSE from the seed init
+    assert ratios["pq_trained_vs_seeded"] <= 1_000_000
