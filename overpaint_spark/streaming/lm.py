@@ -16,10 +16,17 @@ row-for-row (tests/test_streaming.py).
 
 Model size honesty: the trigram vocabulary is bounded by charset³, but
 a map literal lives in the serialized plan — fine for the ≤ ~50k-entry
-ASCII-corpus models here; a multi-MB model should go back through the
-broadcast-join batch path via foreachBatch instead (the dedup stream's
-pattern). Re-freezing the model is a re-deploy event, not a streaming
-concern (same contract as the SQ8 frozen bounds).
+ASCII-corpus models here. For larger models (big charsets, CJK)
+:func:`write_lm_score_stream` dispatches past ``max_map_entries`` to a
+``foreachBatch`` sink that scores each micro-batch through the batch
+broadcast-join path (operators/lm.lm_score — the dedup stream's
+pattern): the model rides as a broadcast relation per batch instead of
+living in the serialized plan, trading the pure-projection property
+for unbounded model size. Both paths emit the BATCH row shape (docs
+with zero trigrams produce no row) so path choice never changes
+results (equivalence pinned in tests/test_streaming.py). Re-freezing
+the model is a re-deploy event, not a streaming concern (same contract
+as the SQ8 frozen bounds).
 """
 
 from __future__ import annotations
@@ -89,3 +96,68 @@ def lm_score_stream(
         f"CASE WHEN n_grams > 0 THEN (sum_c1 * {ppm}) div "
         f"(CAST({total + v} AS BIGINT) * n_grams) END AS lm_score_ppm",
     )
+
+
+# Map-literal size cap for write_lm_score_stream's path dispatch. ~50k
+# entries is a few MB of serialized plan — already generous; anything
+# larger belongs on the broadcast-join path (a broadcast relation is
+# shipped once per executor, a plan literal once per TASK).
+MAX_MAP_ENTRIES = 50_000
+
+
+def write_lm_score_stream(
+    stream: DataFrame,
+    model: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_map_entries: int = MAX_MAP_ENTRIES,
+    trigger_available_now: bool = False,
+):
+    """Sink-level streaming scorer with automatic path dispatch
+    (VERDICT r5 #5): models at or under ``max_map_entries`` ride the
+    stateless map-literal projection (:func:`lm_score_stream`) through
+    a plain parquet sink; larger models score each micro-batch via the
+    batch broadcast-join path (operators/lm.lm_score) inside
+    ``foreachBatch`` — the model never enters the serialized plan, so
+    its size is bounded by broadcast capacity, not plan size.
+
+    Both paths write the BATCH row shape: docs with zero trigrams emit
+    no row (the map path's NULL-score rows are filtered here), so the
+    dispatch threshold is a performance knob, never a semantics knob.
+    The model relation is counted once (bounded ≤ charset³) and, on the
+    foreachBatch path, should be cached by the caller if the stream is
+    long-lived — each batch re-reads it for the broadcast join and the
+    totals aggregate."""
+    n_entries = model.count()
+    if n_entries <= max_map_entries:
+        grams, counts, total, v = frozen_model(model)
+        scored = lm_score_stream(
+            stream, grams, counts, total, v, id_col, text_col
+        ).filter(F.col("n_grams") > 0)
+        writer = (
+            scored.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    else:
+        from overpaint_spark.operators.lm import lm_score
+
+        def apply(batch_df: DataFrame, _batch_id: int) -> None:
+            if not batch_df.take(1):
+                return
+            docs = batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            out = lm_score(docs, model).select(
+                F.col("doc_id").alias(id_col), "n_grams", "lm_score_ppm"
+            )
+            out.write.mode("append").parquet(out_dir)
+
+        writer = stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -651,3 +651,46 @@ def test_streaming_lm_score_matches_batch(spark, tmp_path):
     rows = {r.doc_id: r for r in lm_score_stream(deg, grams, counts, total, v).collect()}
     for did in (1000000, 1000001):
         assert rows[did].n_grams == 0 and rows[did].lm_score_ppm is None
+
+
+def test_write_lm_score_stream_both_paths_match_batch(spark, tmp_path):
+    """The sink-level scorer's two paths — map-literal projection
+    (model under max_map_entries) and the foreachBatch broadcast-join
+    fallback (forced via max_map_entries=1, simulating a model too big
+    for the serialized plan) — must both reproduce the batch
+    text_lm_score output row-for-row: dispatch is a performance knob,
+    never a semantics knob."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators.lm import build_lm_model
+    from overpaint_spark.streaming.lm import write_lm_score_stream
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    model = build_lm_model(d, sample_mod=10).cache()
+
+    sdir = str(tmp_path / "lm_sink_stream")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(sdir)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(sdir)
+
+    want = {
+        r.doc_id: (r.n_grams, r.lm_score_ppm)
+        for r in Q.QUERIES["text_lm_score"](spark, SF).collect()
+    }
+
+    for name, cap in (("map_literal", 50_000), ("foreach_batch", 1)):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        out_dir = str(tmp_path / f"scores_{name}")
+        q = write_lm_score_stream(
+            stream, model, out_dir, str(tmp_path / f"ckpt_{name}"),
+            max_map_entries=cap, trigger_available_now=True,
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.n_grams, r.lm_score_ppm)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == want, f"{name} path diverged from batch"
+    model.unpersist()
