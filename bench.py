@@ -37,139 +37,17 @@ import os
 import sys
 import time
 
-BENCH_QUERIES = [
-    # profiler core (the reference's whole surface, single-pass)
-    "profile_tables",
-    "profile_minmax_numeric",
-    "profile_minmax_temporal",
-    "profile_rowcounts_exact",
-    "profile_bool_histogram",
-    "profile_percentiles",
-    "profile_null_distinct",
-    "profile_incremental",
-    "profile_top_values",
-    "profile_text_lengths",
-    "profile_key_skew",
-    "profile_correlations",
-    "profile_functional_deps",
-    "events_daily_gapfill",
-    # rules engine
-    "validation_metrics",
-    # analytics
-    "pricing_summary",
-    "top_orders_by_revenue",
-    "revenue_by_nation",
-    "pricing_rollup",
-    "pricing_grouping_sets",
-    "customer_balance_rank",
-    "events_type_value_salted",
-    "priority_order_counts",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_asof_attribution",
-    "events_daily_drift",
-    "events_session_errors",
-    "events_props_stats",
-    "events_rolling_value",
-    "events_trailing_hour",
-    "users_click_no_purchase",
-    "users_conversion_lag",
-    "events_type_pivot",
-    "nation_pair_flow",
-    "market_share_by_year",
-    "priority_line_counts",
-    "brand_disjunctive_revenue",
-    "shipping_priority",
-    "part_profit_by_nation",
-    "returned_revenue_by_customer",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "top_supplier_by_quarter",
-    "large_order_customers",
-    "idle_rich_customers",
-    "forecast_revenue_change",
-    "waiting_suppliers",
-    "min_balance_supplier_per_nation",
-    "part_value_share",
-    "part_supplier_variety",
-    "excess_share_suppliers",
-    # LLM-pipeline operators
-    "text_stats",
-    "text_langid",
-    "text_tokens",
-    "text_fingerprint",
-    "text_quality",
-    "text_top_tokens",
-    "text_repetition",
-    "text_redacted",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "decontaminate_overlap",
-    "dataset_pack_concat",
-    "dataset_pack_ffd",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dataset_split",
-    "dataset_mixture",
-    "documents_chunked",
-    "corpus_source_stats",
-    "stream_corpus_stats",
-    "events_user_retention",
-    "corpus_clean",
-    "documents_sample_stratified",
-    "documents_sample_weighted",
-    "pricing_cube",
-    "customer_balance_quartiles",
-    "corpus_dup_rate_by_source",
-    "events_funnel",
-    "corpus_vocabulary",
-    "dataset_interleave",
-    "embedding_label_centroids",
-    "corpus_length_histogram",
-    "ann_topk_bruteforce",
-    "ann_topk_numpy",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "semantic_dedup",
-    "dataset_shuffle",
-    "curriculum_stages",
-    "text_lm_score",
-    "embedding_quantize",
-    "dedup_incremental",
-    "documents_tokenized",
-    "embedding_pq_codes",
-    "ann_topk_pq",
-    "ann_topk_opq",
-    "ann_topk_hamming",
-    "ann_topk_hamming_rerank",
-    "corpus_dataset_card",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_residual",
-    "ann_ivfpq_recall",
-    "stream_length_histogram",
-    "stream_lm_score",
-    "bpe_learned_merges",
-    "bpe_vocab",
-    "dataset_mixture_temperature",
-    "corpus_clean_v2",
-    "corpus_clean_v3",
-    "embedding_sq8_error",
-    "dedup_substring_spans",
-    "corpus_span_scrubbed",
-    "dataset_dsir_weights",
-    "bpe_merge_pairs",
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_audio_energy",
-    "multimodal_frames",
-    "multimodal_video_frames",
-]
+# Coverage contract (VERDICT r5 task #4): the bench times EVERY
+# declared query in the manifest unless it is listed here with an
+# explicit reason — so new declarations are timed by default and a
+# coverage gap is a visible diff, not a silent omission.
+# tests/test_bench_budget.py pins BENCH_EXCLUDED ∪ timed == declared.
+BENCH_EXCLUDED: dict[str, str] = {}
+
+
+def bench_query_names(Q) -> list[str]:
+    """Manifest order (window first) minus the documented exclusions."""
+    return [n for n in Q.QUERIES if n not in BENCH_EXCLUDED]
 
 
 def main() -> int:
@@ -211,7 +89,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     runs_map: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_query_names(Q):
         fn = Q.QUERIES[name]
         runs: list[float] = []
         for _ in range(n_runs):

@@ -3996,6 +3996,124 @@ def _oracle_corpus_clean_v3() -> str:
     )
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel observability: one row per cumulative pipeline
+    stage — raw → exact-dedup keeper → near-dup cluster survivor →
+    quality ≥ 0.5 → LM band → span-duplication cap (clean_v3's
+    predicate order) — with surviving doc counts and retained_ppm vs
+    raw. The per-stage attrition is THE number a pipeline operator
+    watches (a sudden stage-level drop means a predicate or upstream
+    corpus changed); the last row equals COUNT(corpus_clean_v3) by
+    construction, making the funnel a standing cross-check of the
+    flagship cleaner. ONE pass: every predicate becomes a boolean flag
+    on a single joined relation, the six cumulative counts fold in one
+    aggregate (no per-stage rescans), and stack() explodes the 1-row
+    aggregate into the 6-row report."""
+    from overpaint_spark.operators.components import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = DD.exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(1).alias("k")
+    )
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    surv = dedup_survivors(docs, pairs).select("doc_id", F.lit(1).alias("s"))
+    quality = docs.select(
+        "doc_id",
+        (TX.quality_score(F.col("text")) >= 0.5).cast("int").alias("q"),
+    )
+    lm = q_text_lm_score(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("lm_score_ppm") >= _LM_BAND_LO)
+            & (F.col("lm_score_ppm") <= _LM_BAND_HI)
+        ).cast("int").alias("m"),
+    )
+    spans = substring_span_stats(docs).select(
+        "doc_id",
+        (F.col("dup_frac_ppm") <= _SPAN_DUP_MAX_PPM).cast("int").alias("p"),
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(surv, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .selectExpr(
+            "COALESCE(k, 0) AS k",
+            "COALESCE(s, 0) AS s",
+            "COALESCE(q, 0) AS q",
+            "COALESCE(m, 0) AS m",
+            # docs too short for any span carry no duplication evidence
+            # and pass the cap (clean_v3's coalesce-to-0 rule)
+            "COALESCE(p, 1) AS p",
+        )
+    )
+    agg = flags.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS c0",
+        "CAST(SUM(k) AS BIGINT) AS c1",
+        "CAST(SUM(k * s) AS BIGINT) AS c2",
+        "CAST(SUM(k * s * q) AS BIGINT) AS c3",
+        "CAST(SUM(k * s * q * m) AS BIGINT) AS c4",
+        "CAST(SUM(k * s * q * m * p) AS BIGINT) AS c5",
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "0, 'raw', c0, "
+        "1, 'exact_keeper', c1, "
+        "2, 'near_dup_survivor', c2, "
+        "3, 'quality_ok', c3, "
+        "4, 'lm_band', c4, "
+        "5, 'span_cap', c5) AS (stage_idx, stage, n_docs)",
+        "c0",
+    ).selectExpr(
+        "CAST(stage_idx AS INT) AS stage_idx",
+        "stage",
+        "n_docs",
+        "n_docs * 1000000 div c0 AS retained_ppm",
+    )
+
+
+def _oracle_corpus_funnel() -> str:
+    comp = _oracle_dedup_clusters()
+    quality = _oracle_text_quality()
+    lm = _oracle_text_lm_score()
+    spans = _oracle_dedup_substring_spans()
+    return (
+        f"WITH comp AS ({comp}), qx AS ({quality}), lmx AS ({lm}), "
+        f"spx AS ({spans}), "
+        "fl AS (SELECT "
+        "CASE WHEN d.doc_id IN (SELECT MIN(doc_id) FROM documents "
+        "GROUP BY MD5(text)) THEN 1 ELSE 0 END AS k, "
+        "CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM comp "
+        "WHERE doc_id <> component) THEN 1 ELSE 0 END AS s, "
+        "CASE WHEN qx.quality_score >= 0.5 THEN 1 ELSE 0 END AS q, "
+        f"CASE WHEN COALESCE(lmx.lm_score_ppm, -1) BETWEEN {_LM_BAND_LO} "
+        f"AND {_LM_BAND_HI} THEN 1 ELSE 0 END AS m, "
+        f"CASE WHEN COALESCE(spx.dup_frac_ppm, 0) <= {_SPAN_DUP_MAX_PPM} "
+        "THEN 1 ELSE 0 END AS p "
+        "FROM documents d JOIN qx ON d.doc_id = qx.doc_id "
+        "LEFT JOIN lmx ON d.doc_id = lmx.doc_id "
+        "LEFT JOIN spx ON d.doc_id = spx.doc_id), "
+        "ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS c0, "
+        "CAST(SUM(k) AS BIGINT) AS c1, "
+        "CAST(SUM(k * s) AS BIGINT) AS c2, "
+        "CAST(SUM(k * s * q) AS BIGINT) AS c3, "
+        "CAST(SUM(k * s * q * m) AS BIGINT) AS c4, "
+        "CAST(SUM(k * s * q * m * p) AS BIGINT) AS c5 FROM fl), "
+        "st AS (SELECT 0 AS stage_idx, 'raw' AS stage, c0 AS n_docs, c0 FROM ag "
+        "UNION ALL SELECT 1, 'exact_keeper', c1, c0 FROM ag "
+        "UNION ALL SELECT 2, 'near_dup_survivor', c2, c0 FROM ag "
+        "UNION ALL SELECT 3, 'quality_ok', c3, c0 FROM ag "
+        "UNION ALL SELECT 4, 'lm_band', c4, c0 FROM ag "
+        "UNION ALL SELECT 5, 'span_cap', c5, c0 FROM ag) "
+        "SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_docs, "
+        "n_docs * 1000000 // c0 AS retained_ppm FROM st"
+    )
+
+
 def _oracle_corpus_clean_v2() -> str:
     comp = _oracle_dedup_clusters()
     quality = _oracle_text_quality()
@@ -5377,6 +5495,30 @@ def _oracle_dataset_mixture_temperature() -> str:
     )
 
 
+def q_documents_bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side BPE: learn the 8-rule merge table (driver-memory
+    loop — one corpus pass + the in-memory recurrence), then segment
+    every document with it (operators/bpe.bpe_segment: one
+    Arrow-batched pass, the KB-sized merge table riding in the task
+    closure) → (doc_id, n_words, n_tokens). The declared consumer of
+    bpe_train's artifact, completing the BPE family's
+    train→vocab→encode surface with a driver-visible row. Rows-only BY
+    DESIGN (the learned merges come from the iterative trainer);
+    value-level evidence: tests/test_bpe.py pins the segmenter's
+    per-doc counts against the independent reference BPE's final
+    vocabulary state, plus the compression-monotonicity invariant."""
+    from overpaint_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(d, n_merges=8, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_segment(d, merges)
+
+
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-round BPE merge-rule training (operators/bpe.py — the real
     Sennrich et al. 2016 loop, not just the single-step pair statistic):
@@ -6053,6 +6195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
+    # r6 additions (appended after the window; oracle-checked locally)
+    "corpus_funnel": q_corpus_funnel,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -6060,6 +6204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_pack_ffd": q_dataset_pack_ffd,
     "bpe_learned_merges": q_bpe_learned_merges,
     "bpe_vocab": q_bpe_vocab,
+    "documents_bpe_segmented": q_documents_bpe_segmented,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
@@ -6199,6 +6344,7 @@ def oracles() -> dict[str, str]:
         "ann_topk_hamming_rerank": _oracle_ann_topk_hamming_rerank(),
         "corpus_span_scrubbed": _oracle_corpus_span_scrubbed(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
+        "corpus_funnel": _oracle_corpus_funnel(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

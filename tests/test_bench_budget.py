@@ -67,3 +67,18 @@ def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
     for name, runs in detail["runs"].items():
         assert len(runs) == out["n_runs"]
         assert detail["queries"][name] == sorted(runs)[len(runs) // 2]
+
+
+def test_bench_covers_every_declared_query():
+    """Full-manifest coverage (VERDICT r5 #4): every declared query is
+    timed unless BENCH_EXCLUDED documents why; excluded names must
+    exist; no stale exclusions."""
+    sys.path.insert(0, REPO)
+    import bench
+    from overpaint_spark import queries as Q
+
+    declared = set(Q.QUERIES)
+    timed = set(bench.bench_query_names(Q))
+    assert timed | set(bench.BENCH_EXCLUDED) == declared
+    assert not (set(bench.BENCH_EXCLUDED) - declared), "stale exclusion"
+    assert all(bench.BENCH_EXCLUDED.values()), "exclusions need reasons"

@@ -194,3 +194,21 @@ def test_span_scrub_consistent_with_span_stats(spark):
             assert row.n_kept < row.n_tokens
             touched += 1
     assert touched > 0  # the fixture corpus really contains duplication
+
+
+def test_corpus_funnel_last_stage_equals_clean_v3(spark):
+    """The funnel's span_cap row must equal COUNT(corpus_clean_v3) —
+    the standing cross-check the funnel exists to provide — and the
+    cumulative counts must be monotonically non-increasing from raw."""
+    from overpaint_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.stage_idx: r for r in QUERIES["corpus_funnel"](spark, sf).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    counts = [rows[i].n_docs for i in range(6)]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].retained_ppm == 1_000_000
+    v3 = QUERIES["corpus_clean_v3"](spark, sf).count()
+    assert rows[5].n_docs == v3
