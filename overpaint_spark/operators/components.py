@@ -178,3 +178,38 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def dedup_survivors_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Keep-one-per-cluster with a CALLER-CHOSEN representative policy:
+    within each pair-graph component, keep the member ranking FIRST
+    under ``order_cols`` (e.g. ``[n_chars DESC, doc_id ASC]`` = keep
+    the longest version of duplicated boilerplate); everything off the
+    pair graph passes through untouched. :func:`dedup_survivors` is the
+    min-id special case kept separate because it never needs the docs
+    columns at all.
+
+    Scale shape: the component relation is bounded by #duplicates, so
+    it BROADCASTS against the corpus to fetch the ranking columns (the
+    corpus is never shuffled), and the representative window runs over
+    that bounded relation partitioned by component. The final filter is
+    the same broadcast anti-join as the min-id variant. The caller's
+    ordering should end with ``id_col`` so representatives are total-
+    order deterministic."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, a_col, b_col)
+    members = comp.select(F.col("id").alias(id_col), "component")
+    ranked = docs.join(F.broadcast(members), id_col).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("component").orderBy(*order_cols)),
+    )
+    losers = ranked.filter(F.col("_rk") > 1).select(id_col)
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

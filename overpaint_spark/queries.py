@@ -3801,6 +3801,118 @@ def _oracle_dedup_survivors() -> str:
     )
 
 
+def q_dedup_survivors_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-LONGEST-per-cluster dedup (operators/components.py
+    dedup_survivors_by): among near-duplicates, retain the member with
+    the most content — (n_chars DESC, doc_id ASC) — instead of the
+    min-id representative. The policy real pipelines use when near-dup
+    clusters are truncated/boilerplate variants of one page and the
+    fullest version should win. Same scale shape as dedup_survivors
+    (bounded component relation broadcast both ways; corpus never
+    shuffled); the representative window is partitioned by component
+    over the bounded member set only."""
+    from overpaint_spark.operators.components import dedup_survivors_by
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_near_dup_pairs(
+        docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return dedup_survivors_by(
+        docs, pairs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_dedup_survivors_longest() -> str:
+    comp = _oracle_dedup_clusters()
+    return (
+        f"WITH comp AS ({comp}), "
+        "r AS (SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.component "
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rk "
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) "
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM r WHERE rk > 1)"
+    )
+
+
+def q_corpus_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: per
+    (lang_declared, lang_pred) doc counts and each cell's share of its
+    declared-language row in ppm — the language-metadata audit a
+    multilingual corpus runs before trusting its own labels (a big
+    off-diagonal cell means mislabeled or code-mixed sources). One
+    map-side-combined aggregate to the ≤|langs|² matrix; the share
+    window runs over that tiny relation."""
+    base = q_text_langid(spark, sf_dir)
+    per = base.groupBy("lang_declared", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return per.selectExpr(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        "n_docs * CAST(1000000 AS BIGINT) div "
+        "CAST(SUM(n_docs) OVER (PARTITION BY lang_declared) AS BIGINT) "
+        "AS share_ppm",
+    )
+
+
+def _oracle_corpus_langid_agreement() -> str:
+    return (
+        f"WITH lp AS ({_oracle_text_langid()}), "
+        "g AS (SELECT lang_declared, lang_pred, CAST(COUNT(*) AS BIGINT) "
+        "AS n_docs FROM lp GROUP BY lang_declared, lang_pred) "
+        "SELECT lang_declared, lang_pred, n_docs, "
+        "n_docs * 1000000 // CAST(SUM(n_docs) OVER "
+        "(PARTITION BY lang_declared) AS BIGINT) AS share_ppm FROM g"
+    )
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard load report for the seeded training shuffle: doc and
+    token counts per shard plus each shard's token load relative to the
+    mean in ppm (1_000_000 = perfectly balanced) — the skew number a
+    training job checks before launch, since one hot shard gates every
+    epoch. Integer math: load_ppm = n_tokens · n_shards · 1e6 div
+    total (headroom to ~10¹² tokens per shard in bigint). The per-shard
+    aggregate is map-side combined; the totals relation is one
+    broadcast row."""
+    d = _t(spark, sf_dir, "documents")
+    sh = seeded_shuffle(d)
+    toks = d.select(
+        "doc_id", TX.n_words(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    per = (
+        sh.join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).selectExpr(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        f"n_tokens * {_SHUFFLE_SHARDS} * 1000000 div total_tokens "
+        "AS load_ppm_of_mean",
+    )
+
+
+def _oracle_shard_balance() -> str:
+    return (
+        f"WITH sh AS ({_oracle_dataset_shuffle()}), "
+        "t AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens "
+        "FROM sh JOIN t USING (doc_id) GROUP BY shard), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per) "
+        f"SELECT shard, n_docs, n_tokens, n_tokens * {_SHUFFLE_SHARDS} * 1000000 "
+        "// total_tokens AS load_ppm_of_mean FROM per, tot"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: bucket 0-255 from the
     first two hex chars of md5(doc_id), split 230/13/13 (~90/5/5). Hash-
@@ -6197,6 +6309,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     # r6 additions (appended after the window; oracle-checked locally)
     "corpus_funnel": q_corpus_funnel,
+    "dedup_survivors_longest": q_dedup_survivors_longest,
+    "corpus_langid_agreement": q_corpus_langid_agreement,
+    "shard_balance": q_shard_balance,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -6345,6 +6460,9 @@ def oracles() -> dict[str, str]:
         "corpus_span_scrubbed": _oracle_corpus_span_scrubbed(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "corpus_funnel": _oracle_corpus_funnel(),
+        "dedup_survivors_longest": _oracle_dedup_survivors_longest(),
+        "corpus_langid_agreement": _oracle_corpus_langid_agreement(),
+        "shard_balance": _oracle_shard_balance(),
         "corpus_clean_v2": _oracle_corpus_clean_v2(),
         # profile_approx_distinct: HLL estimate → rows-only by design
         "multimodal_metadata": _oracle_multimodal_metadata(),

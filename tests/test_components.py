@@ -95,3 +95,27 @@ def test_unconverged_distributed_loop_raises(spark):
     # the same graph converges fine with enough rounds
     ok = connected_components(edges, max_iter=40, driver_threshold=0)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_dedup_survivors_by_keeps_longest(spark):
+    """dedup_survivors_by with (n_chars DESC, doc_id ASC): each
+    transitive cluster keeps exactly its longest member (lowest id on
+    ties); off-graph docs pass through."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators.components import dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    # 1~2, 2~3 chain -> one cluster {1,2,3}; 4 alone via no pairs; 9 off-graph
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    got = sorted(
+        r.doc_id
+        for r in dedup_survivors_by(
+            docs, pairs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+        ).collect()
+    )
+    # cluster {1,2,3}: max n_chars 30 shared by 2 and 3 -> doc 2 wins
+    assert got == [2, 4, 9]
