@@ -1,0 +1,155 @@
+"""Persisted IVF-PQ ANN index — the FAISS index-file lifecycle
+(train → add → write → read → search) re-expressed as parquet
+relations, completing the persistence story the dedup band index
+(operators/dedup.py build/persist/load_dedup_index) and the LM model
+(operators/lm.py) already follow: every declared ANN query rebuilds
+its index per run, which is right for oracle determinism but wrong for
+production cadence — a 100 TB corpus is indexed ONCE (one assignment +
+encode pass) and searched many times, so the index must be a
+first-class stored artifact.
+
+Layout under ``<path>/``:
+
+- ``codes``:     (id, codes array<int>, cluster_id) — the ONLY
+                 data-sized relation; search reads code bytes, never
+                 vectors. At production scale write it bucketed/
+                 partitioned by cluster_id so a probe prunes to its
+                 lists' files (partition pruning = FAISS's inverted
+                 list seek).
+- ``centroids``: (cluster_id, centroid array<double>) — C rows.
+- ``codebook``:  (subspace, code, center array<double>) — M·K rows.
+- meta rides IN the bounded relations (dim = Σ subspace widths,
+  C/M/K = row counts) rather than a sidecar file, so a stale-meta
+  mismatch is impossible.
+
+Search goes through the SAME ``quantization._ivfpq_search`` body as
+the live ``ivf_pq_topk`` — live and loaded indexes cannot diverge in
+semantics (equivalence pinned in tests/test_ann_index.py). Raw coding
+(FAISS ``by_residual=false``) keeps the artifact deterministic and
+oracle-reproducible; centroids come seeded or k-means-trained
+(``train_iters``), both id-deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AnnIndex:
+    """In-session handle: bounded numpy parts + the coded relation."""
+
+    coarse: "object"  # numpy (C, dim) centroid matrix
+    codebook: "object"  # numpy (M, K, dsub) PQ codebooks
+    indexed: DataFrame  # (id, codes, cluster_id)
+    dim: int
+    id_col: str = "vec_id"
+
+
+def build_ann_index(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """One assignment GEMM + one encode pass over the corpus; centroid/
+    codebook training is bounded (seeded rows or the train sample)."""
+    from overpaint_spark.operators.quantization import pq_codebooks, pq_encode
+    from overpaint_spark.operators.similarity import (
+        assign_to_centroids,
+        seeded_centroids,
+        train_kmeans_centroids,
+    )
+
+    if train_iters > 0:
+        coarse = train_kmeans_centroids(
+            vectors, n_centroids, train_iters, id_col, vec_col
+        )
+    else:
+        coarse = seeded_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = assign_to_centroids(vectors, coarse, 1, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col)
+    codes = pq_encode(
+        vectors, dim, n_subspaces, n_codes, id_col, vec_col, codebook=cb
+    )
+    return AnnIndex(coarse, cb, codes.join(assigned, id_col), dim, id_col)
+
+
+def persist_ann_index(index: AnnIndex, path: str) -> None:
+    """codes repartitioned by cluster_id (the write-side twin of the
+    probe access pattern); centroid/codebook relations are tiny."""
+    spark = index.indexed.sparkSession
+    (
+        index.indexed.repartition(F.col("cluster_id"))
+        .sortWithinPartitions("cluster_id", index.id_col)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in index.coarse[i]])
+        for i in range(len(index.coarse))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (int(mi), int(ki), [float(x) for x in index.codebook[mi][ki]])
+        for mi in range(len(index.codebook))
+        for ki in range(index.codebook[mi].shape[0])
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, code int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def load_ann_index(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> AnnIndex:
+    """Bounded relations (centroids, codebook) collect back to numpy;
+    the data-sized codes relation stays a lazy DataFrame."""
+    import numpy as np
+
+    cent = sorted(
+        (r.cluster_id, r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    coarse = np.array([c for _, c in cent], dtype=np.float64)
+    cbr = spark.read.parquet(f"{path}/codebook").collect()
+    n_sub = max(r.subspace for r in cbr) + 1
+    n_codes = max(r.code for r in cbr) + 1
+    dsub = len(cbr[0].center)
+    cb = np.empty((n_sub, n_codes, dsub), dtype=np.float64)
+    for r in cbr:
+        cb[r.subspace][r.code] = r.center
+    indexed = spark.read.parquet(f"{path}/codes")
+    return AnnIndex(coarse, cb, indexed, n_sub * dsub, id_col)
+
+
+def search_ann_index(
+    index: AnnIndex,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe + ADC over the stored codes — the exact search body
+    ivf_pq_topk runs live (quantization._ivfpq_search)."""
+    from overpaint_spark.operators.quantization import _ivfpq_search
+
+    spark = index.indexed.sparkSession
+    q_rows = queries.select(index.id_col, vec_col).collect()
+    n_sub = len(index.codebook)
+    n_codes = index.codebook[0].shape[0]
+    return _ivfpq_search(
+        spark, index.indexed, index.coarse, index.codebook, q_rows,
+        index.dim, n_sub, n_codes, n_probe, k, index.id_col,
+    )

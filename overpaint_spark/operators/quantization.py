@@ -552,6 +552,34 @@ def ivf_pq_topk(
     indexed = codes.join(c_assigned, id_col)
 
     q_rows = queries.select(id_col, vec_col).collect()
+    return _ivfpq_search(
+        spark, indexed, coarse, cb, q_rows, dim, n_subspaces, n_codes,
+        n_probe, k, id_col, by_residual,
+    )
+
+
+def _ivfpq_search(
+    spark,
+    indexed: DataFrame,
+    coarse,
+    cb,
+    q_rows,
+    dim: int,
+    n_subspaces: int,
+    n_codes: int,
+    n_probe: int,
+    k: int,
+    id_col: str,
+    by_residual: bool = False,
+) -> DataFrame:
+    """The probe-and-ADC search half of IVF-PQ over a PREBUILT index
+    (``indexed`` = (id, codes, cluster_id); ``coarse``/``cb`` = numpy
+    centroid matrix / codebooks) — shared by :func:`ivf_pq_topk` and
+    the persisted-index path (operators/ann_index.search_ann_index), so
+    live and loaded indexes can never diverge in search semantics."""
+    import numpy as np
+
+    dsub = dim // n_subspaces
     cnorm = np.linalg.norm(coarse, axis=1)
 
     def lut_for(tv):

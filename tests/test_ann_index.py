@@ -1,0 +1,78 @@
+"""Persisted ANN index (operators/ann_index.py): the build → persist →
+load → search lifecycle must be semantics-free — a loaded index
+searches EXACTLY like the live ivf_pq_topk it was built from (shared
+search body), and the stored artifact is self-describing (meta derived
+from the bounded relations, no sidecar to go stale)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_index_roundtrip_matches_live_search(spark, tmp_path):
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+    from overpaint_spark.operators.quantization import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    key = lambda r: (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 9))  # noqa: E731
+
+    live = sorted(
+        map(
+            key,
+            ivf_pq_topk(
+                e, q, dim=64, n_centroids=16, n_probe=4,
+                n_subspaces=8, n_codes=16, k=5,
+            ).collect(),
+        )
+    )
+    idx = build_ann_index(e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16)
+    path = str(tmp_path / "ivfpq_index")
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    assert loaded.dim == 64 and len(loaded.coarse) == 16
+    got = sorted(
+        map(key, search_ann_index(loaded, q, n_probe=4, k=5).collect())
+    )
+    assert got == live and len(got) == 30
+
+
+def test_ann_index_trained_centroids_build(spark, tmp_path):
+    """k-means-trained centroids are a drop-in at build time; the
+    persisted artifact round-trips bit-identically (same coarse/codes
+    → same search rows)."""
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4)
+    idx = build_ann_index(
+        e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16, train_iters=2
+    )
+    path = str(tmp_path / "trained_index")
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    direct = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in search_ann_index(idx, q, n_probe=4, k=5).collect()
+    )
+    reloaded = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in search_ann_index(loaded, q, n_probe=4, k=5).collect()
+    )
+    assert direct == reloaded
+    per_q = {}
+    for qid, _nid, rank in reloaded:
+        per_q.setdefault(qid, []).append(rank)
+    assert set(per_q) == {0, 1, 2, 3}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
