@@ -5762,8 +5762,10 @@ def seeded_shuffle(
     )
 
 
-def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seeded_shuffle(_t(spark, sf_dir, "documents"))
+def q_dataset_shuffle(
+    spark: SparkSession, sf_dir: str, prefix_hex: int = _SHUFFLE_PREFIX_HEX
+) -> DataFrame:
+    return seeded_shuffle(_t(spark, sf_dir, "documents"), prefix_hex)
 
 
 def _oracle_dataset_shuffle() -> str:

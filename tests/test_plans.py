@@ -157,6 +157,16 @@ _CROSS_OK = {
     # BPE merge: the 1-row argmax-count scalar broadcast for the
     # is_best_merge flag
     "bpe_merge_pairs",
+    # trained-tier recall report: the same bounded |Q|-row broadcasts
+    # as ann_ivfpq_recall (brute-force ground truth + ADC LUT relations)
+    "ann_trained_recall",
+    # funnel embeds text_lm_score's 1-row (total, v) scalar broadcast
+    "corpus_funnel",
+    # the end-to-end pipeline chains clean_v3, inheriting the same
+    # 1-row LM scalar broadcast
+    "corpus_pipeline",
+    # shard balance: the 1-row total-tokens scalar broadcast
+    "shard_balance",
 }
 
 
