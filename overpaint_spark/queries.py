@@ -2026,6 +2026,45 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF-PQ search as ann_topk_ivfpq, but through the FULL
+    persisted-index lifecycle: build → write parquet → load → search
+    (operators/ann_index.py). Declaring it makes the index round-trip
+    an ORACLE-level claim, not just a unit test — the stored artifact
+    must reproduce the live query's rows bit-for-bit, so its oracle IS
+    ann_topk_ivfpq's SQL verbatim. Each run pays the honest lifecycle
+    cost (one temp-dir write + read; dirs self-clean at interpreter
+    exit, the stream-sink pattern)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    path = tempfile.mkdtemp(prefix=f"overpaint_annidx_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    out = search_ann_index(
+        loaded, e.filter(F.col("vec_id") < 10), n_probe=n_probe, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
 def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-coded IVF-PQ top-5 (FAISS ``by_residual=true``, the
     production default): identical index shape to ann_topk_ivfpq but
@@ -6314,6 +6353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "corpus_langid_agreement": q_corpus_langid_agreement,
     "shard_balance": q_shard_balance,
+    "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
@@ -6448,6 +6488,9 @@ def oracles() -> dict[str, str]:
         "ann_topk_pq": _oracle_ann_topk_pq(),
         "corpus_dataset_card": _oracle_corpus_dataset_card(),
         "ann_topk_ivfpq": _oracle_ann_topk_ivfpq(),
+        # the persisted-index lifecycle must reproduce the live query
+        # bit-for-bit — its oracle IS the live query's SQL
+        "ann_topk_ivfpq_persisted": _oracle_ann_topk_ivfpq(),
         "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),
         "ann_ivfpq_recall": _oracle_ann_ivfpq_recall(),
         # streaming twin: identical SQL oracle as the batch histogram
