@@ -62,7 +62,10 @@ def connected_components(
     2 actions × rounds, measured ~8× on the corpus-clean pipeline.
     Above the threshold (web-scale dup graphs) the distributed min-label
     loop runs unchanged. ``driver_threshold=0`` forces the distributed
-    path (used by tests to cover it).
+    path (used by tests to cover it). For adversarial-diameter graphs
+    that exceed ``max_iter`` rounds (long chains — the loop raises
+    rather than mislabel), use :func:`connected_components_star`: same
+    output contract, O(log n) rounds on any shape.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -120,6 +123,101 @@ def connected_components(
             "the driver union-find path for driver-sized edge lists"
         )
     return labels.select(F.col("id"), F.col("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round worst-case solve for the graph shapes
+    min-label propagation cannot finish: each large-star re-links every
+    larger neighbor of a center to the center's neighborhood minimum,
+    each small-star collapses the smaller neighbors, and path lengths
+    halve per round regardless of diameter. Same output contract as
+    :func:`connected_components` (component = min reachable id;
+    isolated vertices absent), equivalence-pinned in
+    tests/test_components.py on fixture graphs, random graphs, and a
+    60-long chain the min-label distributed loop refuses (diameter >
+    max_iter → RuntimeError there, converges in ~6 rounds here).
+
+    This is the intended DISTRIBUTED fallback once a dup graph outgrows
+    the driver union-find threshold AND its diameter outgrows
+    min-label's round bound (the SCALE.md r6 watch item on
+    dedup_survivors); per round it costs two groupBy-min shuffles and
+    two distinct edge folds over the edge relation — a bigger constant
+    than one min-label round, which is why min-label stays the default
+    for the near-clique graphs real dedup produces."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("c"),
+            F.least(F.col("u"), F.col("v")).alias("n"),
+        ).distinct()
+        mins = directed.groupBy("c").agg(F.min("n").alias("m"))
+        linked = directed.join(mins, "c").select(
+            F.col("n").alias("u"), F.col("m").alias("v")
+        )
+        centers = mins.select(F.col("c").alias("u"), F.col("m").alias("v"))
+        return (
+            linked.unionByName(centers)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — O(log n) bound implies a bug or max_iter far below "
+            "log2(graph size)"
+        )
+    # fixed point = disjoint stars: every non-root points at its root
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    members = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    )
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
 
 
 def _driver_union_find(spark, edges: DataFrame, rows) -> DataFrame:

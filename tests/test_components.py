@@ -119,3 +119,65 @@ def test_dedup_survivors_by_keeps_longest(spark):
     )
     # cluster {1,2,3}: max n_chars 30 shared by 2 and 3 -> doc 2 wins
     assert got == [2, 4, 9]
+
+
+def _star_labels(spark, pairs):
+    from overpaint_spark.operators.components import connected_components_star
+
+    return sorted(
+        (r.id, r.component)
+        for r in connected_components_star(pairs).collect()
+    )
+
+
+def test_star_matches_min_label_on_fixture_graph(spark):
+    """Large-star/small-star must produce exactly the min-label
+    component relation on the real LSH dup graph."""
+    from overpaint_spark.operators import dedup as DD
+    from overpaint_spark.operators.components import connected_components
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = DD.lsh_near_dup_pairs(docs, k=3, num_hashes=12, bands=4, threshold=0.5)
+    want = sorted(
+        (r.id, r.component) for r in connected_components(pairs).collect()
+    )
+    assert _star_labels(spark, pairs) == want and want
+
+
+def test_star_converges_on_long_chain_where_min_label_refuses(spark):
+    """A 60-vertex path has diameter 59: the distributed min-label loop
+    (driver_threshold=0 forces it) raises its honest non-convergence
+    error at max_iter=25, while the star rounds collapse it in O(log n)
+    and label every vertex with the chain minimum."""
+    import pytest as _pytest
+
+    from overpaint_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_threshold=0, max_iter=25)
+    got = _star_labels(spark, chain)
+    assert got == [(i, 1) for i in range(1, 61)]
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    """Deterministic pseudo-random multi-component graphs: star labels
+    equal the driver union-find's (the ≤threshold fast path of
+    connected_components)."""
+    from overpaint_spark.operators.components import connected_components
+
+    # 3 seeds x 40 edges over 30 vertices, self-loops and dups included
+    for seed in (7, 19, 41):
+        edges = [
+            ((seed * k * 2654435761 + 17) % 30, (k * k * seed + 5) % 30)
+            for k in range(40)
+        ]
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long").filter(
+            "a_id <> b_id"
+        )
+        want = sorted(
+            (r.id, r.component) for r in connected_components(pairs).collect()
+        )
+        assert _star_labels(spark, pairs) == want and want
