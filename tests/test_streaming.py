@@ -694,3 +694,61 @@ def test_write_lm_score_stream_both_paths_match_batch(spark, tmp_path):
         }
         assert got == want, f"{name} path diverged from batch"
     model.unpersist()
+
+
+def test_write_clean_stream_matches_batch_predicates(spark, tmp_path):
+    """The streaming ingest gate must admit EXACTLY the docs the batch
+    predicate conjunction admits on the same rows (quality floor, LM
+    band, dedup vs the existing corpus) — regardless of micro-batch
+    boundaries, since every predicate is per-doc against static state."""
+    from overpaint_spark.functions import text as TX
+    from overpaint_spark.operators.dedup import incremental_dedup_flags
+    from overpaint_spark.operators.lm import build_lm_model, lm_score
+    from overpaint_spark.streaming.clean import write_clean_stream
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") % 3 == 0)
+    incoming = d.filter(F.col("doc_id") % 3 != 0)
+    model = build_lm_model(existing, sample_mod=1).cache()
+
+    # batch ground truth: the same three predicates, composed directly
+    quality_ok = {
+        r.doc_id
+        for r in incoming.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("q")
+        ).collect()
+        if r.q >= 0.5
+    }
+    lm_ok = {
+        r.doc_id
+        for r in lm_score(incoming, model).collect()
+        if r.lm_score_ppm is not None and 5400 <= r.lm_score_ppm <= 6300
+    }
+    dd_ok = {
+        r.doc_id
+        for r in incremental_dedup_flags(existing, incoming).collect()
+        if r.admitted
+    }
+    want = quality_ok & lm_ok & dd_ok
+
+    sdir = str(tmp_path / "clean_stream_src")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(sdir)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out_dir = str(tmp_path / "clean_admitted")
+    q = write_clean_stream(
+        stream, existing, model, out_dir, str(tmp_path / "ckpt_clean"),
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    # the gate must be non-trivial on the fixture: some in, some out
+    assert want and want < {r.doc_id for r in incoming.collect()}
+    model.unpersist()
