@@ -320,6 +320,35 @@ def _rule_suite():
     }
 
 
+def q_profile_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles (DDSketch, Masson et al. VLDB'19 —
+    profiler/quantiles.py): p50/p90/p99 of events.value (signed) and
+    the numeric lineitem columns from log-bucket count sketches — the
+    percentile channel the incremental profiler can carry, since
+    per-file sketches merge EXACTLY (same row → same bucket, counts
+    sum; no re-approximation). One aggregate pass per table; the rank
+    walk runs over the bounded bucket relation on the driver. Rows-only
+    BY DESIGN: bucket indexes come from float log() — per-platform
+    deterministic but not a cross-engine bit-contract at bucket
+    boundaries; the α relative-error bound and exact mergeability are
+    pinned in tests/test_quantiles.py instead."""
+    from overpaint_spark.profiler.quantiles import (
+        ddsketch_buckets,
+        merge_sketches,
+        sketch_quantiles,
+    )
+
+    sk_e = ddsketch_buckets(_t(spark, sf_dir, "events"), ["value"])
+    sk_l = ddsketch_buckets(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    rows = sketch_quantiles(merge_sketches(sk_e, sk_l), [0.5, 0.9, 0.99])
+    return spark.createDataFrame(
+        rows, "column string, q double, estimate double, n_total bigint"
+    )
+
+
 def q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution profile: exact interpolated percentiles (p25/p50/p95)
     per numeric lineitem column, one aggregate pass. Exact ``percentile``
@@ -6354,6 +6383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_langid_agreement": q_corpus_langid_agreement,
     "shard_balance": q_shard_balance,
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
+    "profile_ddsketch_quantiles": q_profile_ddsketch_quantiles,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
     # non-recursive SQL form — invariants pinned in tests instead)
