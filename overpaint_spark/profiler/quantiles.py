@@ -63,7 +63,15 @@ def ddsketch_buckets(
     for c in cols:
         parts.append(
             df.select(F.col(c).cast("double").alias("x"))
-            .filter(x.isNotNull() & ~F.isnan(x))
+            # non-finite values have no log bucket: NULL/NaN carry no
+            # rank; ±Inf would crash the long cast under ANSI mode —
+            # DDSketch stores them out-of-band (min/max channels in the
+            # incremental profile already track extremes)
+            .filter(
+                x.isNotNull()
+                & ~F.isnan(x)
+                & (F.abs(x) != float("inf"))
+            )
             .select(
                 F.lit(c).alias("column"),
                 sign.cast("int").alias("sign"),

@@ -130,6 +130,14 @@ def write_lm_score_stream(
     foreachBatch path, should be cached by the caller if the stream is
     long-lived — each batch re-reads it for the broadcast join and the
     totals aggregate."""
+    if set(model.columns) != {"gram", "c"}:
+        # a docs relation here would silently dispatch on DOC count and
+        # rebuild the model per micro-batch — demand the built artifact
+        raise ValueError(
+            "write_lm_score_stream expects a built model relation "
+            "(gram, c) — build one with operators/lm.build_lm_model; "
+            f"got columns {sorted(model.columns)}"
+        )
     n_entries = model.count()
     if n_entries <= max_map_entries:
         grams, counts, total, v = frozen_model(model)

@@ -83,3 +83,21 @@ def test_declared_ddsketch_query_shape(spark):
         per.setdefault(r.column, {})[r.q] = r.estimate
     for c, m in per.items():
         assert m[0.5] <= m[0.9] <= m[0.99], (c, m)
+
+
+def test_ddsketch_nonfinite_inputs_excluded_not_crashing(spark):
+    """NULL/NaN/±Inf rows carry no rank: they must be excluded (ANSI
+    mode would otherwise crash the Inf→long bucket cast), and the
+    finite rows' sketch is unchanged by their presence."""
+    from overpaint_spark.profiler.quantiles import ddsketch_buckets
+
+    inf = float("inf")
+    dirty = spark.createDataFrame(
+        [(1.0,), (-2.0,), (0.0,), (None,), (float("nan"),), (inf,), (-inf,)],
+        "v double",
+    )
+    clean = spark.createDataFrame([(1.0,), (-2.0,), (0.0,)], "v double")
+    got = sorted(map(tuple, ddsketch_buckets(dirty, ["v"]).collect()))
+    want = sorted(map(tuple, ddsketch_buckets(clean, ["v"]).collect()))
+    assert got == want
+    assert sum(n for *_a, n in got) == 3

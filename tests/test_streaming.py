@@ -752,3 +752,21 @@ def test_write_clean_stream_matches_batch_predicates(spark, tmp_path):
     # the gate must be non-trivial on the fixture: some in, some out
     assert want and want < {r.doc_id for r in incoming.collect()}
     model.unpersist()
+
+
+def test_write_lm_score_stream_rejects_docs_relation(spark, tmp_path):
+    """Handing the sink a docs relation instead of a built model must
+    fail loudly (it would dispatch on doc count and rescore wrongly),
+    naming the builder to use."""
+    import pytest as _pytest
+
+    from overpaint_spark.streaming.lm import write_lm_score_stream
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path)
+    )
+    with _pytest.raises(ValueError, match="build_lm_model"):
+        write_lm_score_stream(
+            stream, d, str(tmp_path / "o"), str(tmp_path / "c")
+        )
