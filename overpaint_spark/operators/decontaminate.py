@@ -24,10 +24,16 @@ north-star dedup family (BASELINE.json) to its cross-corpus twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.functions import text as TX
 from overpaint_spark.operators.dedup import distinct_shingles
+
+#: Default Bloom geometry: 2^17 bits = 16 KiB regardless of eval-set
+#: size; 5 probes ≈ 3% false-positive rate at 0.1 bits-used ratio.
+BLOOM_BITS_DEFAULT = 1 << 17
+BLOOM_HASHES_DEFAULT = 5
 
 
 def contamination_report(
@@ -88,3 +94,147 @@ def decontaminated(
     return train.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+# --- Bloom-gated decontamination ------------------------------------------
+#
+# ``decontaminated`` above still materializes the full training posting
+# relation (one distinct-shuffle of every gram in the corpus) because the
+# containment *fraction* needs per-doc gram totals. When the policy is
+# binary — "drop on ANY shared gram", the usual pretraining rule — none of
+# that is needed: a fixed-size Bloom filter of the eval grams can be probed
+# MAP-SIDE against each document's gram array, so the 100 TB training side
+# is never exploded, never shuffled, and never leaves its scan stage except
+# for the (near-empty on a clean corpus) candidate set. Bloom filters have
+# no false negatives, so confirming candidates against the exact gram set
+# makes the result bit-identical to the exact path — which is what the
+# driver oracle checks.
+
+
+def _bloom_positions(shingle: Column, n_bits: int, n_hashes: int) -> Column:
+    """``array<bigint>`` of ``n_hashes`` bit positions for one gram.
+
+    Kirsch–Mitzenmacher double hashing: ``pos_i = (h1 + i*h2) mod m`` with
+    two independent ``xxhash64`` views needs only two real hash
+    evaluations per gram yet is asymptotically as good as ``n_hashes``
+    independent functions (Kirsch & Mitzenmacher, ESA 2006). Both hashes
+    are reduced mod ``m`` BEFORE the linear combination so the arithmetic
+    stays far from bigint overflow under ANSI mode, and ``h2`` is forced
+    into ``[1, m-1]`` so the probe sequence never degenerates to a single
+    position."""
+    h1 = F.pmod(F.xxhash64(shingle), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(shingle, F.lit(1)), F.lit(n_bits - 1)) + F.lit(1)
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)]
+    )
+
+
+def build_eval_bloom(
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES_DEFAULT,
+) -> list[int]:
+    """Build the eval-gram Bloom filter DISTRIBUTED and return its
+    ``n_bits/64`` packed words.
+
+    Each gram's bit positions are OR-ed into 64-bit words by a
+    ``bit_or`` aggregate — the only exchange is ≤ ``n_bits/64`` groups
+    (2048 rows at the default geometry), and the driver collects exactly
+    that: a 16 KiB bitset, independent of eval-corpus size."""
+    ev = (
+        distinct_shingles(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    rows = (
+        ev.select(
+            F.explode(
+                _bloom_positions(F.col("shingle"), n_bits, n_hashes)
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["word"])
+    return words
+
+
+def bloom_might_contain(
+    shingle: Column, words: list[int], n_bits: int, n_hashes: int
+) -> Column:
+    """True iff every probe bit for ``shingle`` is set in ``words``.
+
+    The bitset rides into the plan as an ``array<bigint>`` literal
+    (16 KiB at the default geometry — far under broadcast thresholds and
+    shipped once per executor with the serialized plan); ``bit_get``
+    takes a *column* position, which is what lets the probe run inside a
+    higher-order lambda with zero UDFs."""
+    wl = F.array(*[F.lit(w).cast("long") for w in words])
+    pos = _bloom_positions(shingle, n_bits, n_hashes)
+    return F.forall(
+        pos,
+        lambda p: F.bit_get(
+            F.element_at(wl, (p / F.lit(64)).cast("int") + F.lit(1)),
+            p % F.lit(64),
+        )
+        == F.lit(1),
+    )
+
+
+def decontaminated_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES_DEFAULT,
+) -> DataFrame:
+    """Training docs sharing NO word-``k``-gram with any eval doc —
+    bit-identical to ``decontaminated(..., max_containment=0.0)`` but
+    with the 100 TB-shaped plan:
+
+    1. eval grams → 16 KiB Bloom bitset (distributed build, tiny collect);
+    2. every training doc is screened MAP-SIDE by an ``exists`` lambda
+       over its own gram array probing the bitset literal — no explode,
+       no shuffle, no join for the (vast) clean majority;
+    3. only Bloom *candidates* explode their grams for the exact
+       confirm (broadcast semi-join against the real eval gram set),
+       which removes the Bloom's false positives;
+    4. confirmed-contaminated ids anti-join back against the corpus.
+
+    Steps 3–4 touch only the candidate sliver, so the full corpus is
+    read once and shuffled never."""
+    words = build_eval_bloom(eval_docs, id_col, text_col, k, n_bits, n_hashes)
+    grams = TX.shingles(F.col(text_col), k)
+    is_candidate = F.exists(
+        grams, lambda g: bloom_might_contain(g, words, n_bits, n_hashes)
+    )
+    candidates = train.filter(is_candidate)
+
+    ev_exact = (
+        distinct_shingles(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    confirmed = (
+        candidates.select(
+            F.col(id_col), F.explode(grams).alias("shingle")
+        )
+        .join(F.broadcast(ev_exact), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(F.broadcast(confirmed), id_col, "left_anti")

@@ -1390,6 +1390,40 @@ def _oracle_decontaminate_overlap() -> str:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning counterpart of decontaminate_overlap with the
+    100 TB-shaped plan: eval 5-grams → a fixed 16 KiB Bloom bitset probed
+    MAP-SIDE inside an ``exists`` lambda over each training doc's own
+    gram array — the corpus is never exploded or shuffled; only Bloom
+    candidates pay the exact confirm join
+    (operators/decontaminate.py decontaminated_bloom). Bloom filters
+    have no false negatives, so the result is bit-identical to the
+    exact anti-join the oracle runs."""
+    from overpaint_spark.operators.decontaminate import decontaminated_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    return decontaminated_bloom(tr, ev, k=5)
+
+
+def _oracle_decontaminate_bloom() -> str:
+    sh5 = _duck_shingles_k(5)
+    return (
+        f"WITH tr0 AS (SELECT doc_id, {sh5} AS shingles FROM documents "
+        "WHERE doc_id % 20 <> 0), "
+        "trd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM tr0), "
+        f"ev0 AS (SELECT doc_id, {sh5} AS shingles FROM documents "
+        "WHERE doc_id % 20 = 0), "
+        "ev AS (SELECT DISTINCT UNNEST(shingles) AS shingle FROM ev0), "
+        "flagged AS (SELECT DISTINCT doc_id FROM trd "
+        "WHERE shingle IN (SELECT shingle FROM ev)) "
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE doc_id % 20 <> 0 "
+        "AND doc_id NOT IN (SELECT doc_id FROM flagged)"
+    )
+
+
 def q_dataset_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing of the corpus into 256-token
     training sequences over 8 independent bucket streams
@@ -6249,6 +6283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "corpus_vocabulary": q_corpus_vocabulary,
     "documents_tokenized": q_documents_tokenized,
     "curriculum_stages": q_curriculum_stages,
@@ -6490,6 +6525,7 @@ def oracles() -> dict[str, str]:
         "dataset_split": _oracle_dataset_split(),
         "corpus_clean": _oracle_corpus_clean(),
         "decontaminate_overlap": _oracle_decontaminate_overlap(),
+        "decontaminate_bloom": _oracle_decontaminate_bloom(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

@@ -4,8 +4,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from overpaint_spark.operators.decontaminate import (
+    bloom_might_contain,
+    build_eval_bloom,
     contamination_report,
     decontaminated,
+    decontaminated_bloom,
 )
 from overpaint_spark.sources.catalog import load_table
 
@@ -50,6 +53,44 @@ def test_short_docs_never_flag(spark):
     tr = spark.createDataFrame([(1, "too short"), (2, "a b c d")], ["doc_id", "text"])
     ev = spark.createDataFrame([(9, "too short indeed it is")], ["doc_id", "text"])
     assert contamination_report(tr, ev, k=5).count() == 0
+
+
+def test_bloom_equals_exact_path(spark, docs):
+    """Bloom gating is a pure pre-filter: no false negatives means the
+    bloom-screened result is bit-identical to the exact anti-join."""
+    tr, ev = _split(docs)
+    exact = decontaminated(tr, ev, k=5).select("doc_id")
+    bloom = decontaminated_bloom(tr, ev, k=5).select("doc_id")
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_bloom_has_no_false_negatives(spark, docs):
+    """Every gram inserted into the bitset must probe positive — the
+    property the exact-equality above rests on, checked directly on the
+    eval grams themselves."""
+    from overpaint_spark.operators.dedup import distinct_shingles
+
+    _, ev = _split(docs)
+    words = build_eval_bloom(ev, k=5)
+    grams = distinct_shingles(ev, k=5).select("shingle").distinct()
+    misses = grams.filter(
+        ~bloom_might_contain(F.col("shingle"), words, 1 << 17, 5)
+    ).count()
+    assert misses == 0
+
+
+def test_bloom_verbatim_leak_is_dropped(spark, docs):
+    """A planted verbatim eval copy must be removed by the bloom path."""
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    leak = ev.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    tr = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text").union(leak)
+    kept = decontaminated_bloom(tr, ev, k=5).filter(
+        F.col("doc_id") >= 1_000_000
+    )
+    assert kept.count() == 0
 
 
 def test_containment_bounds(spark, docs):
