@@ -1424,6 +1424,193 @@ def _oracle_decontaminate_bloom() -> str:
     )
 
 
+#: Per-source token budget: below the fixtures' ~1.3k tokens/source so
+#: the selection is genuinely selective at every SF.
+_BUDGET_SELECT_TOKENS = 800
+_BUDGET_SELECT_BINS = 1_000
+
+
+def q_dataset_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection: per source, keep the
+    highest-quality docs whose tokens fit a fixed budget — the "fill a
+    1T-token budget by quality" step of every pretraining data plan.
+
+    Scale shape: the naive form (cumulative sum over docs ordered by
+    quality within each source) is a per-source GLOBAL SORT on a single
+    reducer — a 100 TB killer when sources are few and huge. This plan
+    quantizes quality into 1000 fixed bins instead: the data-sized work
+    is one groupBy(source, bin) aggregate; the order-dependent
+    cumulative window runs over the BOUNDED bin relation (≤ 1000 rows
+    per source); docs re-join the selected bins through a broadcast.
+    Whole-bin admission makes the result order-free and exactly
+    SQL-reproducible (quality doubles are bit-identical cross-engine,
+    so the binning is too)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        TX.n_words(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.least(
+            F.floor(TX.quality_score(F.col("text")) * _BUDGET_SELECT_BINS),
+            F.lit(_BUDGET_SELECT_BINS - 1),
+        )
+        .cast("int")
+        .alias("quality_bin"),
+    )
+    bins = base.groupBy("source", "quality_bin").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality_bin").desc())
+    sel = (
+        bins.withColumn("cum_tokens", F.sum("bin_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(_BUDGET_SELECT_TOKENS))
+        .select("source", "quality_bin", "cum_tokens")
+    )
+    return base.join(F.broadcast(sel), ["source", "quality_bin"]).select(
+        "doc_id", "source", "n_tokens", "quality_bin", "cum_tokens"
+    )
+
+
+def _oracle_dataset_budget_select() -> str:
+    quality = _oracle_text_quality()
+    return (
+        f"WITH q AS ({quality}), "
+        "base AS (SELECT d.doc_id, d.source, "
+        "CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens, "
+        f"CAST(LEAST(FLOOR(q.quality_score * {_BUDGET_SELECT_BINS}), "
+        f"{_BUDGET_SELECT_BINS - 1}) AS INT) AS quality_bin "
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id), "
+        "bins AS (SELECT source, quality_bin, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens "
+        "FROM base GROUP BY source, quality_bin), "
+        "sel AS (SELECT source, quality_bin, cum_tokens FROM ("
+        "SELECT source, quality_bin, "
+        "CAST(SUM(bin_tokens) OVER (PARTITION BY source "
+        "ORDER BY quality_bin DESC) AS BIGINT) AS cum_tokens FROM bins) "
+        f"WHERE cum_tokens <= {_BUDGET_SELECT_TOKENS}) "
+        "SELECT b.doc_id, b.source, b.n_tokens, b.quality_bin, s.cum_tokens "
+        "FROM base b JOIN sel s "
+        "ON b.source = s.source AND b.quality_bin = s.quality_bin"
+    )
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_documents_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones, +1-smoothed idf):
+    top 25 docs for a fixed 3-term query. Per-doc term frequencies come
+    from a higher-order ``filter`` over the token array — map-side, no
+    explode; the corpus statistics (N, avgdl, per-term df) are ONE
+    aggregate row broadcast back, so the whole ranker is two jobs
+    regardless of corpus size. All float ops are fixed-order double
+    expressions over exact integer inputs; the declared score is
+    ppm-quantized because LN alone is engine-libm-dependent at 1 ulp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nt = len(_BM25_TERMS)
+
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            _tf(term).cast("bigint").alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = (
+        base.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("dl").alias("dl_sum"),
+            *[
+                F.sum(
+                    F.when(F.col(f"tf_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"df_raw_{i}")
+                for i in range(nt)
+            ],
+        )
+        .select(
+            F.col("n_raw").cast("double").alias("n_docs"),
+            (
+                F.col("dl_sum").cast("double")
+                / F.col("n_raw").cast("double")
+            ).alias("avgdl"),
+            *[
+                F.col(f"df_raw_{i}").cast("double").alias(f"df_{i}")
+                for i in range(nt)
+            ],
+        )
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(nt):
+        df_i = F.col(f"df_{i}")
+        tf_i = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = tf_i + F.lit(_BM25_K1) * (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        term = idf * (tf_i * F.lit(_BM25_K1 + 1.0)) / denom
+        score = term if score is None else score + term
+    # LN differs by ~1 ulp between JVM Math.log and DuckDB's libm, so the
+    # declared score is half-up-rounded to integer parts-per-million (the
+    # repo's standing cross-engine float idiom — see text_lm_score): a
+    # 1-ulp disagreement in the 16th digit cannot move a ppm bucket, and
+    # the ranking both engines sort by is the SAME quantized integer.
+    ppm = F.floor(score * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        scored.select("doc_id", ppm.alias("bm25_ppm"))
+        .filter(F.col("bm25_ppm") > 0)
+        .orderBy(F.col("bm25_ppm").desc(), F.col("doc_id"))
+        .limit(25)
+    )
+
+
+def _oracle_documents_bm25() -> str:
+    k1 = _BM25_K1
+    k1p1 = _BM25_K1 + 1.0
+    b = _BM25_B
+    tf_cols = ", ".join(
+        "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        f"t -> t = '{term}')) AS BIGINT) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"LN((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) "
+        f"* (CAST(tf_{i} AS DOUBLE) * {k1p1!r}) "
+        f"/ (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} "
+        "* CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl, "
+        f"{tf_cols} FROM documents), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
+        f"{df_cols} FROM base) "
+        "SELECT doc_id, bm25_ppm FROM (SELECT doc_id, "
+        f"CAST(FLOOR(({terms}) * 1000000.0 + 0.5) AS BIGINT) AS bm25_ppm "
+        "FROM base, stats) WHERE bm25_ppm > 0 "
+        "ORDER BY bm25_ppm DESC, doc_id LIMIT 25"
+    )
+
+
 def q_dataset_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing of the corpus into 256-token
     training sequences over 8 independent bucket streams
@@ -6283,7 +6470,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
-    "decontaminate_bloom": q_decontaminate_bloom,
     "corpus_vocabulary": q_corpus_vocabulary,
     "documents_tokenized": q_documents_tokenized,
     "curriculum_stages": q_curriculum_stages,
@@ -6431,6 +6617,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "dataset_budget_select": q_dataset_budget_select,
+    "documents_bm25": q_documents_bm25,
 }
 
 
@@ -6526,6 +6715,8 @@ def oracles() -> dict[str, str]:
         "corpus_clean": _oracle_corpus_clean(),
         "decontaminate_overlap": _oracle_decontaminate_overlap(),
         "decontaminate_bloom": _oracle_decontaminate_bloom(),
+        "dataset_budget_select": _oracle_dataset_budget_select(),
+        "documents_bm25": _oracle_documents_bm25(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

@@ -167,6 +167,9 @@ _CROSS_OK = {
     "corpus_pipeline",
     # shard balance: the 1-row total-tokens scalar broadcast
     "shard_balance",
+    # BM25: the 1-row corpus-stats (N, avgdl, per-term df) scalar
+    # broadcast into the per-doc scorer
+    "documents_bm25",
 }
 
 

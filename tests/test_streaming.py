@@ -754,6 +754,43 @@ def test_write_clean_stream_matches_batch_predicates(spark, tmp_path):
     model.unpersist()
 
 
+def test_write_decontaminate_stream_matches_batch(spark, tmp_path):
+    """The streaming contamination gate must admit EXACTLY the docs the
+    batch bloom path keeps on the same rows — micro-batch boundaries
+    cannot matter because the eval suite (bitset + exact gram set) is
+    frozen at sink construction."""
+    from overpaint_spark.operators.decontaminate import decontaminated_bloom
+    from overpaint_spark.streaming.decontaminate import (
+        write_decontaminate_stream,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    incoming = d.filter(F.col("doc_id") % 20 != 0)
+    want = {r.doc_id for r in decontaminated_bloom(incoming, ev, k=5).collect()}
+
+    sdir = str(tmp_path / "decon_stream_src")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(sdir)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out_dir = str(tmp_path / "decon_admitted")
+    q = write_decontaminate_stream(
+        stream, ev, out_dir, str(tmp_path / "ckpt_decon"),
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    # the gate must be non-trivial on the fixture: some in, some out
+    assert want and want < {r.doc_id for r in incoming.collect()}
+
+
 def test_write_lm_score_stream_rejects_docs_relation(spark, tmp_path):
     """Handing the sink a docs relation instead of a built model must
     fail loudly (it would dispatch on doc count and rescore wrongly),
