@@ -61,6 +61,9 @@ GUARD_QUERIES = [
     # r6: the end-to-end pipeline witness chains the five heaviest
     # operator families — the first place cross-stage blowup would show
     "corpus_pipeline",
+    # late r6: the bloom gate's claim IS sub-linearity (map-side screen,
+    # candidate-sliver confirm) — hold it to that
+    "decontaminate_bloom",
 ]
 ALPHA_MAX = 1.0
 
