@@ -6452,12 +6452,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_survivors": q_dedup_survivors,
+    # late-r6 rotation: the Bloom-gated decontaminator takes
+    # dedup_survivors' slot (dedup keeps six in-window witnesses;
+    # survivors stays declared + locally oracle-checked)
+    "decontaminate_bloom": q_decontaminate_bloom,
     "dedup_incremental": q_dedup_incremental,
     "semantic_dedup": q_semantic_dedup,
     # -- text analysis ----------------------------------------------
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
+    # late-r6 rotation: budget selection + BM25 take the text_stats /
+    # text_quality slots (both simple projections whose family keeps
+    # text_lm_score as the in-window witness; quality math is ALSO
+    # re-witnessed inside dataset_budget_select's binning)
+    "dataset_budget_select": q_dataset_budget_select,
+    "documents_bm25": q_documents_bm25,
     "text_lm_score": q_text_lm_score,
     # -- corpus / dataset pipeline -----------------------------------
     "dataset_dsir_weights": q_dataset_dsir_weights,
@@ -6617,9 +6624,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "dataset_budget_select": q_dataset_budget_select,
-    "documents_bm25": q_documents_bm25,
+    # late-r6 rotation ejections — still declared, still oracle-checked
+    "dedup_survivors": q_dedup_survivors,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
 }
 
 

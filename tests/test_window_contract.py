@@ -86,6 +86,13 @@ def test_window_contains_the_flagship_operators():
         # r6: the end-to-end pipeline witness (VERDICT r5 #6); it
         # embeds seeded_shuffle, taking dataset_shuffle's slot
         "corpus_pipeline",
+        # late-r6 rotation: the Bloom-gated decontaminator, the
+        # token-budget selector, and BM25 retrieval (ejecting
+        # dedup_survivors / text_stats / text_quality, whose families
+        # keep in-window witnesses)
+        "decontaminate_bloom",
+        "dataset_budget_select",
+        "documents_bm25",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_minhash_verified",
