@@ -1730,6 +1730,87 @@ def _oracle_dedup_minhash_verified() -> str:
     )
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision evidence for the MinHash-LSH dedup tier — the
+    dedup family's twin of ann_ivfpq_recall: how much of the exact
+    Jaccard ≥ 0.5 ground truth does the banded 12×4 pipeline recover,
+    and how selective is the band stage before verification?
+
+    One row: exact ground-truth pair count (uncapped inverted-index
+    Jaccard — the oracle-mode path of operators/dedup.jaccard_pairs),
+    band-stage candidate count, verified survivor count, and two exact
+    integer-ppm ratios (verified pairs are a subset of the ground truth
+    by construction, so recall needs no pair-level join). Every count is
+    exact integer — the whole report carries a full SQL oracle.
+
+    Scale posture: this is a DIAGNOSTIC, not a pipeline stage — ground
+    truth is inherently uncapped Σ df² work, so at 100 TB the report
+    runs on a bounded seeded subsample (recall transfers: band collision
+    probability is a per-pair property independent of corpus size); the
+    production dedup path stays the capped/banded plans benchmarked
+    separately."""
+    d = _t(spark, sf_dir, "documents")
+    truth = DD.jaccard_pairs(d, k=3, threshold=0.5, max_doc_freq=None)
+    cand = DD.lsh_candidate_pairs(
+        d, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    )
+    verified = DD.lsh_near_dup_pairs(
+        d, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nv = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_verified",
+            F.expr(
+                "n_verified * 1000000 DIV NULLIF(n_true, 0)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "n_verified * 1000000 DIV NULLIF(n_candidates, 0)"
+            ).alias("candidate_precision_ppm"),
+        )
+    )
+
+
+def _oracle_dedup_lsh_recall() -> str:
+    # ground truth reuses the band CTEs' `sh` (same shingle pipeline)
+    truth = (
+        "shd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter "
+        "FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "truth AS (SELECT a_id, b_id FROM inter "
+        "JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id "
+        "WHERE CAST(n_inter AS DOUBLE) / "
+        "CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5)"
+    )
+    jac = (
+        "CAST(LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE) / "
+        "CAST(LEN(sa.ss) + LEN(sb.ss) - LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE)"
+    )
+    return (
+        f"WITH {_minhash_band_ctes()}, cand AS ({_MINHASH_CANDIDATE_SELECT}), "
+        f"sets AS (SELECT doc_id, LIST_DISTINCT(shingles) AS ss FROM sh), "
+        f"verified AS (SELECT a_id, b_id FROM (SELECT c.a_id, c.b_id, {jac} AS jaccard "
+        "FROM cand c JOIN sets sa ON sa.doc_id = c.a_id "
+        "JOIN sets sb ON sb.doc_id = c.b_id) WHERE jaccard >= 0.5), "
+        f"{truth} "
+        "SELECT (SELECT COUNT(*) FROM truth) AS n_true, "
+        "(SELECT COUNT(*) FROM cand) AS n_candidates, "
+        "(SELECT COUNT(*) FROM verified) AS n_verified, "
+        "(SELECT COUNT(*) FROM verified) * 1000000 "
+        "// NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall_ppm, "
+        "(SELECT COUNT(*) FROM verified) * 1000000 "
+        "// NULLIF((SELECT COUNT(*) FROM cand), 0) AS candidate_precision_ppm"
+    )
+
+
 _INCR_MOD = 5
 
 
@@ -6536,6 +6617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "corpus_clean": q_corpus_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,
@@ -6714,6 +6796,7 @@ def oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": _oracle_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_dedup_minhash_lsh(),
         "dedup_minhash_verified": _oracle_dedup_minhash_verified(),
+        "dedup_lsh_recall": _oracle_dedup_lsh_recall(),
         "dedup_simhash": _oracle_dedup_simhash(),
         "dedup_simhash_pairs": _oracle_dedup_simhash_pairs(),
         "dedup_embedding_cosine": _oracle_dedup_embedding_cosine(),

@@ -170,6 +170,9 @@ _CROSS_OK = {
     # BM25: the 1-row corpus-stats (N, avgdl, per-term df) scalar
     # broadcast into the per-doc scorer
     "documents_bm25",
+    # LSH recall report: three 1-row count scalars crossed into the
+    # single summary row
+    "dedup_lsh_recall",
 }
 
 
