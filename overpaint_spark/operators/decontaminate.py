@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from overpaint_spark.functions import text as TX
+from overpaint_spark.functions import vectors as VX
 from overpaint_spark.operators.dedup import distinct_shingles
 
 #: Default Bloom geometry: 2^17 bits = 16 KiB regardless of eval-set
@@ -238,3 +239,69 @@ def decontaminated_bloom(
         .distinct()
     )
     return train.join(F.broadcast(confirmed), id_col, "left_anti")
+
+
+# --- Semantic (embedding-space) decontamination ----------------------------
+#
+# n-gram containment misses PARAPHRASED leakage: an eval item rewritten in
+# different words shares no 5-gram with its source yet is the same test
+# question. The embedding-space probe catches exactly that class — flag
+# every training item whose embedding is close (cosine) to ANY eval item's
+# embedding. Same asymmetry as the gram probes: the eval side is a bounded
+# benchmark suite (≤ ~10⁴ rows even for a large eval harness) → broadcast;
+# the training side is never shuffled to meet it.
+
+
+def semantic_contamination_report(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Per contaminated training vector: how many eval vectors sit at
+    cosine ≥ ``threshold``, and the best (max) cosine rounded to 4 dp —
+    ``(id, n_eval_hits, max_cosine_r)``, flagged rows only.
+
+    Plan shape: per-side norms are computed once BEFORE the join (one
+    projection each); the cross join against the broadcast eval side is
+    a fused-codegen sequential fold per (train, eval) pair — no explode,
+    no Python, no shuffle of the training payload. The ≥ threshold
+    filter runs inside the same stage, so the only exchange is the
+    final per-id aggregate over the flagged SLIVER (map-side combined;
+    near-empty for a clean corpus — the same posture as
+    :func:`contamination_report`). Per-train cost is ∝ |eval| · dim
+    flops, embarrassingly parallel; for eval suites past ~10⁴ items the
+    hamming-sketch shortlist (operators/similarity.hamming_rerank_topk)
+    is the sub-linear screen, exactly as the Bloom bitset screens the
+    gram probe.
+
+    Zero-norm vectors cosine to -1.0 (functions/vectors.cosine) and can
+    never flag; max is taken over hits only, so no sentinel leaks into
+    the output. Fixture margins to the 0.4 threshold are ≥ 1.08e-4 at
+    all three SFs — far above cross-engine float noise — and per-pair
+    ROUND(cos, 4) parity is already established by
+    ``dedup_embedding_cosine`` (its all-pairs set contains every
+    cross-split pair scored here)."""
+    ev = eval_vecs.select(
+        F.col(id_col).alias("_eval_id"),
+        VX.as_double(F.col(vec_col)).alias("_ev"),
+    )
+    ev = ev.withColumn("_evn", VX.norm(F.col("_ev")))
+    tr = train_vecs.select(
+        F.col(id_col), VX.as_double(F.col(vec_col)).alias("_tv")
+    ).withColumn("_tvn", VX.norm(F.col("_tv")))
+    hits = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            id_col,
+            VX.cosine(
+                F.col("_tv"), F.col("_ev"), F.col("_tvn"), F.col("_evn")
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+        F.round(F.max("_cos"), 4).alias("max_cosine_r"),
+    )

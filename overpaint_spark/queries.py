@@ -1424,6 +1424,39 @@ def _oracle_decontaminate_bloom() -> str:
     )
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: training vectors (vec_id % 20
+    ≠ 0) whose cosine to ANY held-out eval vector (vec_id % 20 = 0)
+    reaches 0.4 — the paraphrase-leakage probe the n-gram containment
+    checks (decontaminate_overlap / decontaminate_bloom) cannot see,
+    since a rewritten eval item shares no 5-gram with its source.
+    Eval side broadcast, fused-codegen cosine fold, threshold filter in
+    the scan stage, per-id aggregate over the flagged sliver only
+    (operators/decontaminate.semantic_contamination_report). Flags
+    3 / 7 / 100 training vectors at sf0.001/0.01/0.1 with threshold
+    margins ≥ 1.08e-4."""
+    from overpaint_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 20 == 0)
+    tr = e.filter(F.col("vec_id") % 20 != 0)
+    return semantic_contamination_report(tr, ev, threshold=0.4)
+
+
+def _oracle_decontaminate_semantic() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "hits AS (SELECT t.vec_id, LIST_COSINE_SIMILARITY(t.v, q.v) AS c "
+        "FROM e t JOIN e q ON t.vec_id % 20 <> 0 AND q.vec_id % 20 = 0 "
+        "WHERE LIST_COSINE_SIMILARITY(t.v, q.v) >= 0.4) "
+        "SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits, "
+        "ROUND(MAX(c), 4) AS max_cosine_r FROM hits GROUP BY vec_id"
+    )
+
+
 #: Per-source token budget: below the fixtures' ~1.3k tokens/source so
 #: the selection is genuinely selective at every SF.
 _BUDGET_SELECT_TOKENS = 800
@@ -6618,6 +6651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": q_corpus_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_recall": q_dedup_lsh_recall,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,
@@ -6806,6 +6840,7 @@ def oracles() -> dict[str, str]:
         "corpus_clean": _oracle_corpus_clean(),
         "decontaminate_overlap": _oracle_decontaminate_overlap(),
         "decontaminate_bloom": _oracle_decontaminate_bloom(),
+        "decontaminate_semantic": _oracle_decontaminate_semantic(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),

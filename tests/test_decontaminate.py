@@ -105,3 +105,72 @@ def test_containment_bounds(spark, docs):
         .count()
     )
     assert bad == 0
+
+
+# --- semantic (embedding-space) decontamination ----------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return load_table(spark, f"{sf_dir}/embeddings.parquet")
+
+
+def _vsplit(vecs):
+    ev = vecs.filter(F.col("vec_id") % 20 == 0)
+    tr = vecs.filter(F.col("vec_id") % 20 != 0)
+    return tr, ev
+
+
+def test_semantic_verbatim_leak_flags_at_cosine_one(spark, vecs):
+    """A training vector that IS an eval vector (the paraphrase-probe
+    worst case: identical embedding) must flag with max cosine 1.0."""
+    from overpaint_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    tr, ev = _vsplit(vecs)
+    leak = ev.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    rep = semantic_contamination_report(
+        tr.select("vec_id", "embedding").union(leak), ev, threshold=0.4
+    ).filter(F.col("vec_id") >= 1_000_000)
+    rows = rep.collect()
+    assert len(rows) == 1
+    assert rows[0]["max_cosine_r"] == 1.0
+    assert rows[0]["n_eval_hits"] >= 1
+
+
+def test_semantic_zero_norm_never_flags(spark, vecs):
+    """An all-zero embedding cosines to -1.0 (functions/vectors) and
+    must never appear in the flagged report."""
+    from overpaint_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    _, ev = _vsplit(vecs)
+    dim = len(ev.limit(1).collect()[0]["embedding"])
+    zero = spark.createDataFrame(
+        [(2_000_000, [0.0] * dim)], "vec_id bigint, embedding array<float>"
+    )
+    rep = semantic_contamination_report(zero, ev, threshold=-0.5)
+    assert rep.count() == 0
+
+
+def test_semantic_report_invariants(spark, vecs):
+    """Flagged rows only, hits >= 1, max cosine at/above threshold and
+    never above 1 (+ rounding headroom)."""
+    from overpaint_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    tr, ev = _vsplit(vecs)
+    rep = semantic_contamination_report(tr, ev, threshold=0.4)
+    bad = rep.filter(
+        (F.col("n_eval_hits") < 1)
+        | (F.col("max_cosine_r") < 0.4 - 5e-5)
+        | (F.col("max_cosine_r") > 1.0)
+    ).count()
+    assert bad == 0
+    train_ids = {r["vec_id"] for r in tr.select("vec_id").collect()}
+    assert {r["vec_id"] for r in rep.collect()} <= train_ids

@@ -173,6 +173,9 @@ _CROSS_OK = {
     # LSH recall report: three 1-row count scalars crossed into the
     # single summary row
     "dedup_lsh_recall",
+    # semantic decontamination: training side crossed against the
+    # BOUNDED broadcast eval split (benchmark suites are ≤ ~10⁴ rows)
+    "decontaminate_semantic",
 }
 
 
