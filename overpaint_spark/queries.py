@@ -1457,6 +1457,77 @@ def _oracle_decontaminate_semantic() -> str:
     )
 
 
+def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language classifier with held-out evidence — the
+    fastText-shaped filter model every pipeline deploys (here labels =
+    lang, features = the DSIR 64-bucket hashed unigrams): multinomial
+    Naive Bayes trained on doc_id % 5 ≠ 0, confusion matrix over the
+    held-out 20% (operators/nbayes.py). The model is a bounded 64·K + K
+    broadcast relation; scoring is pure BIGINT once the log-likelihoods
+    are ppm-quantized at build time, so the whole train→classify→
+    evaluate loop carries a full SQL oracle. The only transcendental is
+    LN over the bounded table; the fixtures' minimum distance of
+    1e6·ln(p) to an integer boundary is ≥ 1.28e-3 at all three SFs —
+    six orders of magnitude above the ~2.6e-9 worst-case 1-ulp libm
+    disagreement (the documents_bm25 idiom, measured rather than
+    assumed).
+
+    Honest fixture finding: the synthetic documents draw tokens
+    INDEPENDENTLY of their lang label, so the trained model collapses
+    to the majority prior (nearly everything predicts 'en') — exactly
+    what NB should do on non-separable data. That the trainer actually
+    LEARNS is pinned on a planted separable corpus in
+    tests/test_nbayes.py (perfect diagonal), the same honest-fixture
+    posture as ann_trained_recall's random-data findings."""
+    from overpaint_spark.operators.nbayes import nb_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.filter(F.col("doc_id") % 5 != 0)
+    he = d.filter(F.col("doc_id") % 5 == 0)
+    return nb_confusion(tr, he)
+
+
+def _oracle_langid_nb_confusion() -> str:
+    bkt = (
+        "(ASCII(SUBSTR(MD5(tok), 1, 1)) * 13 + "
+        "ASCII(SUBSTR(MD5(tok), 2, 1))) % 64"
+    )
+    return (
+        "WITH tr AS (SELECT doc_id, lang, text FROM documents "
+        "WHERE doc_id % 5 <> 0), "
+        "he AS (SELECT doc_id, lang, text FROM documents "
+        "WHERE doc_id % 5 = 0), "
+        f"ttk AS (SELECT lang, {bkt} AS b FROM "
+        "(SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM tr)), "
+        "cnt AS (SELECT lang, b, COUNT(*) AS n FROM ttk GROUP BY lang, b), "
+        "tot AS (SELECT lang, COUNT(*) AS tot FROM ttk GROUP BY lang), "
+        "lp AS (SELECT t.lang, g.b, CAST(FLOOR(LN("
+        "CAST(COALESCE(n, 0) + 1 AS DOUBLE) / CAST(tot + 64 AS DOUBLE)"
+        ") * 1000000.0) AS BIGINT) AS lp_ppm "
+        "FROM tot t CROSS JOIN "
+        "(SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g "
+        "LEFT JOIN cnt c ON c.lang = t.lang AND c.b = g.b), "
+        "pri AS (SELECT lang, CAST(FLOOR(LN(CAST(ndl AS DOUBLE) / "
+        "CAST((SELECT COUNT(*) FROM tr) AS DOUBLE)) * 1000000.0) AS BIGINT) "
+        "AS prior_ppm FROM "
+        "(SELECT lang, COUNT(*) AS ndl FROM tr GROUP BY lang)), "
+        f"htk AS (SELECT doc_id, {bkt} AS b FROM "
+        "(SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM he)), "
+        "ts AS (SELECT doc_id, lp.lang, CAST(SUM(lp_ppm) AS BIGINT) AS s "
+        "FROM htk JOIN lp USING (b) GROUP BY doc_id, lp.lang), "
+        "sc AS (SELECT h.doc_id, p.lang AS cand, "
+        "p.prior_ppm + COALESCE(ts.s, 0) AS score "
+        "FROM he h CROSS JOIN pri p "
+        "LEFT JOIN ts ON ts.doc_id = h.doc_id AND ts.lang = p.lang), "
+        "pred AS (SELECT doc_id, cand AS pred FROM "
+        "(SELECT doc_id, cand, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM sc) "
+        "WHERE rn = 1) "
+        "SELECT h.lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM he h JOIN pred USING (doc_id) GROUP BY h.lang, pred"
+    )
+
+
 #: Per-source token budget: below the fixtures' ~1.3k tokens/source so
 #: the selection is genuinely selective at every SF.
 _BUDGET_SELECT_TOKENS = 800
@@ -6652,6 +6723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "decontaminate_semantic": q_decontaminate_semantic,
+    "langid_nb_confusion": q_langid_nb_confusion,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,
@@ -6841,6 +6913,7 @@ def oracles() -> dict[str, str]:
         "decontaminate_overlap": _oracle_decontaminate_overlap(),
         "decontaminate_bloom": _oracle_decontaminate_bloom(),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),
+        "langid_nb_confusion": _oracle_langid_nb_confusion(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),

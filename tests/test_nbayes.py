@@ -1,0 +1,76 @@
+"""Multinomial NB classifier (operators/nbayes.py): learning on a
+planted separable corpus, prior fallback, model boundedness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from overpaint_spark.operators.nbayes import (
+    NB_BUCKETS,
+    nb_classify,
+    nb_confusion,
+    nb_train,
+)
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    """Three 'languages' with DISJOINT vocabularies — fully separable,
+    so a working NB must classify held-out docs perfectly."""
+    vocab = {
+        "aa": ["alpha", "apple", "anchor", "arrow"],
+        "bb": ["bravo", "berry", "bucket", "bridge"],
+        "cc": ["coral", "cider", "copper", "circle"],
+    }
+    rows = []
+    doc_id = 0
+    for lang, words in vocab.items():
+        for i in range(40):
+            text = " ".join(words[(i + j) % len(words)] for j in range(12))
+            rows.append((doc_id, lang, text))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_separable_corpus_classifies_perfectly(spark, separable):
+    tr = separable.filter(F.col("doc_id") % 5 != 0)
+    he = separable.filter(F.col("doc_id") % 5 == 0)
+    conf = nb_confusion(tr, he).collect()
+    assert all(r["lang"] == r["pred"] for r in conf)
+    assert sum(r["n_docs"] for r in conf) == he.count()
+
+
+def test_model_is_bounded_and_dense(spark, separable):
+    lp, pri = nb_train(separable)
+    labels = [r["_label"] for r in pri.collect()]
+    assert sorted(labels) == ["aa", "bb", "cc"]
+    # dense: exactly 64 buckets per label, all log-likelihoods negative
+    rows = lp.collect()
+    assert len(rows) == NB_BUCKETS * 3
+    assert all(r["lp_ppm"] < 0 for r in rows)
+
+
+def test_tokenless_doc_predicts_majority_prior(spark, separable):
+    """A doc whose tokens were never seen still joins the dense table,
+    but an EMPTY-ish doc must fall back to the prior argmax through the
+    doc x label scaffold rather than vanish."""
+    # skew priors: drop most of 'bb' and 'cc' so 'aa' dominates
+    tr = separable.filter(
+        (F.col("lang") == "aa") | (F.col("doc_id") % 7 == 0)
+    )
+    lp, pri = nb_train(tr)
+    blank = spark.createDataFrame([(999, "")], "doc_id bigint, text string")
+    preds = nb_classify(blank, lp, pri).collect()
+    # the scaffold guarantees exactly one deterministic prediction (a
+    # doc with no usable evidence must not vanish from the output)
+    assert len(preds) == 1
+    assert preds[0]["pred"] in {r["_label"] for r in pri.collect()}
+
+
+def test_confusion_counts_partition_heldout(spark, separable):
+    tr = separable.filter(F.col("doc_id") % 5 != 0)
+    he = separable.filter(F.col("doc_id") % 5 == 0)
+    conf = nb_confusion(tr, he)
+    assert conf.agg(F.sum("n_docs")).collect()[0][0] == he.count()
+    # every predicted label is a trained label
+    trained = {r["_label"] for r in nb_train(tr)[1].collect()}
+    assert {r["pred"] for r in conf.collect()} <= trained

@@ -176,6 +176,10 @@ _CROSS_OK = {
     # semantic decontamination: training side crossed against the
     # BOUNDED broadcast eval split (benchmark suites are ≤ ~10⁴ rows)
     "decontaminate_semantic",
+    # NB classifier: the doc × label scaffold crosses docs with the
+    # BOUNDED broadcast priors relation (K labels); training crosses
+    # the K-row label totals with the 1-row doc count
+    "langid_nb_confusion",
 }
 
 
