@@ -1528,6 +1528,204 @@ def _oracle_langid_nb_confusion() -> str:
     )
 
 
+def q_corpus_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report by language: whitespace tokens vs
+    BPE-ish regex tokens vs chars, with integer-ppm fertility
+    (subword tokens per word) and compression (chars per subword) —
+    the per-language cost model a tokenizer choice is judged by
+    (CJK languages typically fertility-explode under byte-level BPE).
+    ONE map-side-combined aggregate pass; shuffle O(langs)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(TX.n_words(t)).cast("bigint").alias("ws_tokens"),
+            F.sum(TX.bpe_token_count(t)).cast("bigint").alias("bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "bpe_tokens * 1000000 div ws_tokens AS fertility_ppm",
+            "sum_chars * 1000000 div bpe_tokens AS chars_per_bpe_ppm",
+        )
+    )
+
+
+def _oracle_corpus_token_fertility() -> str:
+    return (
+        "WITH a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens, "
+        "CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, "
+        f"'{TX.BPE_TOKEN_RE}'))) AS BIGINT) AS bpe_tokens, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY lang) "
+        "SELECT lang, n_docs, ws_tokens, bpe_tokens, "
+        "bpe_tokens * 1000000 // ws_tokens AS fertility_ppm, "
+        "sum_chars * 1000000 // bpe_tokens AS chars_per_bpe_ppm FROM a"
+    )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality PERCENTILE without a corpus sort: the composite
+    quality score (bit-identical cross-engine) quantizes into 1000
+    fixed bins; the strictly-below cumulative runs over the BOUNDED
+    bin relation (≤ 1001 rows — dataset_budget_select's trick), and
+    docs pick up their percentile through a broadcast join. The
+    percentile a filtering threshold is usually specified in ("drop
+    the bottom 20%") — this relation is how that spec becomes a
+    score cutoff. Docs in the same bin share a percentile by
+    construction (the binned semantic, exact)."""
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    base = d.select(
+        "doc_id", F.floor(q * F.lit(1000.0)).cast("int").alias("q_bin")
+    ).filter(F.col("q_bin").isNotNull())
+    bins = base.groupBy("q_bin").agg(F.count(F.lit(1)).alias("c"))
+    w_below = Window.orderBy("q_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("q_bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "q_bin",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_total"),
+    )
+    return base.join(F.broadcast(cum), "q_bin").selectExpr(
+        "doc_id", "q_bin", "n_below * 1000000 div n_total AS pct_ppm"
+    )
+
+
+def _oracle_quality_calibration() -> str:
+    quality = _oracle_text_quality()
+    return (
+        f"WITH q AS ({quality}), "
+        "base AS (SELECT doc_id, CAST(FLOOR(quality_score * 1000.0) AS INT) "
+        "AS q_bin FROM q WHERE quality_score IS NOT NULL), "
+        "bins AS (SELECT q_bin, COUNT(*) AS c FROM base GROUP BY q_bin), "
+        "cum AS (SELECT q_bin, CAST(COALESCE(SUM(c) OVER (ORDER BY q_bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS n_below, CAST(SUM(c) OVER () AS BIGINT) AS n_total FROM bins) "
+        "SELECT b.doc_id, b.q_bin, n_below * 1000000 // n_total AS pct_ppm "
+        "FROM base b JOIN cum USING (q_bin)"
+    )
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size HISTOGRAM — the shape report that decides
+    dedup policy (a fat tail of giant clusters means boilerplate/mirror
+    farms; all-pairs work inside clusters is Σ|cluster|², so this
+    relation is also the cost model for cluster-bounded passes like
+    SemDeDup). Two bounded aggregates over the component relation
+    (members of near-dup pairs only — singleton docs don't appear)."""
+    from overpaint_spark.operators.components import connected_components
+
+    pairs = DD.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    sizes = connected_components(pairs).groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+
+
+def _oracle_dedup_cluster_sizes() -> str:
+    comp = _oracle_dedup_clusters()
+    return (
+        f"WITH s AS (SELECT component, CAST(COUNT(*) AS BIGINT) "
+        f"AS cluster_size FROM ({comp}) GROUP BY component) "
+        "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters "
+        "FROM s GROUP BY cluster_size"
+    )
+
+
+_TFIDF_TOPK = 5
+
+
+def q_source_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: top-5 tokens by tf·idf (term
+    frequency within the source × doc-level inverse document frequency)
+    — the standard "what is this source made of" report over a corpus.
+    Work is vocab-bounded after one token pass: tf is a (source, token)
+    aggregate, df re-aggregates tf's DISTINCT doc postings, idf is
+    ppm-quantized at the bounded df relation (LN floor margins measured
+    ≥ 0.021 at all SFs), and the top-5 window partitions by source over
+    vocab-sized groups. Ties break token-ascending, deterministic
+    cross-engine on the integer score."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "source", F.explode(TX.words(F.col("text"))).alias("tok")
+    )
+    tf = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = (
+        tk.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dfd"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        (F.col("nd") + F.lit(1)).cast("double")
+                        / (F.col("dfd") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("bigint")
+            ).alias("tfidf_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf_score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _TFIDF_TOPK)
+        .select("source", "tok", "tf", "tfidf_score")
+    )
+
+
+def _oracle_source_tfidf_terms() -> str:
+    return (
+        "WITH tk AS (SELECT doc_id, source, "
+        "UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), "
+        "tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tk GROUP BY source, tok), "
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfd FROM "
+        "(SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), "
+        "scored AS (SELECT tf.source, tf.tok, tf.tf, "
+        "tf.tf * CAST(FLOOR(LN(CAST(nd + 1 AS DOUBLE) / "
+        "CAST(dfd + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS tfidf_score "
+        "FROM tf JOIN df USING (tok) CROSS JOIN n) "
+        "SELECT source, tok, tf, tfidf_score FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY tfidf_score DESC, tok ASC) AS rn FROM scored) "
+        f"WHERE rn <= {_TFIDF_TOPK}"
+    )
+
+
 #: Per-source token budget: below the fixtures' ~1.3k tokens/source so
 #: the selection is genuinely selective at every SF.
 _BUDGET_SELECT_TOKENS = 800
@@ -6724,6 +6922,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "decontaminate_semantic": q_decontaminate_semantic,
     "langid_nb_confusion": q_langid_nb_confusion,
+    "corpus_token_fertility": q_corpus_token_fertility,
+    "quality_calibration": q_quality_calibration,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "source_tfidf_terms": q_source_tfidf_terms,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,
@@ -6914,6 +7116,10 @@ def oracles() -> dict[str, str]:
         "decontaminate_bloom": _oracle_decontaminate_bloom(),
         "decontaminate_semantic": _oracle_decontaminate_semantic(),
         "langid_nb_confusion": _oracle_langid_nb_confusion(),
+        "corpus_token_fertility": _oracle_corpus_token_fertility(),
+        "quality_calibration": _oracle_quality_calibration(),
+        "dedup_cluster_sizes": _oracle_dedup_cluster_sizes(),
+        "source_tfidf_terms": _oracle_source_tfidf_terms(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),

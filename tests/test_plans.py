@@ -180,6 +180,9 @@ _CROSS_OK = {
     # BOUNDED broadcast priors relation (K labels); training crosses
     # the K-row label totals with the 1-row doc count
     "langid_nb_confusion",
+    # tf-idf: the 1-row corpus doc count crossed into the vocab-bounded
+    # scoring relation
+    "source_tfidf_terms",
 }
 
 
