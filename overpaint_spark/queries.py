@@ -6734,6 +6734,98 @@ def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).filter(F.col("n_grams") > 0)
 
 
+def q_stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB classification by STRUCTURED STREAMING — fourth oracle-
+    verified streaming query: a stateless per-row ARGMAX against the
+    frozen classifier (streaming/nbayes.py), the ingest-time shape of
+    langid_nb_confusion's scorer (model trained on the same doc_id % 5
+    ≠ 0 split, here classifying EVERY arriving doc). Like
+    stream_lm_score the output is per-ROW, so the sink is a temp
+    parquet dir read back distributed; unlike it there is no row-shape
+    normalization to do — every input row yields exactly one
+    prediction. Scores are all-BIGINT folds over plan-literal
+    log-likelihood tables, so the oracle (the batch NB's scoring CTEs
+    over all documents) is bit-exact."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.nbayes import nb_train
+    from overpaint_spark.streaming.nbayes import (
+        frozen_nb_model,
+        nb_classify_stream,
+    )
+    from overpaint_spark.streaming.stream_profile import stage_stream_dir
+
+    d = _t(spark, sf_dir, "documents")
+    lp, pri = nb_train(d.filter(F.col("doc_id") % 5 != 0))
+    labels, prior_ppms, lp_tables = frozen_nb_model(lp, pri)
+
+    src = stage_stream_dir(f"{sf_dir}/documents.parquet")
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    preds = nb_classify_stream(stream, labels, prior_ppms, lp_tables)
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    out_dir = f"{base}/stream_nb_{run}"
+    ckpt_dir = f"{base}/stream_nb_ckpt_{run}"
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+    sq = (
+        preds.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_nb_classify: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir)
+
+
+def _oracle_stream_nb_classify() -> str:
+    bkt = (
+        "(ASCII(SUBSTR(MD5(tok), 1, 1)) * 13 + "
+        "ASCII(SUBSTR(MD5(tok), 2, 1))) % 64"
+    )
+    return (
+        "WITH tr AS (SELECT doc_id, lang, text FROM documents "
+        "WHERE doc_id % 5 <> 0), "
+        f"ttk AS (SELECT lang, {bkt} AS b FROM "
+        "(SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM tr)), "
+        "cnt AS (SELECT lang, b, COUNT(*) AS n FROM ttk GROUP BY lang, b), "
+        "tot AS (SELECT lang, COUNT(*) AS tot FROM ttk GROUP BY lang), "
+        "lp AS (SELECT t.lang, g.b, CAST(FLOOR(LN("
+        "CAST(COALESCE(n, 0) + 1 AS DOUBLE) / CAST(tot + 64 AS DOUBLE)"
+        ") * 1000000.0) AS BIGINT) AS lp_ppm "
+        "FROM tot t CROSS JOIN "
+        "(SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g "
+        "LEFT JOIN cnt c ON c.lang = t.lang AND c.b = g.b), "
+        "pri AS (SELECT lang, CAST(FLOOR(LN(CAST(ndl AS DOUBLE) / "
+        "CAST((SELECT COUNT(*) FROM tr) AS DOUBLE)) * 1000000.0) AS BIGINT) "
+        "AS prior_ppm FROM "
+        "(SELECT lang, COUNT(*) AS ndl FROM tr GROUP BY lang)), "
+        f"htk AS (SELECT doc_id, {bkt} AS b FROM "
+        "(SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok "
+        "FROM documents)), "
+        "ts AS (SELECT doc_id, lp.lang, CAST(SUM(lp_ppm) AS BIGINT) AS s "
+        "FROM htk JOIN lp USING (b) GROUP BY doc_id, lp.lang), "
+        "sc AS (SELECT h.doc_id, p.lang AS cand, "
+        "p.prior_ppm + COALESCE(ts.s, 0) AS score "
+        "FROM documents h CROSS JOIN pri p "
+        "LEFT JOIN ts ON ts.doc_id = h.doc_id AND ts.lang = p.lang) "
+        "SELECT doc_id, cand AS pred FROM "
+        "(SELECT doc_id, cand, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM sc) "
+        "WHERE rn = 1"
+    )
+
+
 def q_corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication pressure: docs, distinct texts, duplicate
     rows, duplicate rate — the recipe-level number that decides where
@@ -6926,6 +7018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": q_quality_calibration,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "source_tfidf_terms": q_source_tfidf_terms,
+    "stream_nb_classify": q_stream_nb_classify,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,
@@ -7120,6 +7213,7 @@ def oracles() -> dict[str, str]:
         "quality_calibration": _oracle_quality_calibration(),
         "dedup_cluster_sizes": _oracle_dedup_cluster_sizes(),
         "source_tfidf_terms": _oracle_source_tfidf_terms(),
+        "stream_nb_classify": _oracle_stream_nb_classify(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),

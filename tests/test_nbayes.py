@@ -74,3 +74,63 @@ def test_confusion_counts_partition_heldout(spark, separable):
     # every predicted label is a trained label
     trained = {r["_label"] for r in nb_train(tr)[1].collect()}
     assert {r["pred"] for r in conf.collect()} <= trained
+
+
+# --- streaming twin ---------------------------------------------------------
+
+
+def test_stream_classify_matches_batch(spark, separable, tmp_path):
+    """The frozen-model streaming argmax must agree row-for-row with
+    the batch join+window classifier, including across micro-batch
+    boundaries (maxFilesPerTrigger=1 over a two-file source)."""
+    from overpaint_spark.streaming.nbayes import (
+        frozen_nb_model,
+        nb_classify_stream,
+    )
+
+    tr = separable.filter(F.col("doc_id") % 5 != 0)
+    he = separable.filter(F.col("doc_id") % 5 == 0)
+    lp, pri = nb_train(tr)
+    batch = {r["doc_id"]: r["pred"] for r in nb_classify(he, lp, pri).collect()}
+
+    src = str(tmp_path / "src")
+    he.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    he.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+    stream = (
+        spark.readStream.schema(he.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    labels, prior_ppms, lp_tables = frozen_nb_model(lp, pri)
+    preds = nb_classify_stream(stream, labels, prior_ppms, lp_tables)
+    out = str(tmp_path / "out")
+    sq = (
+        preds.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert sq.awaitTermination(300)
+    streamed = {
+        r["doc_id"]: r["pred"] for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_classify_null_text_survives(spark, separable):
+    """A NULL text must classify (as the empty string) rather than
+    produce a NULL prediction or kill the fold."""
+    from overpaint_spark.streaming.nbayes import (
+        frozen_nb_model,
+        nb_classify_stream,
+    )
+
+    lp, pri = nb_train(separable)
+    labels, prior_ppms, lp_tables = frozen_nb_model(lp, pri)
+    rows = spark.createDataFrame(
+        [(1, None)], "doc_id bigint, text string"
+    )
+    # the projection is stream-agnostic: exercise it on a batch frame
+    out = nb_classify_stream(rows, labels, prior_ppms, lp_tables).collect()
+    assert len(out) == 1 and out[0]["pred"] in set(labels)
