@@ -6923,7 +6923,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6 rotation: the span SCRUBBER (remediation twin of the span
     # detector above) earns a driver row next to it
     "corpus_span_scrubbed": q_corpus_span_scrubbed,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # late-r6 rotation #2: the LSH recall/precision report takes the
+    # raw candidate relation's slot (the banding math is re-witnessed
+    # INSIDE the report's candidate CTE, and dedup_minhash_verified
+    # keeps the verified-pair witness)
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
@@ -6941,6 +6945,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_budget_select": q_dataset_budget_select,
     "documents_bm25": q_documents_bm25,
     "text_lm_score": q_text_lm_score,
+    # late-r6 rotation #2: the per-doc quality-percentile calibration
+    # (bounded-bin CDF) and the trained NB confusion matrix take the
+    # embedding_quantize / ann_topk_pq slots — quantization keeps
+    # sq8_error + pq_codes, ANN keeps six witnesses incl. the recall
+    # report that embeds the PQ tier
+    "quality_calibration": q_quality_calibration,
+    "langid_nb_confusion": q_langid_nb_confusion,
     # -- corpus / dataset pipeline -----------------------------------
     "dataset_dsir_weights": q_dataset_dsir_weights,
     # r6 rotation: the IEEE-exact temperature-mixture weights
@@ -6952,6 +6963,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_clean_v2": q_corpus_clean_v2,
     "decontaminate_overlap": q_decontaminate_overlap,
+    # late-r6 rotation #2: the embedding-space decontamination tier
+    # joins its gram-probe siblings (takes profile_null_distinct's
+    # slot; the profiler keeps seven in-window witnesses)
+    "decontaminate_semantic": q_decontaminate_semantic,
+    # late-r6 rotation #2: per-source TF-IDF distinctive terms (takes
+    # ann_topk_lsh's slot)
+    "source_tfidf_terms": q_source_tfidf_terms,
     "corpus_vocabulary": q_corpus_vocabulary,
     "documents_tokenized": q_documents_tokenized,
     "curriculum_stages": q_curriculum_stages,
@@ -6959,13 +6977,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tokenizer training statistics -------------------------------
     "bpe_merge_pairs": q_bpe_merge_pairs,
     # -- embedding quantization --------------------------------------
-    "embedding_quantize": q_embedding_quantize,
     "embedding_pq_codes": q_embedding_pq_codes,
     "embedding_sq8_error": q_embedding_sq8_error,
     # -- similarity search -------------------------------------------
-    "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
@@ -6975,6 +6990,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- streaming ---------------------------------------------------
     "stream_corpus_stats": q_stream_corpus_stats,
     "stream_lm_score": q_stream_lm_score,
+    # late-r6 rotation #2: the fourth streaming witness (frozen-NB
+    # argmax; takes profile_minmax_temporal's slot — the numeric twin
+    # of the same operator family stays in-window)
+    "stream_nb_classify": q_stream_nb_classify,
     # -- multimodal --------------------------------------------------
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -6982,11 +7001,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_tables": q_profile_tables,
     "profile_columns": q_profile_columns,
     "profile_minmax_numeric": q_profile_minmax_numeric,
-    "profile_minmax_temporal": q_profile_minmax_temporal,
     "profile_bool_histogram": q_profile_bool_histogram,
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
     "profile_percentiles": q_profile_percentiles,
-    "profile_null_distinct": q_profile_null_distinct,
     "profile_incremental": q_profile_incremental,
     "profile_key_skew": q_profile_key_skew,
     # -- repaired oracle shapes (window SUM / range join / JSON agg /
@@ -7011,14 +7028,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "corpus_clean": q_corpus_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_lsh_recall": q_dedup_lsh_recall,
-    "decontaminate_semantic": q_decontaminate_semantic,
-    "langid_nb_confusion": q_langid_nb_confusion,
     "corpus_token_fertility": q_corpus_token_fertility,
-    "quality_calibration": q_quality_calibration,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "source_tfidf_terms": q_source_tfidf_terms,
-    "stream_nb_classify": q_stream_nb_classify,
+    # late-r6-rotation-#2-ejected (families keep in-window witnesses;
+    # rotated out for the six newest flagships — LSH recall report,
+    # semantic decontamination, NB confusion, quality calibration,
+    # TF-IDF terms, streaming NB; all six ejectees stay oracle-checked
+    # locally every round)
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "embedding_quantize": q_embedding_quantize,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_pq": q_ann_topk_pq,
+    "profile_minmax_temporal": q_profile_minmax_temporal,
+    "profile_null_distinct": q_profile_null_distinct,
     "dataset_split": q_dataset_split,
     "multimodal_audio_energy": q_multimodal_audio_energy,
     "profile_text_lengths": q_profile_text_lengths,

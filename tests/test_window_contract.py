@@ -93,8 +93,19 @@ def test_window_contains_the_flagship_operators():
         "decontaminate_bloom",
         "dataset_budget_select",
         "documents_bm25",
+        # late-r6 rotation #2: the six newest flagships (ejecting
+        # dedup_minhash_lsh / embedding_quantize / ann_topk_lsh /
+        # ann_topk_pq / profile_minmax_temporal / profile_null_distinct
+        # — every ejectee's family keeps an in-window witness, and the
+        # LSH banding math is re-witnessed inside dedup_lsh_recall's
+        # candidate CTE)
+        "dedup_lsh_recall",
+        "decontaminate_semantic",
+        "langid_nb_confusion",
+        "quality_calibration",
+        "source_tfidf_terms",
+        "stream_nb_classify",
         "dedup_exact",
-        "dedup_minhash_lsh",
         "dedup_minhash_verified",
         "dedup_embedding_cosine",
         "dedup_clusters",
@@ -107,12 +118,9 @@ def test_window_contains_the_flagship_operators():
         "curriculum_stages",
         "corpus_dataset_card",
         "text_lm_score",
-        "embedding_quantize",
         "embedding_pq_codes",
         "embedding_sq8_error",
-        "ann_topk_lsh",
         "ann_topk_ivf",
-        "ann_topk_pq",
         "ann_topk_ivfpq",
         "stream_corpus_stats",
     }
