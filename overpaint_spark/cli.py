@@ -102,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
         "per table on stdout (machine-readable monitoring surface)",
     )
     parser.add_argument(
+        "--sql", metavar="QUERY",
+        help="ad-hoc SQL mode: register every table under the data root "
+        "as a temp view (bare table names) and run QUERY through Spark "
+        "SQL — the reference user's psql-against-the-database workflow, "
+        "pointed at the lake. Prints a psql-style aligned grid capped at "
+        "--max-rows (--format json emits one JSON object per row)",
+    )
+    parser.add_argument(
+        "--sql-file", metavar="PATH",
+        help="like --sql but reads the query text from a file",
+    )
+    parser.add_argument(
+        "--max-rows", type=int, default=100, metavar="N",
+        help="row cap for --sql output (a truncation note marks a "
+        "clipped grid; the query itself is not limited server-side "
+        "beyond the fetch)",
+    )
+    parser.add_argument(
         "--dataset-card", action="store_true",
         help="print the corpus dataset card (per-source + TOTAL volume, "
         "language spread, dup permille, mean quality) for a `documents` "
@@ -119,8 +137,18 @@ def main(argv: list[str] | None = None) -> int:
     # the three standalone modes return before the snapshot/drift tail
     # runs — combining them would silently drop explicitly requested
     # monitoring outputs (a hole in the history no scheduler alerts on)
+    if args.sql and args.sql_file:
+        parser.error("--sql and --sql-file are mutually exclusive")
+    sql_text = args.sql
+    if args.sql_file:
+        try:
+            with open(args.sql_file, encoding="utf-8") as fh:
+                sql_text = fh.read()
+        except OSError as e:
+            parser.error(f"--sql-file: {e}")
     standalone = ("--rules" if args.rules else
                   "--dataset-card" if args.dataset_card else
+                  "--sql" if sql_text else
                   "--incremental-state" if args.incremental_state else None)
     if standalone and (args.snapshot_dir or args.drift_against or args.anomaly
                        or args.histogram):
@@ -153,6 +181,11 @@ def main(argv: list[str] | None = None) -> int:
                 return _run_validation(spark, args.data_root, args.rules)
             if args.dataset_card:
                 return _run_dataset_card(spark, args.data_root)
+            if sql_text:
+                return _run_sql(
+                    spark, args.data_root, sql_text,
+                    max_rows=args.max_rows, fmt=args.format,
+                )
             if args.incremental_state:
                 return _run_incremental(
                     spark, args.data_root, args.incremental_state,
@@ -359,6 +392,72 @@ def _run_dataset_card(spark, data_root: str) -> int:
     for t in table:
         out.append("  ".join(t[i].ljust(widths[i]) for i in range(len(headers))))
     sys.stdout.write("Dataset card (documents):\n\n" + "\n".join(out) + "\n")
+    return 0
+
+
+def _run_sql(
+    spark, data_root: str, query: str, max_rows: int = 100,
+    fmt: str = "text",
+) -> int:
+    """Ad-hoc SQL over the lake: every discovered table becomes a temp
+    view under its bare name, the query runs through Spark SQL
+    (Catalyst plans it — pushdown/pruning/broadcast all apply exactly
+    as in the declared queries), and the result renders as a psql-style
+    grid. This is the reference workflow the profiler wraps — its user
+    types SQL at the same catalog (``listTables.tsx`` issues its own
+    information_schema SQL over a pg connection); here any SQL runs
+    against the parquet lake, timestamp-nanos tables included
+    (registration goes through catalog.load_table).
+
+    A malformed/unresolvable query prints ``SQL error: ...`` on stderr
+    and exits 1 — the A7 error-sink contract, with a message naming the
+    actual failure instead of the generic catalog one."""
+    import json as _json
+
+    from overpaint_spark.sources.catalog import load_all
+
+    for name, df in load_all(spark, data_root).items():
+        df.createOrReplaceTempView(name)
+    try:
+        res = spark.sql(query)
+        # fetch one PAST the cap so truncation is detected, never guessed
+        rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
+    except Exception as exc:
+        first = str(exc).strip().splitlines()
+        sys.stderr.write(f"SQL error: {first[0] if first else exc}\n")
+        return 1
+    truncated = bool(max_rows) and len(rows) > max_rows
+    if truncated:
+        rows = rows[:max_rows]
+    if fmt == "json":
+        for r in rows:
+            sys.stdout.write(
+                _json.dumps(r.asDict(recursive=True), default=str) + "\n"
+            )
+        if truncated:
+            sys.stderr.write(f"(truncated at {max_rows} rows; --max-rows)\n")
+        return 0
+    headers = res.columns
+    # psql renders NULL as empty by default; everything else via str()
+    cells = [
+        ["" if v is None else str(v) for v in r] for r in rows
+    ]
+    widths = [
+        max(len(h), *(len(c[i]) for c in cells)) if cells else len(h)
+        for i, h in enumerate(headers)
+    ]
+    out = [
+        " | ".join(h.ljust(widths[i]) for i, h in enumerate(headers)).rstrip(),
+        "-+-".join("-" * w for w in widths),
+    ]
+    for c in cells:
+        out.append(
+            " | ".join(c[i].ljust(widths[i]) for i in range(len(headers))).rstrip()
+        )
+    out.append(f"({len(rows)} row{'' if len(rows) == 1 else 's'})")
+    if truncated:
+        out.append(f"(truncated at {max_rows} rows; raise --max-rows)")
+    sys.stdout.write("\n".join(out) + "\n")
     return 0
 
 
