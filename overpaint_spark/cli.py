@@ -114,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
         help="like --sql but reads the query text from a file",
     )
     parser.add_argument(
+        "--query", metavar="NAME",
+        help="run a declared relation from the operator manifest "
+        "(queries.QUERIES) against the data root and print it like "
+        "--sql; see --list-queries for names",
+    )
+    parser.add_argument(
+        "--list-queries", action="store_true",
+        help="print the declared-relation manifest (name + oracle "
+        "marker) and exit — no Spark session started",
+    )
+    parser.add_argument(
         "--max-rows", type=int, default=100, metavar="N",
         help="row cap for --sql output (a truncation note marks a "
         "clipped grid; the query itself is not limited server-side "
@@ -146,9 +157,20 @@ def main(argv: list[str] | None = None) -> int:
                 sql_text = fh.read()
         except OSError as e:
             parser.error(f"--sql-file: {e}")
+    if args.list_queries:
+        from overpaint_spark import queries as _Q
+
+        oracles = _Q.oracles()
+        for name in _Q.QUERIES:
+            marker = "oracle" if name in oracles else "rows-only"
+            sys.stdout.write(f"{name}  [{marker}]\n")
+        return 0
+    if args.query and sql_text:
+        parser.error("--query and --sql/--sql-file are mutually exclusive")
     standalone = ("--rules" if args.rules else
                   "--dataset-card" if args.dataset_card else
                   "--sql" if sql_text else
+                  "--query" if args.query else
                   "--incremental-state" if args.incremental_state else None)
     if standalone and (args.snapshot_dir or args.drift_against or args.anomaly
                        or args.histogram):
@@ -184,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
             if sql_text:
                 return _run_sql(
                     spark, args.data_root, sql_text,
+                    max_rows=args.max_rows, fmt=args.format,
+                )
+            if args.query:
+                return _run_query(
+                    spark, args.data_root, args.query,
                     max_rows=args.max_rows, fmt=args.format,
                 )
             if args.incremental_state:
@@ -412,8 +439,6 @@ def _run_sql(
     A malformed/unresolvable query prints ``SQL error: ...`` on stderr
     and exits 1 — the A7 error-sink contract, with a message naming the
     actual failure instead of the generic catalog one."""
-    import json as _json
-
     from overpaint_spark.sources.catalog import load_all
 
     for name, df in load_all(spark, data_root).items():
@@ -426,6 +451,40 @@ def _run_sql(
         first = str(exc).strip().splitlines()
         sys.stderr.write(f"SQL error: {first[0] if first else exc}\n")
         return 1
+    return _emit_rows(res.columns, rows, max_rows=max_rows, fmt=fmt)
+
+
+def _run_query(
+    spark, data_root: str, name: str, max_rows: int = 100,
+    fmt: str = "text",
+) -> int:
+    """Run a declared manifest relation by name — the full operator
+    surface (dedup/ANN/cleaning/profiling/streaming twins) reachable
+    from the shell without writing Python. An unknown name lists the
+    nearest matches instead of a stack trace."""
+    from overpaint_spark import queries as _Q
+
+    fn = _Q.QUERIES.get(name)
+    if fn is None:
+        near = [n for n in _Q.QUERIES if name in n] or [
+            n for n in _Q.QUERIES if n[:4] == name[:4]
+        ]
+        hint = f" (near: {', '.join(near[:5])})" if near else ""
+        sys.stderr.write(f"Unknown query: {name}{hint}\n")
+        return 1
+    res = fn(spark, data_root)
+    rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
+    return _emit_rows(res.columns, rows, max_rows=max_rows, fmt=fmt)
+
+
+def _emit_rows(headers, rows, max_rows: int = 100, fmt: str = "text") -> int:
+    """Shared result sink for the ad-hoc ``--sql`` and ``--query``
+    modes: psql-style aligned grid (NULL renders empty, psql's
+    default) or one JSON object per row under ``--format json``; a
+    row past the cap was fetched, so truncation is detected, never
+    guessed."""
+    import json as _json
+
     truncated = bool(max_rows) and len(rows) > max_rows
     if truncated:
         rows = rows[:max_rows]
@@ -437,8 +496,6 @@ def _run_sql(
         if truncated:
             sys.stderr.write(f"(truncated at {max_rows} rows; --max-rows)\n")
         return 0
-    headers = res.columns
-    # psql renders NULL as empty by default; everything else via str()
     cells = [
         ["" if v is None else str(v) for v in r] for r in rows
     ]

@@ -96,6 +96,29 @@ def test_sql_is_standalone(tmp_path):
         ])
 
 
+def test_query_runs_declared_relation(spark, capsys):
+    assert cli.main([SF, "--query", "text_stats", "--max-rows", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out.splitlines()[0]
+    assert "(2 rows)" in out and "truncated" in out
+
+
+def test_query_unknown_name_hints_nearest(spark, capsys):
+    assert cli.main([SF, "--query", "lm_score"]) == 1
+    err = capsys.readouterr().err
+    assert "Unknown query: lm_score" in err and "text_lm_score" in err
+
+
+def test_list_queries_covers_manifest(capsys):
+    from overpaint_spark import queries as Q
+
+    assert cli.main(["--list-queries"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(Q.QUERIES)
+    assert any(line.endswith("[rows-only]") for line in out)
+    assert out[0].split()[0] in Q.QUERIES
+
+
 def test_sql_file_reads_query(spark, capsys, tmp_path):
     p = tmp_path / "q.sql"
     p.write_text("SELECT COUNT(*) AS n FROM region")
