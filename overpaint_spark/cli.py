@@ -120,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
         "--sql; see --list-queries for names",
     )
     parser.add_argument(
+        "--materialize", metavar="OUT_DIR",
+        help="with --sql/--query: write the FULL result to OUT_DIR as a "
+        "distributed job (no driver collect, --max-rows does not apply) "
+        "instead of printing it; refuses to overwrite an existing dir",
+    )
+    parser.add_argument(
+        "--materialize-format", choices=["parquet", "jsonl"],
+        default="parquet",
+        help="sink format for --materialize (jsonl = gzipped JSON lines, "
+        "the tokenizer-trainer handoff; default parquet)",
+    )
+    parser.add_argument(
         "--list-queries", action="store_true",
         help="print the declared-relation manifest (name + oracle "
         "marker) and exit — no Spark session started",
@@ -167,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.query and sql_text:
         parser.error("--query and --sql/--sql-file are mutually exclusive")
+    if args.materialize and not (sql_text or args.query):
+        parser.error("--materialize requires --sql/--sql-file or --query")
     standalone = ("--rules" if args.rules else
                   "--dataset-card" if args.dataset_card else
                   "--sql" if sql_text else
@@ -207,11 +221,15 @@ def main(argv: list[str] | None = None) -> int:
                 return _run_sql(
                     spark, args.data_root, sql_text,
                     max_rows=args.max_rows, fmt=args.format,
+                    materialize=args.materialize,
+                    materialize_format=args.materialize_format,
                 )
             if args.query:
                 return _run_query(
                     spark, args.data_root, args.query,
                     max_rows=args.max_rows, fmt=args.format,
+                    materialize=args.materialize,
+                    materialize_format=args.materialize_format,
                 )
             if args.incremental_state:
                 return _run_incremental(
@@ -424,7 +442,8 @@ def _run_dataset_card(spark, data_root: str) -> int:
 
 def _run_sql(
     spark, data_root: str, query: str, max_rows: int = 100,
-    fmt: str = "text",
+    fmt: str = "text", materialize: str | None = None,
+    materialize_format: str = "parquet",
 ) -> int:
     """Ad-hoc SQL over the lake: every discovered table becomes a temp
     view under its bare name, the query runs through Spark SQL
@@ -445,6 +464,8 @@ def _run_sql(
         df.createOrReplaceTempView(name)
     try:
         res = spark.sql(query)
+        if materialize:
+            return _materialize(res, materialize, materialize_format)
         # fetch one PAST the cap so truncation is detected, never guessed
         rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
     except Exception as exc:
@@ -454,9 +475,30 @@ def _run_sql(
     return _emit_rows(res.columns, rows, max_rows=max_rows, fmt=fmt)
 
 
+def _materialize(res, out_dir: str, fmt: str) -> int:
+    """Distributed result sink: the plan's OWN parallel write — rows
+    never pass through the driver, so a corpus-sized result costs a
+    corpus-sized job, not driver memory. Refuses to clobber: an
+    existing OUT_DIR errors (``errorifexists``) rather than silently
+    replacing a previous export."""
+    w = res.write.mode("errorifexists")
+    try:
+        if fmt == "jsonl":
+            w.option("compression", "gzip").json(out_dir)
+        else:
+            w.parquet(out_dir)
+    except Exception as exc:
+        first = str(exc).strip().splitlines()
+        sys.stderr.write(f"Materialize error: {first[0] if first else exc}\n")
+        return 1
+    sys.stdout.write(f"Materialized [{fmt}] -> {out_dir}\n")
+    return 0
+
+
 def _run_query(
     spark, data_root: str, name: str, max_rows: int = 100,
-    fmt: str = "text",
+    fmt: str = "text", materialize: str | None = None,
+    materialize_format: str = "parquet",
 ) -> int:
     """Run a declared manifest relation by name — the full operator
     surface (dedup/ANN/cleaning/profiling/streaming twins) reachable
@@ -473,6 +515,8 @@ def _run_query(
         sys.stderr.write(f"Unknown query: {name}{hint}\n")
         return 1
     res = fn(spark, data_root)
+    if materialize:
+        return _materialize(res, materialize, materialize_format)
     rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
     return _emit_rows(res.columns, rows, max_rows=max_rows, fmt=fmt)
 

@@ -48,3 +48,36 @@ def read_training_shard(
     """One shard back, partition-pruned: the ``shard=<k>`` directory
     filter never touches other shards' files."""
     return spark.read.parquet(path).filter(F.col(shard_col) == shard)
+
+
+def write_jsonl_shards(
+    ordered: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str = "position",
+    compression: str = "gzip",
+) -> None:
+    """The interchange twin of :func:`write_training_shards`: the same
+    one-shuffle sharded layout, written as gzipped JSON-lines — the
+    lingua-franca handoff to tokenizer trainers and non-Spark loaders
+    that don't read parquet. Identical plan shape (repartition on the
+    shard id, ``sortWithinPartitions`` for in-shard order, one job);
+    only the sink format differs, so the parquet writer's determinism
+    argument carries over verbatim."""
+    (
+        ordered.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .option("compression", compression)
+        .json(path)
+    )
+
+
+def read_jsonl_shard(
+    spark: SparkSession, path: str, shard: int, shard_col: str = "shard"
+) -> DataFrame:
+    """One JSONL shard back, partition-pruned like the parquet twin.
+    JSON carries no file-level ordering metadata, so callers needing
+    the in-shard order must sort by ``position`` (cheap: one shard)."""
+    return spark.read.json(path).filter(F.col(shard_col) == shard)

@@ -124,3 +124,33 @@ def test_sql_file_reads_query(spark, capsys, tmp_path):
     p.write_text("SELECT COUNT(*) AS n FROM region")
     assert cli.main([SF, "--sql-file", str(p)]) == 0
     assert "(1 row)" in capsys.readouterr().out
+
+
+def test_materialize_parquet_and_jsonl(spark, capsys, tmp_path):
+    """--materialize writes the FULL result distributed (no --max-rows
+    cap) in either sink format; an existing dir is refused, not
+    clobbered."""
+    pq = str(tmp_path / "pq")
+    assert cli.main([
+        SF, "--sql", "SELECT doc_id, lang FROM documents",
+        "--materialize", pq, "--max-rows", "3",
+    ]) == 0
+    assert f"Materialized [parquet] -> {pq}" in capsys.readouterr().out
+    assert spark.read.parquet(pq).count() == 500  # cap did not apply
+    jl = str(tmp_path / "jl")
+    assert cli.main([
+        SF, "--query", "text_stats", "--materialize", jl,
+        "--materialize-format", "jsonl",
+    ]) == 0
+    capsys.readouterr()
+    assert spark.read.json(jl).count() == 500
+    assert cli.main([
+        SF, "--query", "text_stats", "--materialize", jl,
+        "--materialize-format", "jsonl",
+    ]) == 1
+    assert "Materialize error:" in capsys.readouterr().err
+
+
+def test_materialize_requires_a_source(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main([SF, "--materialize", str(tmp_path / "x")])

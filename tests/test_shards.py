@@ -54,3 +54,33 @@ def test_rerun_bit_identical(spark, shard_dir, tmp_path):
     b = {(r.doc_id, r.position, r.shard)
          for r in spark.read.parquet(out2).collect()}
     assert a == b
+
+
+def test_jsonl_shards_mirror_parquet_shards(spark, shard_dir, tmp_path):
+    """The interchange sink: same rows, same shard membership as the
+    parquet twin; files are gzipped JSON lines readable without Spark."""
+    import glob
+    import gzip
+    import json
+
+    from overpaint_spark.queries import q_dataset_shuffle
+    from overpaint_spark.sources.shards import (
+        read_jsonl_shard,
+        write_jsonl_shards,
+    )
+
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(q_dataset_shuffle(spark, SF), out)
+    a = {(r.doc_id, r.position, r.shard)
+         for r in spark.read.parquet(shard_dir).collect()}
+    b = {(int(r.doc_id), int(r.position), int(r.shard))
+         for r in spark.read.json(out).collect()}
+    assert a == b
+    one = read_jsonl_shard(spark, out, 3)
+    assert {int(r.shard) for r in one.collect()} == {3}
+    # plain-gzip readable outside any engine — the handoff contract
+    files = glob.glob(f"{out}/shard=5/*.json.gz")
+    assert files
+    with gzip.open(files[0], "rt") as fh:
+        rec = json.loads(fh.readline())
+    assert "doc_id" in rec and "position" in rec
