@@ -38,9 +38,20 @@ def frozen_nb_model(
     )
     labels = [p[0] for p in pri]
     prior_ppms = [p[1] for p in pri]
-    lp: dict[str, list[int]] = {l: [0] * NB_BUCKETS for l in labels}
+    # nb_train's grid is DENSE (all 64 buckets carry the smoothed
+    # floor); a sparse relation here would leave holes that score as
+    # ppm 0 = probability 1.0 — a silent wrong-results bug, so refuse
+    lp: dict[str, list[int | None]] = {
+        l: [None] * NB_BUCKETS for l in labels
+    }
     for r in likelihoods.collect():
         lp[r["_label"]][int(r["_b"])] = int(r["lp_ppm"])
+    holes = {l for l, t in lp.items() if any(v is None for v in t)}
+    if holes:
+        raise ValueError(
+            f"sparse likelihood grid for labels {sorted(holes)}: "
+            "frozen_nb_model needs nb_train's dense 64-bucket relation"
+        )
     return labels, prior_ppms, [lp[l] for l in labels]
 
 

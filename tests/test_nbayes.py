@@ -134,3 +134,13 @@ def test_stream_classify_null_text_survives(spark, separable):
     # the projection is stream-agnostic: exercise it on a batch frame
     out = nb_classify_stream(rows, labels, prior_ppms, lp_tables).collect()
     assert len(out) == 1 and out[0]["pred"] in set(labels)
+
+
+def test_frozen_model_refuses_sparse_grid(spark, separable):
+    """A hole in the likelihood grid would score as ppm 0 ==
+    probability 1.0 — the freeze must refuse sparse inputs loudly."""
+    from overpaint_spark.streaming.nbayes import frozen_nb_model
+
+    lp, pri = nb_train(separable)
+    with pytest.raises(ValueError, match="sparse likelihood grid"):
+        frozen_nb_model(lp.filter(F.col("_b") != 7), pri)
