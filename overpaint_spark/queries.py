@@ -2241,6 +2241,93 @@ def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-based kNN evaluation of the embedding space — the
+    standard "are these vectors any good" report a pipeline runs
+    before trusting them for SemDeDup / retrieval: a held-out probe
+    set (`vec_id % 25 == 0`, scale-proportional) is classified by
+    majority vote of its exact top-5 cosine neighbors among the rest,
+    and the relation is per-true-label (n_probes, n_correct,
+    accuracy_ppm).
+
+    Determinism: the neighbor rank ties break on neighbor_id
+    (brute_force_topk's contract; rank-5/6 similarity gaps measured
+    ≥ 3.0e-4 at all three SFs — five orders above cross-engine float
+    noise), and the vote is INTEGER counts with ties broken
+    label-ascending, so the oracle is exact even where 1-vote
+    pluralities are common. accuracy_ppm = floor(1e6·correct/n):
+    p/q with q ≤ |probes| sits ≥ 1/q from any integer unless exact,
+    so the double floor can't straddle a boundary."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 25 == 0)
+    cands = e.filter(F.col("vec_id") % 25 != 0)
+    nbrs = SIM.brute_force_topk(cands, probes, k=5)
+    lab = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        nbrs.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+    truth = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_ppm",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_correct") / F.col("n_probes")
+            ).cast("bigint"),
+        )
+        .orderBy("true_label")
+    )
+
+
+def _oracle_ann_knn_accuracy() -> str:
+    return (
+        "WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings WHERE vec_id % 25 = 0), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings WHERE vec_id % 25 <> 0), "
+        "s AS (SELECT p.vec_id AS qid, c.vec_id AS nid, c.label AS nl, "
+        "LIST_COSINE_SIMILARITY(p.v, c.v) AS sim FROM p CROSS JOIN c), "
+        "r AS (SELECT qid, nl, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s), "
+        "v AS (SELECT qid, nl, COUNT(*) AS votes FROM r WHERE rk <= 5 "
+        "GROUP BY qid, nl), "
+        "pr AS (SELECT qid, nl AS pred FROM "
+        "(SELECT qid, nl, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY votes DESC, nl ASC) AS rn FROM v) "
+        "WHERE rn = 1), "
+        "j AS (SELECT p.label AS true_label, "
+        "CASE WHEN pr.pred = p.label THEN 1 ELSE 0 END AS ok "
+        "FROM pr JOIN p ON p.vec_id = pr.qid) "
+        "SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_probes, "
+        "CAST(SUM(ok) AS BIGINT) AS n_correct, "
+        "CAST(FLOOR(1000000.0 * SUM(ok) / COUNT(*)) AS BIGINT) "
+        "AS accuracy_ppm FROM j GROUP BY true_label ORDER BY true_label"
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signatures,
     multiprobe). Approximate w.r.t. brute force, but fully DETERMINISTIC
@@ -7127,6 +7214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_bpe_segmented": q_documents_bpe_segmented,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
+    "ann_knn_accuracy": q_ann_knn_accuracy,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
@@ -7241,6 +7329,7 @@ def oracles() -> dict[str, str]:
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
+        "ann_knn_accuracy": _oracle_ann_knn_accuracy(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),

@@ -115,6 +115,9 @@ def test_asof_join_single_shuffle(spark):
 # everything else must never plan a cartesian/nested-loop join.
 _CROSS_OK = {
     "ann_topk_bruteforce",
+    # kNN label eval: the bounded probe set (|N|/25 rows) broadcast
+    # against candidates — same asymmetry as ann_topk_bruteforce
+    "ann_knn_accuracy",
     "idle_rich_customers",
     "part_value_share",
     # round-robin interleave: the only nested-loop join is the 1-row
