@@ -2440,6 +2440,145 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — what fraction of a doc's distinct
+    3-gram shingles appear for the FIRST time (by doc_id order) in this
+    doc. The diversity signal a curriculum/selection pass reads: late
+    all-boilerplate docs score near zero, early or genuinely fresh
+    content near 1e6. (doc_id, n_grams, n_novel, novelty_ppm); docs
+    with < 3 tokens keep a row with zero grams and NULL ppm.
+
+    Plan shape: distinct (doc_id, gram) postings (O(tokens) rows, the
+    dedup family's shape), one gram-keyed MIN aggregate, one join back,
+    one per-doc fold — nothing all-pairs, nothing corpus-sized on the
+    driver. First-occurrence is an integer MIN over doc ids, so the
+    oracle is exact."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("gram")
+    ).distinct()
+    first = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.floor(
+                    F.lit(1_000_000) * F.col("n_novel") / F.col("n_grams")
+                ).cast("bigint"),
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_documents_ngram_novelty() -> str:
+    return (
+        f"WITH sh0 AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles "
+        "FROM documents), "
+        "shd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS gram FROM sh0), "
+        "fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM shd "
+        "GROUP BY gram), "
+        "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_novel FROM shd JOIN fst USING (gram) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel, "
+        "CASE WHEN COALESCE(n_grams, 0) > 0 THEN "
+        "CAST(FLOOR(1000000.0 * n_novel / n_grams) AS BIGINT) "
+        "ELSE NULL END AS novelty_ppm "
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def q_embedding_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster label-purity report over the seeded IVF geometry — the
+    companion eval to `ann_knn_accuracy`: per cluster, how
+    label-coherent is the space the SemDeDup/IVF passes partition on?
+    (cluster_id, majority_label, n_majority, n_vecs, purity_ppm), one
+    row per non-empty cluster.
+
+    Reuses the exact deterministic assignment the IVF oracles already
+    pin (seeded C = max(16, N/125) centroids, argmax cosine with
+    lower-centroid ties; fixture margins ≥ 2.3e-4), so the only new
+    math is integer counting — majority ties break label-ascending,
+    purity_ppm = floor(1e6·majority/total) with the same
+    can't-straddle-a-boundary argument as ann_knn_accuracy."""
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, _ = _ivf_params(sf_dir)
+    cmat = SIM.seeded_centroids(e, n_centroids=n_cent)
+    asg = SIM.assign_to_centroids(e, cmat).select("vec_id", "cluster_id")
+    per = asg.join(e.select("vec_id", "label"), "vec_id")
+    counts = per.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    totals = counts.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_vecs")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("bigint").alias("n_majority"),
+        )
+        .join(totals, "cluster_id")
+        .withColumn(
+            "purity_ppm",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_majority") / F.col("n_vecs")
+            ).cast("bigint"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_embedding_centroid_purity() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "v FROM e), "
+        "cent AS (SELECT cid, v AS cv FROM ranked WHERE cid < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
+        "asg AS (SELECT vec_id, label, cid, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, "
+        "cid) AS rk FROM e CROSS JOIN cent), "
+        "assigned AS (SELECT vec_id, label, cid FROM asg WHERE rk = 1), "
+        "cnt AS (SELECT cid, label, COUNT(*) AS n FROM assigned "
+        "GROUP BY cid, label), "
+        "m AS (SELECT cid, label, n FROM (SELECT cid, label, n, "
+        "ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) "
+        "AS rn FROM cnt) WHERE rn = 1), "
+        "tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cnt "
+        "GROUP BY cid) "
+        "SELECT m.cid AS cluster_id, m.label AS majority_label, "
+        "CAST(m.n AS BIGINT) AS n_majority, tot.n_vecs, "
+        "CAST(FLOOR(1000000.0 * m.n / tot.n_vecs) AS BIGINT) AS purity_ppm "
+        "FROM m JOIN tot ON m.cid = tot.cid ORDER BY cluster_id"
+    )
+
+
 def _oracle_ann_topk_ivf() -> str:
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
@@ -7215,6 +7354,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
     "ann_knn_accuracy": q_ann_knn_accuracy,
+    "embedding_centroid_purity": q_embedding_centroid_purity,
+    "documents_ngram_novelty": q_documents_ngram_novelty,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
@@ -7330,6 +7471,8 @@ def oracles() -> dict[str, str]:
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),
         "ann_knn_accuracy": _oracle_ann_knn_accuracy(),
+        "embedding_centroid_purity": _oracle_embedding_centroid_purity(),
+        "documents_ngram_novelty": _oracle_documents_ngram_novelty(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),
