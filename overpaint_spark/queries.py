@@ -4846,6 +4846,189 @@ def _oracle_dataset_split() -> str:
     )
 
 
+def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: the corpus in doc_id order
+    cut into 10 deciles — per decile, tokens processed, NEW distinct
+    words (first occurrence lands in that decile), and cumulative
+    vocabulary. The sub-linearity of cum_vocab vs n_tokens is the
+    Heaps exponent a tokenizer-budget or dedup-planning pass reads.
+
+    Plan: the word relation's first-occurrence MIN (postings shape,
+    `documents_ngram_novelty`'s aggregate over words instead of
+    shingles), decile from INTEGER arithmetic against the parquet
+    footer count (plan-time constant, zero jobs), and the cumulative
+    sum over the BOUNDED 10-row decile relation (quality_calibration's
+    bounded-window pattern — never a corpus-sized sort).
+
+    Honest fixture note: the synthetic corpus draws from a 31-word
+    vocabulary (`corpus_vocabulary`), so the curve saturates in
+    decile 0 (cum_vocab 31 everywhere) — the relation's shape, decile
+    arithmetic, and first-occurrence math are what the oracle pins;
+    the Heaps exponent itself needs a natural corpus."""
+    from overpaint_spark.sources.catalog import footer_row_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = footer_row_count(f"{sf_dir}/documents.parquet")
+    tok = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
+    first = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    newd = first.groupBy(
+        F.expr(f"CAST((first_doc * 10) DIV {n} AS INT)").alias("decile")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_words"))
+    tpd = d.select(
+        F.expr(f"CAST((doc_id * 10) DIV {n} AS INT)").alias("decile"),
+        TX.n_words(F.col("text")).alias("nw"),
+    ).groupBy("decile").agg(F.sum("nw").cast("bigint").alias("n_tokens"))
+    base = spark.range(10).select(F.col("id").cast("int").alias("decile"))
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(tpd, "decile", "left")
+        .join(newd, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_new_words", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_words"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_words").over(w).cast("bigint"))
+        .orderBy("decile")
+    )
+
+
+def _oracle_corpus_heaps_curve() -> str:
+    return (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+        "tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w "
+        "FROM documents), "
+        "fst AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w), "
+        "newd AS (SELECT CAST((first_doc * 10) // (SELECT n FROM nn) AS INT) "
+        "AS decile, CAST(COUNT(*) AS BIGINT) AS n_new_words FROM fst "
+        "GROUP BY 1), "
+        "tpd AS (SELECT CAST((doc_id * 10) // (SELECT n FROM nn) AS INT) "
+        "AS decile, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY 1), "
+        "b AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS decile) "
+        "SELECT b.decile, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(n_new_words, 0) AS BIGINT) AS n_new_words, "
+        "CAST(SUM(COALESCE(n_new_words, 0)) OVER (ORDER BY b.decile) "
+        "AS BIGINT) AS cum_vocab "
+        "FROM b LEFT JOIN tpd USING (decile) LEFT JOIN newd USING (decile) "
+        "ORDER BY b.decile"
+    )
+
+
+def q_split_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination THROUGH duplicates — the leak
+    deduplication exists to prevent: a doc whose exact content also
+    sits in train makes every test metric on it memorization, not
+    generalization. Composes the hash split (`dataset_split`'s
+    bucket-230/13/13 predicate verbatim) with the exact-dedup content
+    groups (`dedup_exact`'s md5 key) into a one-row audit:
+    (n_dup_groups, n_leaking_groups, n_train_test_groups,
+    n_train_val_groups, n_test_docs_leaked, n_test_docs, leak_ppm).
+
+    Plan: one content-hash aggregate (16-byte keys shuffle, the
+    dedup_exact shape), one hash equi-join back, one global fold —
+    counts all integer, leak_ppm = floor(1e6·leaked/test) with the
+    bounded-denominator floor-safety argument."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    s = d.select(
+        TX.md5_fingerprint(F.col("text")).alias("h"), split.alias("split")
+    )
+    g = s.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("has_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("has_val"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("has_test"),
+    )
+    j = s.join(g, "h")
+    out = j.agg(
+        F.countDistinct(F.when(F.col("n_docs") >= 2, F.col("h")))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.countDistinct(F.when(F.col("n_splits") >= 2, F.col("h")))
+        .cast("bigint")
+        .alias("n_leaking_groups"),
+        F.countDistinct(
+            F.when((F.col("has_train") == 1) & (F.col("has_test") == 1), F.col("h"))
+        )
+        .cast("bigint")
+        .alias("n_train_test_groups"),
+        F.countDistinct(
+            F.when((F.col("has_train") == 1) & (F.col("has_val") == 1), F.col("h"))
+        )
+        .cast("bigint")
+        .alias("n_train_val_groups"),
+        F.sum(
+            F.when(
+                (F.col("split") == "test") & (F.col("has_train") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_test_docs_leaked"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test_docs"),
+    )
+    return out.withColumn(
+        "leak_ppm",
+        F.when(
+            F.col("n_test_docs") > 0,
+            F.floor(
+                F.lit(1_000_000) * F.col("n_test_docs_leaked") / F.col("n_test_docs")
+            ).cast("bigint"),
+        ),
+    )
+
+
+def _oracle_split_dedup_leakage() -> str:
+    hx = "0123456789abcdef"
+    h = "MD5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        f"CAST((STRPOS('{hx}', SUBSTR({h}, 1, 1)) - 1) * 16 "
+        f"+ STRPOS('{hx}', SUBSTR({h}, 2, 1)) - 1 AS INTEGER)"
+    )
+    return (
+        f"WITH s AS (SELECT MD5(text) AS h, CASE WHEN {bucket} < 230 "
+        f"THEN 'train' WHEN {bucket} < 243 THEN 'val' ELSE 'test' END "
+        "AS split FROM documents), "
+        "g AS (SELECT h, COUNT(*) AS n_docs, COUNT(DISTINCT split) AS "
+        "n_splits, MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS "
+        "has_train, MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS "
+        "has_val, MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS "
+        "has_test FROM s GROUP BY h), "
+        "j AS (SELECT s.h, s.split, g.n_docs, g.n_splits, g.has_train, "
+        "g.has_val, g.has_test FROM s JOIN g USING (h)), "
+        "a AS (SELECT "
+        "CAST(COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN h END) AS BIGINT) "
+        "AS n_dup_groups, "
+        "CAST(COUNT(DISTINCT CASE WHEN n_splits >= 2 THEN h END) AS BIGINT) "
+        "AS n_leaking_groups, "
+        "CAST(COUNT(DISTINCT CASE WHEN has_train = 1 AND has_test = 1 "
+        "THEN h END) AS BIGINT) AS n_train_test_groups, "
+        "CAST(COUNT(DISTINCT CASE WHEN has_train = 1 AND has_val = 1 "
+        "THEN h END) AS BIGINT) AS n_train_val_groups, "
+        "CAST(SUM(CASE WHEN split = 'test' AND has_train = 1 THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_test_docs_leaked, "
+        "CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_test_docs FROM j) "
+        "SELECT *, CASE WHEN n_test_docs > 0 THEN "
+        "CAST(FLOOR(1000000.0 * n_test_docs_leaked / n_test_docs) AS BIGINT) "
+        "END AS leak_ppm FROM a"
+    )
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline — what the LLM-dedup operators
     exist FOR, end to end: quality gate (text_quality composite ≥ 0.5)
@@ -7356,6 +7539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_accuracy": q_ann_knn_accuracy,
     "embedding_centroid_purity": q_embedding_centroid_purity,
     "documents_ngram_novelty": q_documents_ngram_novelty,
+    "split_dedup_leakage": q_split_dedup_leakage,
+    "corpus_heaps_curve": q_corpus_heaps_curve,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
@@ -7473,6 +7658,8 @@ def oracles() -> dict[str, str]:
         "ann_knn_accuracy": _oracle_ann_knn_accuracy(),
         "embedding_centroid_purity": _oracle_embedding_centroid_purity(),
         "documents_ngram_novelty": _oracle_documents_ngram_novelty(),
+        "split_dedup_leakage": _oracle_split_dedup_leakage(),
+        "corpus_heaps_curve": _oracle_corpus_heaps_curve(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),
