@@ -2579,7 +2579,18 @@ def _oracle_embedding_centroid_purity() -> str:
     )
 
 
-def _oracle_ann_topk_ivf() -> str:
+# the declared n_probe formula, as SQL against the cent CTE — shared by
+# the IVF oracle and the probe-curve tiers so they can never drift
+_IVF_PROBE_SQL = (
+    f"(SELECT LEAST(GREATEST({_IVF_PROBE}, COUNT(*) // 4), "
+    f"{_IVF_PROBE_CAP}) FROM cent)"
+)
+
+
+def _oracle_ivf_search(probe_sql: str) -> str:
+    """The seeded-IVF search body with the probe cutoff parameterized
+    (`_oracle_ann_topk_ivf` passes the declared formula; the probe
+    curve passes each tier's count)."""
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM e), "
@@ -2593,7 +2604,7 @@ def _oracle_ann_topk_ivf() -> str:
         "LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS prk "
         "FROM e CROSS JOIN cent WHERE vec_id < 10), "
         "p AS (SELECT query_id, qv, cid FROM probes WHERE prk <= "
-        f"(SELECT LEAST(GREATEST({_IVF_PROBE}, COUNT(*) // 4), {_IVF_PROBE_CAP}) FROM cent)), "
+        f"{probe_sql}), "
         "s AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
         "LIST_COSINE_SIMILARITY(p.qv, a.v) AS sim "
         "FROM p JOIN assigned a USING (cid) WHERE a.vec_id <> p.query_id), "
@@ -2601,6 +2612,90 @@ def _oracle_ann_topk_ivf() -> str:
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim_r "
         "FROM r WHERE rank <= 5"
+    )
+
+
+def _oracle_ann_topk_ivf() -> str:
+    return _oracle_ivf_search(_IVF_PROBE_SQL)
+
+
+def q_ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF's quality/cost tradeoff AS A RELATION: recall@5 vs exact
+    cosine ground truth at three probe counts — 1, declared/2, and the
+    declared n_probe — per query (vec_id < 10). The companion to
+    `ann_ivfpq_recall` on the coarse-quantizer axis: per-query work is
+    probe·(N/C) candidate scores, so this row set IS the "how much
+    recall does each probe buy" curve an operator reads before raising
+    nprobe in production. All tiers seeded and deterministic; hit
+    counts exact integers; probe tiers distinct by construction
+    (declared probe ≥ 4 ⇒ tiers {1, ≥2, ≥4})."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    n_cent, p = _ivf_params(sf_dir)
+    exact = SIM.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    parts = [
+        SIM.ivf_topk(e, q, k=5, n_centroids=n_cent, n_probe=pp).select(
+            F.lit(pp).cast("int").alias("n_probe"), "query_id", "neighbor_id"
+        )
+        for pp in (1, p // 2, p)
+    ]
+    allm = parts[0]
+    for part in parts[1:]:
+        allm = allm.unionByName(part)
+    return (
+        allm.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "n_probe")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .selectExpr(
+            "query_id", "n_probe", "n_hits",
+            "n_hits * 1000000 div 5 AS recall_ppm",
+        )
+    )
+
+
+def _oracle_ann_ivf_probe_curve() -> str:
+    # the declared probe formula WITHOUT the cent CTE (not in scope
+    # outside each tier subquery): C = GREATEST(16, N//125) inlined
+    scalar = (
+        f"(SELECT LEAST(GREATEST({_IVF_PROBE}, "
+        f"GREATEST({_IVF_CENTROIDS}, COUNT(*) // {_IVF_LIST_TARGET}) // 4), "
+        f"{_IVF_PROBE_CAP}) FROM embeddings)"
+    )
+    tiers = [
+        ("1", "1", "t1"),
+        (f"({_IVF_PROBE_SQL} // 2)", f"({scalar} // 2)", "t2"),
+        (_IVF_PROBE_SQL, scalar, "t3"),
+    ]
+    subs = ", ".join(
+        f"{name} AS (SELECT query_id, neighbor_id, "
+        f"CAST({label} AS INTEGER) AS n_probe "
+        f"FROM ({_oracle_ivf_search(cutoff)}))"
+        for cutoff, label, name in tiers
+    )
+    return (
+        "WITH ex AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "LIST_COSINE_SIMILARITY(q.v, c.v) DESC, c.vec_id) AS rank "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE vec_id < 10) q "
+        "JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c "
+        "ON c.vec_id <> q.vec_id) WHERE rank <= 5), "
+        f"{subs}, "
+        "allm AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 "
+        "UNION ALL SELECT * FROM t3) "
+        "SELECT a.query_id, a.n_probe, "
+        "CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits, "
+        "CAST(COUNT(e.neighbor_id) AS BIGINT) * 1000000 // 5 AS recall_ppm "
+        "FROM allm a LEFT JOIN ex e ON e.query_id = a.query_id "
+        "AND e.neighbor_id = a.neighbor_id "
+        "GROUP BY a.query_id, a.n_probe"
     )
 
 
@@ -7337,8 +7432,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # INSIDE the report's candidate CTE, and dedup_minhash_verified
     # keeps the verified-pair witness)
     "dedup_lsh_recall": q_dedup_lsh_recall,
-    "dedup_minhash_verified": q_dedup_minhash_verified,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # late-r6 rotation #3: the train/test-leakage-through-duplicates
+    # audit takes dedup_minhash_verified's slot (the banded pipeline's
+    # verified pairs are re-witnessed inside dedup_lsh_recall's CTEs;
+    # the embedding-cosine tier keeps semantic_dedup +
+    # decontaminate_semantic as in-window witnesses)
+    "split_dedup_leakage": q_split_dedup_leakage,
     "dedup_clusters": q_dedup_clusters,
     # late-r6 rotation: the Bloom-gated decontaminator takes
     # dedup_survivors' slot (dedup keeps six in-window witnesses;
@@ -7370,7 +7469,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # OOV → shuffle/shard → pack); subsumes dataset_shuffle's window
     # slot (seeded_shuffle runs inside it)
     "corpus_pipeline": q_corpus_pipeline,
-    "corpus_clean_v2": q_corpus_clean_v2,
+    # late-r6 rotation #3: the Heaps vocabulary-growth curve and the
+    # first-occurrence n-gram novelty report take the corpus_clean_v2
+    # and dedup_embedding_cosine slots (cleaning keeps v3 + the
+    # pipeline witness, which embeds the v2 predicate core)
+    "corpus_heaps_curve": q_corpus_heaps_curve,
+    "documents_ngram_novelty": q_documents_ngram_novelty,
     "decontaminate_overlap": q_decontaminate_overlap,
     # late-r6 rotation #2: the embedding-space decontamination tier
     # joins its gram-probe siblings (takes profile_null_distinct's
@@ -7386,13 +7490,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tokenizer training statistics -------------------------------
     "bpe_merge_pairs": q_bpe_merge_pairs,
     # -- embedding quantization --------------------------------------
-    "embedding_pq_codes": q_embedding_pq_codes,
+    # late-r6 rotation #3: per-cluster label purity takes the PQ-codes
+    # slot (PQ encoding stays witnessed by ann_topk_ivfpq + the recall
+    # report, which re-derive the codes inside their oracles)
+    "embedding_centroid_purity": q_embedding_centroid_purity,
     "embedding_sq8_error": q_embedding_sq8_error,
     # -- similarity search -------------------------------------------
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    # late-r6 rotation #3: the label-based kNN evaluation and the IVF
+    # probe/recall curve take the multimodal_metadata and
+    # profile_percentiles slots (multimodal keeps the video-decode
+    # witness; the profiler keeps seven in-window rows)
+    "ann_knn_accuracy": q_ann_knn_accuracy,
+    "ann_ivf_probe_curve": q_ann_ivf_probe_curve,
     "ann_topk_hamming": q_ann_topk_hamming,
     # r6 rotation: the two-stage hamming-shortlist + cosine rerank
     "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
@@ -7404,7 +7517,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # of the same operator family stays in-window)
     "stream_nb_classify": q_stream_nb_classify,
     # -- multimodal --------------------------------------------------
-    "multimodal_metadata": q_multimodal_metadata,
     "multimodal_video_frames": q_multimodal_video_frames,
     # -- profiler (the reference surface) ----------------------------
     "profile_tables": q_profile_tables,
@@ -7412,7 +7524,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_minmax_numeric": q_profile_minmax_numeric,
     "profile_bool_histogram": q_profile_bool_histogram,
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
-    "profile_percentiles": q_profile_percentiles,
     "profile_incremental": q_profile_incremental,
     "profile_key_skew": q_profile_key_skew,
     # -- repaired oracle shapes (window SUM / range join / JSON agg /
@@ -7536,17 +7647,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_bpe_segmented": q_documents_bpe_segmented,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
-    "ann_knn_accuracy": q_ann_knn_accuracy,
-    "embedding_centroid_purity": q_embedding_centroid_purity,
-    "documents_ngram_novelty": q_documents_ngram_novelty,
-    "split_dedup_leakage": q_split_dedup_leakage,
-    "corpus_heaps_curve": q_corpus_heaps_curve,
     "ann_topk_numpy": q_ann_topk_numpy,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    # late-r6 rotation #3 ejections — still declared, still
+    # oracle-checked locally every round
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "corpus_clean_v2": q_corpus_clean_v2,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "multimodal_metadata": q_multimodal_metadata,
+    "profile_percentiles": q_profile_percentiles,
 }
 
 
@@ -7660,6 +7774,7 @@ def oracles() -> dict[str, str]:
         "documents_ngram_novelty": _oracle_documents_ngram_novelty(),
         "split_dedup_leakage": _oracle_split_dedup_leakage(),
         "corpus_heaps_curve": _oracle_corpus_heaps_curve(),
+        "ann_ivf_probe_curve": _oracle_ann_ivf_probe_curve(),
         "ann_topk_ivf": _oracle_ann_topk_ivf(),
         "ann_topk_lsh": _oracle_ann_topk_lsh(),
         "corpus_vocabulary": _oracle_corpus_vocabulary(),

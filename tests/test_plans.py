@@ -148,6 +148,8 @@ _CROSS_OK = {
     # tier: the nested-loop joins are the same bounded |Q|-row
     # broadcasts those two whitelisted queries make
     "ann_ivfpq_recall",
+    # probe curve embeds the same brute-force ground truth crossJoin
+    "ann_ivf_probe_curve",
     # temperature mixture: the only nested-loop join is the 1-row
     # max-source-count scalar broadcast
     "dataset_mixture_temperature",

@@ -105,20 +105,30 @@ def test_window_contains_the_flagship_operators():
         "quality_calibration",
         "source_tfidf_terms",
         "stream_nb_classify",
+        # late-r6 rotation #3: the six newest oracle-MATCHed relations
+        # (ejecting dedup_minhash_verified / dedup_embedding_cosine /
+        # corpus_clean_v2 / embedding_pq_codes / multimodal_metadata /
+        # profile_percentiles — every ejectee's family keeps an
+        # in-window witness, and the ejected math is re-witnessed
+        # inside surviving rows: verified pairs in dedup_lsh_recall,
+        # the v2 predicate core in corpus_pipeline, PQ codes in
+        # ann_topk_ivfpq + ann_ivfpq_recall)
+        "split_dedup_leakage",
+        "corpus_heaps_curve",
+        "documents_ngram_novelty",
+        "embedding_centroid_purity",
+        "ann_knn_accuracy",
+        "ann_ivf_probe_curve",
         "dedup_exact",
-        "dedup_minhash_verified",
-        "dedup_embedding_cosine",
         "dedup_clusters",
         "dedup_incremental",
         "semantic_dedup",
-        "corpus_clean_v2",
         "decontaminate_overlap",
         "corpus_vocabulary",
         "documents_tokenized",
         "curriculum_stages",
         "corpus_dataset_card",
         "text_lm_score",
-        "embedding_pq_codes",
         "embedding_sq8_error",
         "ann_topk_ivf",
         "ann_topk_ivfpq",
