@@ -1801,16 +1801,16 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def q_documents_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (Robertson/Sparck Jones, +1-smoothed idf):
-    top 25 docs for a fixed 3-term query. Per-doc term frequencies come
-    from a higher-order ``filter`` over the token array — map-side, no
-    explode; the corpus statistics (N, avgdl, per-term df) are ONE
-    aggregate row broadcast back, so the whole ranker is two jobs
-    regardless of corpus size. All float ops are fixed-order double
-    expressions over exact integer inputs; the declared score is
-    ppm-quantized because LN alone is engine-libm-dependent at 1 ulp."""
-    d = _t(spark, sf_dir, "documents")
+def _bm25_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, bm25_ppm) with bm25_ppm > 0 — the shared BM25 scoring
+    core behind ``documents_bm25`` and the hybrid RRF retriever.
+    Per-doc term frequencies come from a higher-order ``filter`` over
+    the token array — map-side, no explode; the corpus statistics (N,
+    avgdl, per-term df) are ONE aggregate row broadcast back, so the
+    whole ranker is two jobs regardless of corpus size. All float ops
+    are fixed-order double expressions over exact integer inputs; the
+    score is ppm-quantized because LN alone is engine-libm-dependent
+    at 1 ulp."""
     toks = F.split(F.col("text"), " ")
     nt = len(_BM25_TERMS)
 
@@ -1870,15 +1870,29 @@ def q_documents_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-ulp disagreement in the 16th digit cannot move a ppm bucket, and
     # the ranking both engines sort by is the SAME quantized integer.
     ppm = F.floor(score * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    return scored.select("doc_id", ppm.alias("bm25_ppm")).filter(
+        F.col("bm25_ppm") > 0
+    )
+
+
+def q_documents_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones, +1-smoothed
+    idf): top 25 docs for a fixed 3-term query, via the shared
+    :func:`_bm25_scores` core. The global top-25 plans as
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    d = _t(spark, sf_dir, "documents")
     return (
-        scored.select("doc_id", ppm.alias("bm25_ppm"))
-        .filter(F.col("bm25_ppm") > 0)
+        _bm25_scores(d)
         .orderBy(F.col("bm25_ppm").desc(), F.col("doc_id"))
         .limit(25)
     )
 
 
-def _oracle_documents_bm25() -> str:
+def _bm25_ctes() -> str:
+    """CTE body ``base, stats, bm`` — the shared BM25 oracle core
+    (``bm`` is (doc_id, bm25_ppm) with bm25_ppm > 0), composed as a
+    helper so the hybrid-RRF oracle never slices the rendered BM25 SQL
+    (the _minhash_band_ctes convention)."""
     k1 = _BM25_K1
     k1p1 = _BM25_K1 + 1.0
     b = _BM25_B
@@ -1900,16 +1914,124 @@ def _oracle_documents_bm25() -> str:
         for i in range(len(_BM25_TERMS))
     )
     return (
-        "WITH base AS (SELECT doc_id, "
+        "base AS (SELECT doc_id, "
         "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl, "
         f"{tf_cols} FROM documents), "
         "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
         "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
-        f"{df_cols} FROM base) "
-        "SELECT doc_id, bm25_ppm FROM (SELECT doc_id, "
+        f"{df_cols} FROM base), "
+        "bm AS (SELECT doc_id, bm25_ppm FROM (SELECT doc_id, "
         f"CAST(FLOOR(({terms}) * 1000000.0 + 0.5) AS BIGINT) AS bm25_ppm "
-        "FROM base, stats) WHERE bm25_ppm > 0 "
+        "FROM base, stats) WHERE bm25_ppm > 0)"
+    )
+
+
+def _oracle_documents_bm25() -> str:
+    return (
+        f"WITH {_bm25_ctes()} "
+        "SELECT doc_id, bm25_ppm FROM bm "
         "ORDER BY bm25_ppm DESC, doc_id LIMIT 25"
+    )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical top-50 and the dense cosine top-50 (query =
+    vec 0's embedding vs all other vectors, vec_id keyed to doc_id) are
+    fused by rrf = Σ 1/(60 + rank), missing list ⇒ 0 contribution —
+    the standard two-tower + keyword union a retrieval pipeline ships.
+
+    Scale shape: each side is a global top-50 via orderBy().limit()
+    (TakeOrderedAndProject — per-partition heaps, no full sort, no
+    corpus-sized window); the rank row_numbers then run over the
+    BOUNDED 50-row results, and the fusion is a 50∪50-row full outer
+    join. The dense side broadcasts the single query vector; the
+    fixed-order fold cosine stays in fused codegen.
+
+    Determinism: lexical ranks order by integer (bm25_ppm, doc_id);
+    dense rank margins measured ≥ 7.8e-6 through rank 56 at all three
+    SFs (7 orders above 1-ulp noise). rrf_ppm is exact: 1/(60+r) sums
+    have reduced denominator ≤ (60+depth)², which can never take the
+    2⁷·5ʲ form a ·1e6+0.5 half-integer boundary requires, and the
+    nearest boundary is ≥ 1/(2·110²) ≈ 4e-5 away — far above double
+    rounding error."""
+    from overpaint_spark.functions import vectors as VEC
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        _bm25_scores(d)
+        .orderBy(F.col("bm25_ppm").desc(), F.col("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.col("bm25_ppm").desc(), F.col("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("lex_rank")
+    )
+
+    qv = e.filter(F.col("vec_id") == 0).select(
+        VEC.as_double(F.col("embedding")).alias("qv")
+    )
+    cand = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        VEC.as_double(F.col("embedding")).alias("cv"),
+    )
+    sims = cand.crossJoin(F.broadcast(qv)).select(
+        "doc_id", VEC.cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    den_top = sims.orderBy(F.col("sim").desc(), F.col("doc_id")).limit(
+        _RRF_DEPTH
+    )
+    wd = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    den = den_top.select(
+        "doc_id", F.row_number().over(wd).cast("bigint").alias("vec_rank")
+    )
+
+    fused = lex.join(den, "doc_id", "full_outer")
+    rl = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("lex_rank")), F.lit(0.0)
+    )
+    rv = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("vec_rank")), F.lit(0.0)
+    )
+    rrf = F.floor((rl + rv) * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_ppm"))
+        .orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+        .limit(25)
+    )
+
+
+def _oracle_retrieval_hybrid_rrf() -> str:
+    k = float(_RRF_K)
+    depth = _RRF_DEPTH
+    return (
+        f"WITH {_bm25_ctes()}, "
+        "lex AS (SELECT doc_id, lex_rank FROM (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY bm25_ppm DESC, doc_id) "
+        f"AS BIGINT) AS lex_rank FROM bm) WHERE lex_rank <= {depth}), "
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE vec_id = 0), "
+        "cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id <> 0), "
+        "ds AS (SELECT c.vec_id AS doc_id, "
+        "LIST_COSINE_SIMILARITY(qv.v, c.v) AS sim FROM qv CROSS JOIN cand c), "
+        "den AS (SELECT doc_id, vec_rank FROM (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) "
+        f"AS vec_rank FROM ds) WHERE vec_rank <= {depth}), "
+        "f AS (SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, "
+        "l.lex_rank, dn.vec_rank FROM lex l FULL OUTER JOIN den dn "
+        "ON l.doc_id = dn.doc_id) "
+        "SELECT doc_id, lex_rank, vec_rank, "
+        f"CAST(FLOOR((COALESCE(1.0 / ({k!r} + lex_rank), 0.0) + "
+        f"COALESCE(1.0 / ({k!r} + vec_rank), 0.0)) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS rrf_ppm "
+        "FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 25"
     )
 
 
@@ -7648,6 +7770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
+    # hybrid lexical+dense retrieval (RRF fusion of the BM25 and
+    # cosine top-50 lists) — full SQL oracle
+    "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,
@@ -7766,6 +7891,7 @@ def oracles() -> dict[str, str]:
         "stream_nb_classify": _oracle_stream_nb_classify(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
+        "retrieval_hybrid_rrf": _oracle_retrieval_hybrid_rrf(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

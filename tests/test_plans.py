@@ -150,6 +150,9 @@ _CROSS_OK = {
     "ann_ivfpq_recall",
     # probe curve embeds the same brute-force ground truth crossJoin
     "ann_ivf_probe_curve",
+    # hybrid RRF: the only nested-loop join is the 1-row query-vector
+    # broadcast on the dense side
+    "retrieval_hybrid_rrf",
     # temperature mixture: the only nested-loop join is the 1-row
     # max-source-count scalar broadcast
     "dataset_mixture_temperature",

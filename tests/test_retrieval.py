@@ -75,3 +75,81 @@ def test_bm25_term_hit_beats_no_hit(spark, sf_dir):
         has_term = c if has_term is None else (has_term | c)
     joined = top.join(d.select("doc_id", has_term.alias("hit")), "doc_id")
     assert joined.filter(~F.col("hit")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def rrf_rows(spark, sf_dir):
+    return Q.q_retrieval_hybrid_rrf(spark, sf_dir).collect()
+
+
+def test_rrf_scores_ranked_and_bounded(rrf_rows):
+    """rrf_ppm descending, and every score within the algebraic range:
+    a doc on one list scores at most 1e6/(60+1); on both lists at most
+    2e6/61; always > 0 (rank ≤ depth ⇒ contribution ≥ 1/(60+50))."""
+    from overpaint_spark.queries import _RRF_DEPTH, _RRF_K
+
+    assert 0 < len(rrf_rows) <= 25
+    scores = [r["rrf_ppm"] for r in rrf_rows]
+    assert scores == sorted(scores, reverse=True)
+    hi = int(2_000_000 / (_RRF_K + 1)) + 1
+    lo = int(1_000_000 / (_RRF_K + _RRF_DEPTH))
+    for r in rrf_rows:
+        assert lo <= r["rrf_ppm"] <= hi, dict(r.asDict())
+
+
+def test_rrf_rank_consistency(rrf_rows):
+    """Each fused row keeps at least one source rank, ranks stay within
+    the retrieval depth, and the score recomputes exactly from the
+    ranks (the fusion formula is the row's own witness)."""
+    import math
+
+    from overpaint_spark.queries import _RRF_DEPTH, _RRF_K
+
+    for r in rrf_rows:
+        lex, vec = r["lex_rank"], r["vec_rank"]
+        assert lex is not None or vec is not None
+        for rk in (lex, vec):
+            if rk is not None:
+                assert 1 <= rk <= _RRF_DEPTH
+        expect = math.floor(
+            (
+                (1.0 / (_RRF_K + lex) if lex is not None else 0.0)
+                + (1.0 / (_RRF_K + vec) if vec is not None else 0.0)
+            )
+            * 1_000_000.0
+            + 0.5
+        )
+        assert r["rrf_ppm"] == expect, dict(r.asDict())
+
+
+def test_rrf_both_lists_represented(rrf_rows):
+    """The fusion must actually fuse: at fixture scale the top-25 holds
+    docs carrying a lexical rank AND docs carrying a dense rank (a
+    degenerate single-source result would silently reduce to one
+    ranker)."""
+    assert any(r["lex_rank"] is not None for r in rrf_rows)
+    assert any(r["vec_rank"] is not None for r in rrf_rows)
+
+
+def test_rrf_dual_membership_dominates_tail(rrf_rows):
+    """A doc on BOTH lists at ranks (a, b) outscores any doc whose
+    single rank exceeds both — ordering sanity of the fusion."""
+    dual = [
+        r
+        for r in rrf_rows
+        if r["lex_rank"] is not None and r["vec_rank"] is not None
+    ]
+    single = [
+        r
+        for r in rrf_rows
+        if (r["lex_rank"] is None) != (r["vec_rank"] is None)
+    ]
+    for d in dual:
+        worst = max(d["lex_rank"], d["vec_rank"])
+        for s in single:
+            rk = s["lex_rank"] if s["lex_rank"] is not None else s["vec_rank"]
+            if rk >= worst:
+                assert d["rrf_ppm"] > s["rrf_ppm"], (
+                    dict(d.asDict()),
+                    dict(s.asDict()),
+                )
