@@ -2007,6 +2007,20 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified selection (λ = 0.5):
+    the greedy top-10 of vec 0's cosine top-50 shortlist, re-ranked so
+    near-duplicate shortlist entries don't crowd out coverage
+    (operators/similarity.mmr_select). Declared WITHOUT a SQL oracle
+    by design: the greedy recurrence (each step's argmax depends on
+    the running selected set) has no non-recursive SQL form — the
+    dataset_pack_ffd / bpe_vocab class. Selection is pure integer
+    arithmetic over half-up ppm-quantized sims, pinned against an
+    independent pure-python reference MMR in tests/test_retrieval.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.mmr_select(e, query_vec_id=0, k=10, shortlist=_RRF_DEPTH)
+
+
 def _oracle_retrieval_hybrid_rrf() -> str:
     k = float(_RRF_K)
     depth = _RRF_DEPTH
@@ -7773,6 +7787,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hybrid lexical+dense retrieval (RRF fusion of the BM25 and
     # cosine top-50 lists) — full SQL oracle
     "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
+    # MMR diversified selection — rows-only by design (greedy
+    # recurrence; pinned vs an independent python reference MMR)
+    "retrieval_mmr": q_retrieval_mmr,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,

@@ -153,3 +153,101 @@ def test_rrf_dual_membership_dominates_tail(rrf_rows):
                     dict(d.asDict()),
                     dict(s.asDict()),
                 )
+
+
+def _reference_mmr(rows, query_vec, k, shortlist):
+    """Independent pure-python MMR (λ = 0.5): left-to-right float
+    folds mirror the engine's sequential `aggregate` exactly, so the
+    two implementations must agree bit-for-bit on the ppm integers."""
+    import math
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        na, nb = math.sqrt(dot(a, a)), math.sqrt(dot(b, b))
+        if na == 0.0 or nb == 0.0:
+            return -1.0
+        return dot(a, b) / (na * nb)
+
+    def ppm(x):
+        return math.floor(x * 1_000_000.0 + 0.5)
+
+    scored = sorted(
+        ((cos(v, query_vec), i) for i, v in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:shortlist]
+    vec_of = dict(rows)
+    pool = [(i, ppm(rel)) for rel, i in scored]
+    trace, maxsim, picked = [], {}, set()
+    for rank in range(1, min(k, len(pool)) + 1):
+        best = None
+        for i, rp in pool:
+            if i in picked:
+                continue
+            score = rp if not picked else rp - maxsim[i]
+            if best is None or score > best[0] or (score == best[0] and i < best[1]):
+                best = (score, i, rp)
+        _, j, rp = best
+        trace.append((rank, j, rp, 0 if not picked else maxsim[j]))
+        picked.add(j)
+        for i, _rp in pool:
+            s = ppm(cos(vec_of[i], vec_of[j]))
+            if i not in maxsim or s > maxsim[i]:
+                maxsim[i] = s
+    return trace
+
+
+def test_mmr_matches_independent_reference(spark, sf_dir):
+    """Full-trace agreement with the pure-python reference MMR on the
+    real fixture — selection, ranks, rel and penalty ppm all equal."""
+    got = [
+        (r["select_rank"], r["item_id"], r["rel_ppm"], r["maxsim_ppm"])
+        for r in Q.q_retrieval_mmr(spark, sf_dir).collect()
+    ]
+    e = Q._t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in e]
+    qv = next(v for i, v in rows if i == 0)
+    rows = [(i, v) for i, v in rows if i != 0]
+    want = _reference_mmr(rows, qv, k=10, shortlist=50)
+    assert got == want
+
+
+def test_mmr_trace_shape_and_uniqueness(spark, sf_dir):
+    rows = Q.q_retrieval_mmr(spark, sf_dir).collect()
+    assert [r["select_rank"] for r in rows] == list(range(1, 11))
+    ids = [r["item_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert rows[0]["maxsim_ppm"] == 0  # first pick pays no penalty
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark, sf_dir):
+    rows = Q.q_retrieval_mmr(spark, sf_dir).collect()
+    assert rows[0]["rel_ppm"] == max(r["rel_ppm"] for r in rows)
+
+
+def test_mmr_diversification_binds_on_planted_clump(spark):
+    """Three near-identical high-relevance vectors: pure relevance
+    would take all three first; MMR must interleave — after the clump
+    representative, the orthogonal-ish items outrank its twins."""
+    base = [1.0, 1.0, 1.0, 1.0]
+    clump = [
+        [1.0, 0.05 + 0.001 * j, 0.05, 0.05] for j in range(3)
+    ]  # rel ≈ 0.57 (the top), mutually ≈ identical
+    spread = [
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]  # rel = 0.5, mutually orthogonal, ≈ orthogonal to the clump
+    data = [(0, base)] + [(i + 1, v) for i, v in enumerate(clump + spread)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    from overpaint_spark.operators.similarity import mmr_select
+
+    got = [r["item_id"] for r in mmr_select(df, 0, k=4, shortlist=6).collect()]
+    # one clump member leads; the three spread vectors beat the
+    # remaining two clump twins (penalty ≈ 1e6 wipes their rel edge)
+    assert got[0] in {1, 2, 3}
+    assert set(got[1:]) == {4, 5, 6}
