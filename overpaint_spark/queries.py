@@ -2021,6 +2021,250 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_select(e, query_vec_id=0, k=10, shortlist=_RRF_DEPTH)
 
 
+# --- data-constrained epoch planning (Muennighoff et al. 2023) -------------
+
+_EPOCH_BUDGET_MULT = 3  # train budget = 3× the unique corpus tokens
+_EPOCH_CAP = 4  # repetition value decays sharply past ~4 epochs
+
+
+def epoch_plan(
+    d: DataFrame, budget_mult: int = _EPOCH_BUDGET_MULT, cap: int = _EPOCH_CAP
+) -> DataFrame:
+    """Per-source epoch (repetition) plan for a token budget larger than
+    the unique corpus — the data-constrained scaling worksheet
+    (Muennighoff et al. 2023): given a total budget of
+    ``budget_mult × Σ tokens`` split across sources by temperature
+    weight (α = 0.5, the dataset_mixture_temperature idiom), how many
+    epochs of each source does the plan imply, and how many requested
+    tokens fall past the ``cap``-epoch usefulness cliff?
+
+    All arithmetic is INTEGER end-to-end: weights are per-mille (the
+    1e3 scale keeps ``corpus_tokens · budget_mult · weight_pml`` inside
+    int64 for corpora up to ~3e15 tokens — three orders past 100 TB of
+    text); requested tokens use floor division against the weight sum;
+    epochs_needed is exact ceil division. Plan shape: one map-side-
+    combined aggregate over docs, then 1-row scalar broadcasts into the
+    #sources-row relation — no data-sized shuffle beyond the per-source
+    partial sums."""
+    avail = d.groupBy("source").agg(
+        F.sum(TX.n_words(F.col("text"))).cast("bigint").alias("avail_tokens")
+    )
+    mx = avail.agg(F.max("avail_tokens").alias("max_avail"))
+    w = avail.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "avail_tokens",
+        F.floor(
+            F.sqrt(F.col("avail_tokens").cast("double"))
+            / F.sqrt(F.col("max_avail").cast("double"))
+            * F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("weight_pml"),
+    )
+    tot = w.agg(
+        F.sum("avail_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("weight_pml").cast("bigint").alias("sum_w"),
+    )
+    requested = F.expr(
+        f"(corpus_tokens * {int(budget_mult)} * weight_pml) DIV sum_w"
+    ).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("requested_tokens", requested)
+        .select(
+            "source",
+            "avail_tokens",
+            "weight_pml",
+            "requested_tokens",
+            F.expr("(requested_tokens + avail_tokens - 1) DIV avail_tokens")
+            .cast("bigint")
+            .alias("epochs_needed"),
+            F.greatest(
+                F.col("requested_tokens")
+                - F.lit(int(cap)) * F.col("avail_tokens"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("over_cap_tokens"),
+        )
+    )
+
+
+def q_dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan at budget 3× / cap 4 epochs — see
+    epoch_plan. Full SQL oracle (pure integer arithmetic)."""
+    return epoch_plan(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_dataset_epoch_plan() -> str:
+    return (
+        "WITH avail AS (SELECT source, "
+        "CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail_tokens "
+        "FROM documents GROUP BY source), "
+        "m AS (SELECT MAX(avail_tokens) AS max_avail FROM avail), "
+        "w AS (SELECT source, avail_tokens, "
+        "CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE)) / "
+        "SQRT(CAST(max_avail AS DOUBLE)) * 1000.0) AS BIGINT) AS weight_pml "
+        "FROM avail CROSS JOIN m), "
+        "t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS corpus_tokens, "
+        "CAST(SUM(weight_pml) AS BIGINT) AS sum_w FROM w), "
+        "p AS (SELECT source, avail_tokens, weight_pml, "
+        f"CAST((corpus_tokens * {_EPOCH_BUDGET_MULT} * weight_pml) // sum_w "
+        "AS BIGINT) AS requested_tokens FROM w CROSS JOIN t) "
+        "SELECT source, avail_tokens, weight_pml, requested_tokens, "
+        "CAST((requested_tokens + avail_tokens - 1) // avail_tokens AS BIGINT) "
+        "AS epochs_needed, "
+        f"CAST(GREATEST(requested_tokens - {_EPOCH_CAP} * avail_tokens, 0) "
+        "AS BIGINT) AS over_cap_tokens FROM p"
+    )
+
+
+# --- embedding distribution drift ------------------------------------------
+
+
+def embedding_mean_drift(e: DataFrame, old_pred) -> DataFrame:
+    """Per-dimension mean shift between two embedding cohorts — the
+    encoder-drift check a pipeline runs when re-embedding a corpus with
+    a new model build (a silently shifted dimension poisons every
+    downstream cosine threshold and IVF assignment).
+
+    ``old_pred`` is a boolean Column splitting rows into the reference
+    ('old') and candidate ('new') cohorts. Determinism: per-element
+    DECIMAL(27,10) sums are accumulation-order independent (the
+    embedding_label_centroids idiom — a float-derived double can never
+    tie at the 10th decimal, so the cast is exact cross-engine); the
+    mean is ONE IEEE divide + multiply on identical doubles, then
+    half-up micro-unit flooring — bit-identical by construction.
+
+    Plan shape: posexplode → groupBy(pos) with map-side partial
+    aggregation; the shuffle carries O(partitions × dim) partial rows,
+    the output dim rows."""
+    comp = e.select(
+        old_pred.alias("old"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+
+    def mean_ppm(flag: bool) -> Column:
+        cond = F.col("old") if flag else ~F.col("old")
+        s = F.sum(F.when(cond, F.col("v")).cast("decimal(27,10)"))
+        n = F.count(F.when(cond, F.lit(1)))
+        return F.floor(
+            s.cast("double") / n.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("bigint")
+
+    per = comp.groupBy("pos").agg(
+        mean_ppm(True).alias("mean_old_ppm"),
+        mean_ppm(False).alias("mean_new_ppm"),
+        F.count(F.when(F.col("old"), F.lit(1))).alias("n_old"),
+        F.count(F.when(~F.col("old"), F.lit(1))).alias("n_new"),
+    )
+    return per.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        "mean_old_ppm",
+        "mean_new_ppm",
+        (F.col("mean_new_ppm") - F.col("mean_old_ppm")).alias("shift_ppm"),
+        "n_old",
+        "n_new",
+    )
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean drift between the even- and odd-vec_id halves
+    of the embedding table (the cohort predicate stands in for an
+    old-ingest/new-ingest split) — see embedding_mean_drift. Full SQL
+    oracle (micro-unit integers, bit-identical means by construction)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_mean_drift(e, F.col("vec_id") % 2 == 0)
+
+
+def _oracle_embedding_drift() -> str:
+    def mean_ppm(cond: str, alias: str) -> str:
+        return (
+            f"CAST(FLOOR(CAST(SUM(CASE WHEN {cond} THEN "
+            "CAST(CAST(pv.v AS DOUBLE) AS DECIMAL(27,10)) END) AS DOUBLE) / "
+            f"COUNT(CASE WHEN {cond} THEN 1 END) * 1000000.0 + 0.5) "
+            f"AS BIGINT) AS {alias}"
+        )
+
+    return (
+        "WITH c AS (SELECT vec_id % 2 = 0 AS old, "
+        "UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)), "
+        "i -> struct_pack(pos := i - 1, v := embedding[i]))) AS pv "
+        "FROM embeddings), "
+        "per AS (SELECT CAST(pv.pos AS BIGINT) AS pos, "
+        f"{mean_ppm('old', 'mean_old_ppm')}, "
+        f"{mean_ppm('NOT old', 'mean_new_ppm')}, "
+        "CAST(COUNT(CASE WHEN old THEN 1 END) AS BIGINT) AS n_old, "
+        "CAST(COUNT(CASE WHEN NOT old THEN 1 END) AS BIGINT) AS n_new "
+        "FROM c GROUP BY pv.pos) "
+        "SELECT pos, mean_old_ppm, mean_new_ppm, "
+        "mean_new_ppm - mean_old_ppm AS shift_ppm, n_old, n_new FROM per"
+    )
+
+
+# --- duplicate-vs-unique quality lift ---------------------------------------
+
+
+def dup_quality_lift(d: DataFrame) -> DataFrame:
+    """Are duplicated documents lower quality than unique ones? The
+    audit behind 'dedup doubles as a quality filter' claims: docs are
+    grouped by exact content hash, each GROUP is flagged dup
+    (size > 1) or unique, and the two cohorts report doc/group counts
+    plus integer-floor mean quality (half-up ppm per doc, summed in
+    BIGINT) and mean token length.
+
+    Plan shape: ONE shuffle on the 16-byte content hash (per-group
+    count + sums with map-side combine), then a 2-row aggregate over
+    the group relation — no doc-sized second shuffle, no join back to
+    the docs."""
+    q = d.select(
+        TX.md5_fingerprint(F.col("text")).alias("h"),
+        F.floor(TX.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_ppm"),
+        TX.n_words(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    g = q.groupBy("h").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.sum("q_ppm").alias("sq"),
+        F.count("q_ppm").alias("nq"),
+        F.sum("n_tokens").alias("st"),
+    )
+    return g.groupBy((F.col("gsz") > 1).alias("is_dup")).agg(
+        F.sum("gsz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.expr("sum(sq) DIV sum(nq)").cast("bigint").alias("avg_quality_ppm"),
+        F.expr("sum(st) DIV sum(gsz)").cast("bigint").alias("avg_tokens"),
+    )
+
+
+def q_quality_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-vs-unique quality audit — see dup_quality_lift. Full
+    SQL oracle: the per-doc quality doubles are bit-identical
+    cross-engine (the text_quality contract), so their half-up ppm
+    floors, BIGINT sums, and floor-division means are exact."""
+    return dup_quality_lift(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_dup_lift() -> str:
+    quality = _oracle_text_quality()
+    return (
+        f"WITH tq AS ({quality}), "
+        "q AS (SELECT MD5(d.text) AS h, "
+        "CAST(FLOOR(tq.quality_score * 1000000.0 + 0.5) AS BIGINT) AS q_ppm, "
+        "CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents d JOIN tq ON tq.doc_id = d.doc_id), "
+        "g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS gsz, "
+        "CAST(SUM(q_ppm) AS BIGINT) AS sq, "
+        "CAST(COUNT(q_ppm) AS BIGINT) AS nq, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS st FROM q GROUP BY h) "
+        "SELECT gsz > 1 AS is_dup, CAST(SUM(gsz) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+        "CAST(SUM(sq) // SUM(nq) AS BIGINT) AS avg_quality_ppm, "
+        "CAST(SUM(st) // SUM(gsz) AS BIGINT) AS avg_tokens FROM g GROUP BY 1"
+    )
+
+
 def _oracle_retrieval_hybrid_rrf() -> str:
     k = float(_RRF_K)
     depth = _RRF_DEPTH
@@ -7790,6 +8034,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
+    # data-constrained epoch plan, embedding drift, dup-quality audit —
+    # full SQL oracles (integer end-to-end / bit-identical means)
+    "dataset_epoch_plan": q_dataset_epoch_plan,
+    "embedding_drift": q_embedding_drift,
+    "quality_dup_lift": q_quality_dup_lift,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,
@@ -7909,6 +8158,9 @@ def oracles() -> dict[str, str]:
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "retrieval_hybrid_rrf": _oracle_retrieval_hybrid_rrf(),
+        "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
+        "embedding_drift": _oracle_embedding_drift(),
+        "quality_dup_lift": _oracle_quality_dup_lift(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

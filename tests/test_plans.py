@@ -156,6 +156,9 @@ _CROSS_OK = {
     # temperature mixture: the only nested-loop join is the 1-row
     # max-source-count scalar broadcast
     "dataset_mixture_temperature",
+    # epoch plan: two 1-row scalar broadcasts (max avail, budget
+    # totals) into the #sources-row relation
+    "dataset_epoch_plan",
     # SQ8 error audit: the 1-row per-dim bounds broadcast, same as
     # embedding_quantize
     "embedding_sq8_error",
