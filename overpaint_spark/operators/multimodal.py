@@ -565,3 +565,174 @@ def decode_video_frames(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, out_schema)
+
+
+# --- perceptual hashing (image near-dup dedup) ------------------------------
+
+PHASH_GRID = 8  # 8×8 block means → 64-bit aHash, packed as two 32-bit words
+_PHASH_IMG = 32  # rendered raster is 32×32 grayscale
+
+
+def ahash_words(arr) -> tuple[int, int]:
+    """64-bit average-hash of an ``H×W`` (or ``H×W×1``) uint8 raster,
+    packed as two 32-bit words ``(w0, w1)`` — the ⌈bits/32⌉-word
+    convention of the Hamming ANN tier (similarity.py sketches).
+
+    Pure INTEGER pipeline (int64 block sums → floor-division means →
+    strict-greater threshold against the floor mean-of-means), so the
+    hash is deterministic across platforms and BLAS builds. aHash is
+    invariant to a uniform brightness shift by construction: every
+    block mean and the global mean move together, so no bit flips —
+    pinned in tests/test_multimodal.py.
+    """
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        a = a[..., 0]
+    h, w = a.shape
+    g = PHASH_GRID
+    sums = np.zeros((g, g), dtype=np.int64)
+    counts = np.zeros((g, g), dtype=np.int64)
+    a64 = a.astype(np.int64)
+    rb = [i * h // g for i in range(g + 1)]
+    cb = [j * w // g for j in range(g + 1)]
+    for i in range(g):
+        for j in range(g):
+            blk = a64[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
+            sums[i, j] = int(blk.sum())
+            counts[i, j] = blk.size
+    means = sums // counts
+    gmean = int(means.sum()) // (g * g)
+    bits = (means > gmean).astype(np.int64).ravel()  # row-major, bit = i*8+j
+    w0 = int(sum(int(bits[b]) << b for b in range(32)))
+    w1 = int(sum(int(bits[b]) << (b - 32) for b in range(32, 64)))
+    return w0, w1
+
+
+def render_pgm(text: str, size: int = _PHASH_IMG) -> bytes:
+    """Deterministic grayscale raster rendered FROM the document text,
+    encoded as binary PGM (P5) bytes — the executor-built stand-in for
+    a real image column (the multimodal_video_frames AVI pattern, one
+    tier simpler). Pixel ``idx``'s value is pure integer arithmetic on
+    the text bytes plus a vertical gradient, so the whole
+    render→encode→decode→hash pipeline is SQL-mirrorable and the
+    declared relation carries a FULL oracle (unlike a codec payload,
+    which would be rows-only)."""
+    import numpy as np
+
+    raw = text.encode("utf-8")
+    n = len(raw)
+    idx = np.arange(size * size, dtype=np.int64)
+    # position-dependent multiplier + offset keep block means
+    # doc-distinctive (a plain byte-sample render left every doc's
+    # raster dominated by the shared gradient — ~20% of ALL pairs
+    # landed within Hamming 3, an N²-shaped degenerate relation)
+    px = (
+        (np.frombuffer(raw, dtype=np.uint8).astype(np.int64))[(idx * 37 + 11) % n]
+        * (1 + idx % 7)
+        + (idx * idx) % 97
+    ) % 256
+    body = px.astype(np.uint8).tobytes()
+    return b"P5\n%d %d\n255\n" % (size, size) + body
+
+
+def image_phash(d: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-asset 64-bit perceptual hash: render a deterministic 32×32
+    PGM from the text (render_pgm), push the bytes through the REAL
+    image decoder (decode_image — actual P5 header+raster parsing, the
+    same code path library-free PGM uploads take), then aHash the
+    decoded raster (ahash_words). Output: (asset_id, w0, w1) with the
+    two 32-bit signature words as BIGINTs.
+
+    ONE Arrow-batched ``mapInPandas`` pass, no shuffle — at 100 TB this
+    is embarrassingly parallel scan work, and the payload column never
+    leaves the executor. Empty docs are filtered (no raster to render)
+    — the oracle mirrors the LENGTH(text) > 0 guard."""
+    out_schema = "asset_id long, w0 long, w1 long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, w0s, w1s = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                payload = render_pgm(t)
+                arr = decode_image(payload)  # REAL P5 decode round-trip
+                if arr is None:  # pragma: no cover - render is valid P5
+                    continue
+                w0, w1 = ahash_words(arr)
+                ids.append(int(i))
+                w0s.append(w0)
+                w1s.append(w1)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "w0": pd.Series(w0s, dtype="int64"),
+                    "w1": pd.Series(w1s, dtype="int64"),
+                }
+            )
+
+    return (
+        d.filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias(id_col), text_col)
+        .mapInPandas(run, out_schema)
+    )
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by signature Hamming distance ≤
+    ``max_hamming``, WITHOUT an all-pairs join: the 64-bit signature is
+    cut into four 16-bit bands, and by pigeonhole any pair within
+    Hamming distance ``b − 1`` of ``b`` bands shares at least one band
+    verbatim (max_hamming ≤ 3 with 4 bands ⇒ zero false negatives) —
+    the LSH-banding shape of dedup_minhash_lsh applied to image space.
+
+    Plan: band explode (4 rows/asset) → postings self-join on
+    (band_idx, band_value) → distinct candidates → ONE hash-relation
+    join back → exact integer popcount filter. All-JVM (xor +
+    bit_count inside codegen); candidate volume is collision-bounded,
+    never N²."""
+    if max_hamming > 3:
+        raise ValueError("4 bands guarantee recall only for max_hamming <= 3")
+    bands = hashes.select(
+        "asset_id",
+        F.posexplode(
+            F.array(
+                F.col("w0").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("w0", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("w1").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("w1", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("a_id"), F.col("b.asset_id").alias("b_id")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("asset_id").alias("a_id"),
+        F.col("w0").alias("a_w0"),
+        F.col("w1").alias("a_w1"),
+    )
+    hb = hashes.select(
+        F.col("asset_id").alias("b_id"),
+        F.col("w0").alias("b_w0"),
+        F.col("w1").alias("b_w1"),
+    )
+    hamming = F.bit_count(
+        F.col("a_w0").bitwiseXOR(F.col("b_w0"))
+    ) + F.bit_count(F.col("a_w1").bitwiseXOR(F.col("b_w1")))
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2202,6 +2202,76 @@ def _oracle_embedding_drift() -> str:
     )
 
 
+# --- image perceptual-hash near-dup dedup -----------------------------------
+
+_PHASH_MAX_HAMMING = 3
+
+
+def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset 64-bit perceptual hash (aHash, two 32-bit signature
+    words): a deterministic 32×32 PGM rendered from the text stands in
+    for a real image column (the multimodal_video_frames executor-built
+    AVI pattern); the bytes go through the REAL P5 decoder and an
+    all-integer block-mean hash (operators/multimodal.image_phash).
+    Full SQL oracle — the render arithmetic is SQL-mirrorable, so even
+    the Arrow-batched encode→decode→hash pandas stage is value-checked
+    cross-engine. aHash's brightness-shift invariance is pinned in
+    tests/test_multimodal.py."""
+    return MM.image_phash(_t(spark, sf_dir, "documents"))
+
+
+def _phash_ctes() -> str:
+    size = MM._PHASH_IMG
+    return (
+        "px AS (SELECT doc_id, i AS idx, "
+        f"(ascii(substr(text, ((i*37+11) % LENGTH(text)) + 1, 1)) "
+        f"* (1 + i % 7) + (i * i) % 97) % 256 AS g "
+        "FROM documents, "
+        f"UNNEST(GENERATE_SERIES(0, {size * size - 1})) AS s(i) "
+        "WHERE LENGTH(text) > 0), "
+        f"blk AS (SELECT doc_id, ((idx // {size}) // 4) * 8 "
+        f"+ ((idx % {size}) // 4) AS b, SUM(g) // 16 AS bmean "
+        "FROM px GROUP BY doc_id, b), "
+        "gm AS (SELECT doc_id, SUM(bmean) // 64 AS gmean "
+        "FROM blk GROUP BY doc_id), "
+        "ph AS (SELECT doc_id AS asset_id, "
+        "CAST(SUM(CASE WHEN b < 32 AND bmean > gmean "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS w0, "
+        "CAST(SUM(CASE WHEN b >= 32 AND bmean > gmean "
+        "THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS w1 "
+        "FROM blk JOIN gm USING (doc_id) GROUP BY doc_id)"
+    )
+
+
+def _oracle_multimodal_image_phash() -> str:
+    return f"WITH {_phash_ctes()} SELECT asset_id, w0, w1 FROM ph"
+
+
+def q_multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs at signature Hamming ≤ 3 via 16-bit
+    band postings (operators/multimodal.phash_neardup_pairs) — the
+    LSH-banding shape applied to image space, never an all-pairs join.
+    The pigeonhole guarantee (4 bands, distance ≤ 3 ⇒ one band equal)
+    makes the banded plan EXACTLY equal to the oracle's brute-force
+    all-pairs scan — the decontaminate_bloom proof shape."""
+    hashes = MM.image_phash(_t(spark, sf_dir, "documents"))
+    return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
+
+
+def _oracle_multimodal_phash_neardups() -> str:
+    # brute-force all-pairs ground truth: the banded Spark plan must
+    # reproduce it exactly (no false negatives by pigeonhole)
+    return (
+        f"WITH {_phash_ctes()} "
+        "SELECT a.asset_id AS a_id, b.asset_id AS b_id, "
+        "CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) "
+        "AS INT) AS hamming "
+        "FROM ph a JOIN ph b ON a.asset_id < b.asset_id "
+        f"WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) "
+        f"<= {_PHASH_MAX_HAMMING}"
+    )
+
+
 # --- duplicate-vs-unique quality lift ---------------------------------------
 
 
@@ -7855,7 +7925,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pipeline witness, which embeds the v2 predicate core)
     "corpus_heaps_curve": q_corpus_heaps_curve,
     "documents_ngram_novelty": q_documents_ngram_novelty,
-    "decontaminate_overlap": q_decontaminate_overlap,
+    # late-r6 rotation #4: the hybrid RRF fusion takes
+    # decontaminate_overlap's slot (the exact-gram anti-join math is
+    # re-witnessed bit-identically inside decontaminate_bloom, and the
+    # family keeps the semantic tier in-window too)
+    "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
     # late-r6 rotation #2: the embedding-space decontamination tier
     # joins its gram-probe siblings (takes profile_null_distinct's
     # slot; the profiler keeps seven in-window witnesses)
@@ -7863,8 +7937,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # late-r6 rotation #2: per-source TF-IDF distinctive terms (takes
     # ann_topk_lsh's slot)
     "source_tfidf_terms": q_source_tfidf_terms,
-    "corpus_vocabulary": q_corpus_vocabulary,
-    "documents_tokenized": q_documents_tokenized,
+    # late-r6 rotation #4: the dup-quality audit takes
+    # corpus_vocabulary's slot (the vocabulary CTEs are re-witnessed
+    # inside corpus_pipeline's OOV stage, and heaps_curve +
+    # source_tfidf_terms keep the vocab-df math in-window)
+    "quality_dup_lift": q_quality_dup_lift,
+    # late-r6 rotation #4: the data-constrained epoch plan takes
+    # documents_tokenized's slot (tokenization is re-witnessed inside
+    # corpus_pipeline's tokenize→pack stages and budget_select's
+    # n_words accounting; curriculum keeps its only family witness)
+    "dataset_epoch_plan": q_dataset_epoch_plan,
     "curriculum_stages": q_curriculum_stages,
     "corpus_dataset_card": q_corpus_dataset_card,
     # -- tokenizer training statistics -------------------------------
@@ -7876,7 +7958,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_purity": q_embedding_centroid_purity,
     "embedding_sq8_error": q_embedding_sq8_error,
     # -- similarity search -------------------------------------------
-    "ann_topk_ivf": q_ann_topk_ivf,
+    # late-r6 rotation #4: the encoder-drift audit takes
+    # ann_topk_ivf's slot (the IVF search math is re-witnessed
+    # verbatim inside ann_ivf_probe_curve's shared parameterized
+    # oracle body, and the family keeps six other witnesses)
+    "embedding_drift": q_embedding_drift,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
@@ -8028,18 +8114,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
     "ann_topk_numpy": q_ann_topk_numpy,
-    # hybrid lexical+dense retrieval (RRF fusion of the BM25 and
-    # cosine top-50 lists) — full SQL oracle
-    "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
-    # data-constrained epoch plan, embedding drift, dup-quality audit —
-    # full SQL oracles (integer end-to-end / bit-identical means)
-    "dataset_epoch_plan": q_dataset_epoch_plan,
-    "embedding_drift": q_embedding_drift,
-    "quality_dup_lift": q_quality_dup_lift,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    # image perceptual-hash near-dup family — full SQL oracles (the
+    # render arithmetic is SQL-mirrorable; the banded pair plan equals
+    # brute force by pigeonhole)
+    "multimodal_image_phash": q_multimodal_image_phash,
+    "multimodal_phash_neardups": q_multimodal_phash_neardups,
+    # late-r6 rotation #4 ejections — still declared, still
+    # oracle-checked locally every round (in: retrieval_hybrid_rrf,
+    # dataset_epoch_plan, embedding_drift, quality_dup_lift)
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "corpus_vocabulary": q_corpus_vocabulary,
+    "documents_tokenized": q_documents_tokenized,
     # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,
     "text_stats": q_text_stats,
@@ -8161,6 +8251,8 @@ def oracles() -> dict[str, str]:
         "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
         "embedding_drift": _oracle_embedding_drift(),
         "quality_dup_lift": _oracle_quality_dup_lift(),
+        "multimodal_image_phash": _oracle_multimodal_image_phash(),
+        "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

@@ -408,3 +408,109 @@ def test_decode_video_frames_spark(spark):
         assert (r.width, r.height) == (16, 8)
         # solid-gray frames: decoded mean luma within quant error
         assert abs(r.mean_luma - (50 + 60 * r.frame_idx)) <= 3
+
+
+# --- perceptual hashing -----------------------------------------------------
+
+
+def test_ahash_brightness_shift_invariant():
+    """aHash compares block means to their own global mean, so a
+    uniform brightness shift flips no bits — the invariance that makes
+    it a NEAR-dup hash rather than a byte hash."""
+    import numpy as np
+
+    a = (np.arange(1024, dtype=np.int64).reshape(32, 32) * 7 % 200).astype(
+        np.uint8
+    )
+    shifted = np.clip(a.astype(np.int64) + 25, 0, 255).astype(np.uint8)
+    assert MM.ahash_words(a) == MM.ahash_words(shifted)
+
+
+def test_ahash_distinct_images_far():
+    import numpy as np
+
+    a = (np.arange(1024, dtype=np.int64).reshape(32, 32) * 7 % 200).astype(
+        np.uint8
+    )
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    ha, hb = MM.ahash_words(a), MM.ahash_words(b)
+    hamming = bin(ha[0] ^ hb[0]).count("1") + bin(ha[1] ^ hb[1]).count("1")
+    assert hamming > 10
+
+
+def test_ahash_words_fit_32_bits():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        w0, w1 = MM.ahash_words(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+        assert 0 <= w0 < 2**32 and 0 <= w1 < 2**32
+
+
+def test_render_pgm_real_decode_roundtrip():
+    """The rendered payload is REAL binary PGM: decode_image parses the
+    header and raster back to the exact pixels."""
+    import numpy as np
+
+    p = MM.render_pgm("some document text for the raster")
+    arr = MM.decode_image(p)
+    assert arr is not None and arr.shape == (32, 32, 1)
+    # re-render must be byte-identical (pure function of the text)
+    assert MM.render_pgm("some document text for the raster") == p
+    assert arr.dtype == np.uint8
+
+
+def test_phash_banded_pairs_equal_brute_force(spark):
+    """Pigeonhole recall: the 4×16-bit banded postings plan must
+    reproduce the brute-force Hamming-≤3 pair set exactly — planted
+    near-identical signatures (distance 1..3), one distance-4 pair
+    that must NOT appear, and exact duplicates."""
+    base = 0b1010_1100_0011_0101_1111_0000_1100_0011
+    rows = [
+        (0, base, base),
+        (1, base ^ 0b1, base),            # d=1
+        (2, base, base ^ 0b110),          # d=2
+        (3, base ^ 0b1, base ^ 0b110),    # d=3 from 0
+        (10, base ^ 0b11, base ^ 0b1100), # d=4 from 0
+        (20, base, base),                 # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, w0 long, w1 long")
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in MM.phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    # brute force in python
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            d = bin(a[1] ^ b[1]).count("1") + bin(a[2] ^ b[2]).count("1")
+            if d <= 3 and a[0] < b[0]:
+                want.add((a[0], b[0], d))
+    assert got == want
+    assert (0, 20, 0) in got and not any(
+        10 in (p[0], p[1]) and 0 in (p[0], p[1]) for p in got
+    )
+
+
+def test_phash_rejects_threshold_past_band_guarantee():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.phash_neardup_pairs(None, max_hamming=4)
+
+
+def test_image_phash_spark_matches_local(spark):
+    """The distributed mapInPandas pipeline returns exactly the local
+    render→decode→hash composition, and empty docs are dropped."""
+    texts = ["alpha beta gamma", "delta epsilon", "", "alpha beta gamma"]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["asset_id"]: (r["w0"], r["w1"]) for r in MM.image_phash(df).collect()}
+    assert set(got) == {0, 1, 3}  # the empty doc contributes no row
+    for i in (0, 1, 3):
+        assert got[i] == MM.ahash_words(MM.decode_image(MM.render_pgm(texts[i])))
+    assert got[0] == got[3]  # identical text -> identical hash

@@ -123,16 +123,24 @@ def test_window_contains_the_flagship_operators():
         "dedup_clusters",
         "dedup_incremental",
         "semantic_dedup",
-        "decontaminate_overlap",
-        "corpus_vocabulary",
-        "documents_tokenized",
         "curriculum_stages",
         "corpus_dataset_card",
         "text_lm_score",
         "embedding_sq8_error",
-        "ann_topk_ivf",
         "ann_topk_ivfpq",
         "stream_corpus_stats",
+        # late-r6 rotation #4: the hybrid retrieval fusion and the
+        # three curation audits (ejecting decontaminate_overlap /
+        # corpus_vocabulary / documents_tokenized / ann_topk_ivf — the
+        # exact-gram anti-join is re-witnessed bit-identically inside
+        # decontaminate_bloom, the vocabulary CTEs inside
+        # corpus_pipeline's OOV stage, tokenization inside
+        # corpus_pipeline's tokenize→pack stages, and the IVF search
+        # body inside ann_ivf_probe_curve)
+        "retrieval_hybrid_rrf",
+        "dataset_epoch_plan",
+        "embedding_drift",
+        "quality_dup_lift",
     }
     missing = sorted(flagships - window)
     assert not missing, f"flagships outside the driver window: {missing}"
