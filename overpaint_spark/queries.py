@@ -2202,6 +2202,126 @@ def _oracle_embedding_drift() -> str:
     )
 
 
+# --- DSIR importance resampling (weights → corpus) ---------------------------
+
+_DSIR_RESAMPLE_CAP = 2_000_000  # acceptance prob = min(dsir_ppm / CAP, 1)
+_DSIR_HEX = 16**6  # 6-hex-digit md5 prefix → uniform [0, 16^6)
+
+
+def q_dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the step Xie et al. 2023 run after
+    the weights: keep each document with probability proportional to
+    its importance ratio (p = min(dsir_ppm / 2e6, 1), so a doc at 2×
+    the target/raw ratio is always kept and a doc at the corpus
+    average survives half the time). The coin is a salted 6-hex-digit
+    md5 of the doc_id (the dataset_split idiom — reproducible across
+    runs/engines, independent of the split hash via the ':dsir' salt,
+    and stable under corpus growth), compared in pure INTEGER space:
+    keep iff h · CAP < min(dsir_ppm, CAP) · 16⁶ (max product
+    3.4e13 ≪ int64). One extra codegen projection over the
+    dsir_weights relation — no new shuffle, no new pass over text."""
+    w = dsir_weights(_t(spark, sf_dir, "documents"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")).cast("binary")),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = (h * F.lit(_DSIR_RESAMPLE_CAP)) < (
+        F.least(F.col("dsir_ppm"), F.lit(_DSIR_RESAMPLE_CAP)) * F.lit(_DSIR_HEX)
+    )
+    return w.select("doc_id", "n_tokens", "dsir_ppm").filter(keep)
+
+
+def _oracle_dataset_dsir_resample() -> str:
+    hx = "0123456789abcdef"
+    h = "MD5(CAST(doc_id AS VARCHAR) || ':dsir')"
+    hval = " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return (
+        f"WITH dw AS ({_oracle_dataset_dsir_weights()}) "
+        "SELECT doc_id, n_tokens, dsir_ppm FROM dw "
+        f"WHERE CAST({hval} AS BIGINT) * {_DSIR_RESAMPLE_CAP} < "
+        f"LEAST(dsir_ppm, {_DSIR_RESAMPLE_CAP}) * {_DSIR_HEX}"
+    )
+
+
+# --- embedding outliers (distance-to-own-centroid audit) ---------------------
+
+_OUTLIER_COS_PPM = 250_000  # flag vectors below cosine 0.25 to own centroid
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance-to-own-centroid audit: every embedding's
+    cosine to its assigned seeded-IVF centroid (the assignment the IVF
+    oracles pin, fixture margins ≥ 2.3e-4), with vectors below 0.25
+    flagged as outlier candidates — the 'corrupt or off-distribution
+    embedding' screen run before trusting any cosine threshold or
+    SemDeDup pass. The reported cosine is computed by the SEQUENTIAL
+    VEC.cosine fold against the ≤ C-row broadcast centroid relation (not
+    the GEMM, whose summation order differs between BLAS builds) and
+    rounded to 4 decimals — the dedup_embedding_cosine value idiom.
+    Measured fixture margins: ≥ 2.2e-5 to the 0.25 flag threshold and
+    ≥ 1.9e-8 to the nearest round-4 midpoint (sf0.001/0.01/0.1) — both
+    orders above 1-ulp cross-engine noise. Honest fixture finding: the
+    random synthetic embeddings are near-orthogonal, so ~2/3 of
+    vectors sit below 0.25 — both flag classes are populated at every
+    SF. Plan: the data-sized work is the assignment scan + one
+    broadcast join; no shuffle beyond the assignment's own."""
+    from overpaint_spark.functions import vectors as VEC
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, _ = _ivf_params(sf_dir)
+    cmat = SIM.seeded_centroids(e, n_centroids=n_cent)
+    asg = SIM.assign_to_centroids(e, cmat).select("vec_id", "cluster_id")
+    wnd = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(n_cent)
+        .select(
+            (F.row_number().over(wnd) - 1).cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    cos = VEC.cosine(F.col("embedding").cast("array<double>"), F.col("cv"))
+    return (
+        e.join(asg, "vec_id")
+        .join(F.broadcast(cents), F.col("cluster_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.round(cos, 4).alias("cos_r"),
+            (cos * F.lit(1_000_000.0) < F.lit(float(_OUTLIER_COS_PPM))).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def _oracle_embedding_outliers() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "v FROM e), "
+        "cent AS (SELECT cid, v AS cv FROM ranked WHERE cid < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
+        "asg AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rk "
+        "FROM e CROSS JOIN cent) "
+        "SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id, "
+        "ROUND(LIST_COSINE_SIMILARITY(a.v, c.cv), 4) AS cos_r, "
+        "LIST_COSINE_SIMILARITY(a.v, c.cv) * 1000000.0 < "
+        f"{_OUTLIER_COS_PPM}.0 AS is_outlier "
+        "FROM asg a JOIN cent c ON a.cid = c.cid WHERE a.rk = 1"
+    )
+
+
 # --- image perceptual-hash near-dup dedup -----------------------------------
 
 _PHASH_MAX_HAMMING = 3
@@ -8123,6 +8243,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # brute force by pigeonhole)
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_neardups": q_multimodal_phash_neardups,
+    # DSIR resample (weights → corpus) and the distance-to-own-centroid
+    # outlier audit — full SQL oracles
+    "dataset_dsir_resample": q_dataset_dsir_resample,
+    "embedding_outliers": q_embedding_outliers,
     # late-r6 rotation #4 ejections — still declared, still
     # oracle-checked locally every round (in: retrieval_hybrid_rrf,
     # dataset_epoch_plan, embedding_drift, quality_dup_lift)
@@ -8253,6 +8377,8 @@ def oracles() -> dict[str, str]:
         "quality_dup_lift": _oracle_quality_dup_lift(),
         "multimodal_image_phash": _oracle_multimodal_image_phash(),
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
+        "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
+        "embedding_outliers": _oracle_embedding_outliers(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

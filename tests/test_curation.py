@@ -131,3 +131,77 @@ def test_dup_lift_planted_low_quality_dups(spark):
     assert got[True]["n_docs"] == 3 and got[True]["n_groups"] == 1
     assert got[False]["n_docs"] == 3 and got[False]["n_groups"] == 3
     assert got[True]["avg_quality_ppm"] < got[False]["avg_quality_ppm"]
+
+
+# --- dataset_dsir_resample ---------------------------------------------------
+
+
+def test_dsir_resample_subset_and_predicate(spark, sf_dir):
+    """Kept docs are exactly the weight rows passing the integer
+    acceptance predicate, recomputed independently in python."""
+    import hashlib
+
+    weights = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_ppm"])
+        for r in Q.dsir_weights(Q._t(spark, sf_dir, "documents")).collect()
+    }
+    kept = {r["doc_id"]: r for r in Q.q_dataset_dsir_resample(spark, sf_dir).collect()}
+
+    def accept(doc_id, ppm):
+        h = int(hashlib.md5(f"{doc_id}:dsir".encode()).hexdigest()[:6], 16)
+        return h * Q._DSIR_RESAMPLE_CAP < min(ppm, Q._DSIR_RESAMPLE_CAP) * Q._DSIR_HEX
+
+    want = {d for d, (_, ppm) in weights.items() if accept(d, ppm)}
+    assert set(kept) == want
+    assert 0 < len(kept) < len(weights)  # the coin actually separates
+    for d, r in kept.items():
+        assert (r["n_tokens"], r["dsir_ppm"]) == weights[d]
+
+
+def test_dsir_resample_high_weight_always_kept(spark, sf_dir):
+    """Any doc at or above the cap ratio (2e6 ppm = 2x corpus average)
+    has acceptance probability exactly 1 -- no hash value can reject
+    it (h < 16^6 strictly, so h*CAP < CAP*16^6 always)."""
+    kept = {r["doc_id"] for r in Q.q_dataset_dsir_resample(spark, sf_dir).collect()}
+    w = Q.dsir_weights(Q._t(spark, sf_dir, "documents")).collect()
+    capped = [r["doc_id"] for r in w if r["dsir_ppm"] >= Q._DSIR_RESAMPLE_CAP]
+    assert all(d in kept for d in capped)
+
+
+# --- embedding_outliers ------------------------------------------------------
+
+
+def test_embedding_outliers_accounting(spark, sf_dir):
+    rows = Q.q_embedding_outliers(spark, sf_dir).collect()
+    e = Q._t(spark, sf_dir, "embeddings")
+    assert len(rows) == e.count()  # every vector gets exactly one row
+    n_cent, _ = Q._ivf_params(sf_dir)
+    assert all(0 <= r["cluster_id"] < n_cent for r in rows)
+    # flag consistency with the reported rounded cosine (margins >>
+    # rounding step, so the two views can't disagree)
+    for r in rows:
+        if r["cos_r"] < 0.24:
+            assert r["is_outlier"]
+        if r["cos_r"] > 0.26:
+            assert not r["is_outlier"]
+    assert any(r["is_outlier"] for r in rows)
+    assert any(not r["is_outlier"] for r in rows)
+
+
+def test_embedding_outliers_centroid_members_not_outliers(spark, sf_dir):
+    """The seeded centroids ARE embedding rows, so each centroid's own
+    vector sits at cosine exactly 1.0 to itself -- never flagged."""
+    n_cent, _ = Q._ivf_params(sf_dir)
+    e = Q._t(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r["vec_id"] for r in e.orderBy("vec_id").limit(n_cent).collect()
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in Q.q_embedding_outliers(spark, sf_dir).collect()
+        if r["vec_id"] in set(cent_ids)
+    }
+    assert len(got) == n_cent
+    for i, vid in enumerate(sorted(cent_ids)):
+        assert got[vid]["cluster_id"] == i  # assigned to itself
+        assert got[vid]["cos_r"] == 1.0 and not got[vid]["is_outlier"]

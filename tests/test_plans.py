@@ -165,6 +165,9 @@ _CROSS_OK = {
     # DSIR: the 1-row (total_raw, total_target) scalar broadcast into
     # the 64-row bucket-ratio relation
     "dataset_dsir_weights",
+    # DSIR resample embeds dsir_weights, inheriting the same 1-row
+    # scalar broadcast
+    "dataset_dsir_resample",
     # BPE merge: the 1-row argmax-count scalar broadcast for the
     # is_best_merge flag
     "bpe_merge_pairs",
