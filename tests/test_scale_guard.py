@@ -64,6 +64,9 @@ GUARD_QUERIES = [
     # late r6: the bloom gate's claim IS sub-linearity (map-side screen,
     # candidate-sliver confirm) — hold it to that
     "decontaminate_bloom",
+    # late r6: the phash banded self-join is the postings shape that
+    # blows up under band skew — exactly what this guard exists to see
+    "multimodal_phash_neardups",
 ]
 ALPHA_MAX = 1.0
 
