@@ -2202,6 +2202,104 @@ def _oracle_embedding_drift() -> str:
     )
 
 
+# --- approximate heavy hitters (declared twin of text_top_tokens) -----------
+
+
+def q_text_top_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus top-25 tokens via per-partition candidate
+    truncation (operators/heavyhitters.approx_top_tokens — the parallel
+    Space-Saving/Misra-Gries shape): each partition forwards only its
+    local top-M, so the shuffle carries #partitions·M rows independent
+    of vocabulary size — the 100 TB form of text_top_tokens, whose
+    exact explode→groupBy shuffles one row per distinct token. The
+    oracle is the EXACT query's SQL verbatim: with M = 40·k = 1000 ≫
+    the vocabulary, the approximation is lossless (Misra-Gries), so
+    declaring it holds the approx path to exact-equality — the
+    ann_topk_ivfpq_persisted proof shape. The deliberate tiny-M
+    divergence case is pinned in tests/test_heavyhitters.py."""
+    from overpaint_spark.operators.heavyhitters import approx_top_tokens
+
+    return approx_top_tokens(_t(spark, sf_dir, "documents"), k=25)
+
+
+def _oracle_text_top_tokens_approx() -> str:
+    return _oracle_text_top_tokens()
+
+
+# --- per-column Shannon entropy (profiler channel) ---------------------------
+
+_ENTROPY_COLUMNS = [
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+]
+
+
+def column_entropy(df: DataFrame, table: str, col: str) -> DataFrame:
+    """One-row Shannon entropy of a low-cardinality column: H =
+    Σ −(c/n)·ln(c/n), reported in integer micro-nats with each term
+    half-up-floored AT THE BOUNDED DISTINCT-VALUE RELATION (the
+    text_lm_score / documents_bm25 idiom — JVM and DuckDB libm LN
+    differ by 1 ulp, so quantize per term where the relation is
+    vocab-sized, then sum exact BIGINTs). Plan: one map-side-combined
+    groupBy over the column, a 1-row totals broadcast, a ≤-distinct-row
+    final aggregate — the data-sized work is a single aggregate scan."""
+    counts = df.groupBy(F.col(col).cast("string").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    x = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor(-F.log(x) * x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.lit(table).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.first("n").alias("n_rows"),
+            F.first("n_distinct").alias("n_distinct"),
+            F.sum(term).cast("bigint").alias("entropy_unats"),
+        )
+    )
+
+
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy (micro-nats) for the profiled
+    categorical columns — the column-information channel next to the
+    profiler's null/distinct and key-skew reports (a near-zero entropy
+    flags a constant-in-practice column; entropy ≈ ln(n_distinct)
+    flags a uniform key). Fixture boundary margins of each micro-nat
+    term to its floor boundary were measured ≥ 0.036 term units at all
+    three SFs — eight orders above the 1-ulp LN noise."""
+    out = None
+    for table, col in _ENTROPY_COLUMNS:
+        arm = column_entropy(_t(spark, sf_dir, table), table, col)
+        out = arm if out is None else out.unionAll(arm)
+    return out
+
+
+def _oracle_profile_entropy() -> str:
+    arms = []
+    for table, col in _ENTROPY_COLUMNS:
+        arms.append(
+            f"SELECT '{table}' AS tbl, '{col}' AS col, n_rows, n_distinct, "
+            "CAST(SUM(FLOOR(-LN(x) * x * 1000000.0 + 0.5)) AS BIGINT) "
+            "AS entropy_unats FROM ("
+            "SELECT CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x, n AS n_rows, "
+            "nd AS n_distinct FROM "
+            f"(SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c FROM {table} "
+            "GROUP BY 1) "
+            "CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT "
+            f"CAST({col} AS VARCHAR)) AS BIGINT) AS nd FROM {table})"
+            ") GROUP BY n_rows, n_distinct"
+        )
+    return " UNION ALL ".join(arms)
+
+
 # --- DSIR importance resampling (weights → corpus) ---------------------------
 
 _DSIR_RESAMPLE_CAP = 2_000_000  # acceptance prob = min(dsir_ppm / CAP, 1)
@@ -8247,6 +8345,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # outlier audit — full SQL oracles
     "dataset_dsir_resample": q_dataset_dsir_resample,
     "embedding_outliers": q_embedding_outliers,
+    # heavy-hitters twin held to the exact oracle; per-column Shannon
+    # entropy with term-level micro-nat quantization
+    "text_top_tokens_approx": q_text_top_tokens_approx,
+    "profile_entropy": q_profile_entropy,
     # late-r6 rotation #4 ejections — still declared, still
     # oracle-checked locally every round (in: retrieval_hybrid_rrf,
     # dataset_epoch_plan, embedding_drift, quality_dup_lift)
@@ -8379,6 +8481,8 @@ def oracles() -> dict[str, str]:
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
+        "text_top_tokens_approx": _oracle_text_top_tokens_approx(),
+        "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),
         "ann_topk_numpy": _oracle_ann_topk(),

@@ -168,6 +168,8 @@ _CROSS_OK = {
     # DSIR resample embeds dsir_weights, inheriting the same 1-row
     # scalar broadcast
     "dataset_dsir_resample",
+    # entropy: one 1-row totals broadcast per profiled column (4 arms)
+    "profile_entropy",
     # BPE merge: the 1-row argmax-count scalar broadcast for the
     # is_best_merge flag
     "bpe_merge_pairs",

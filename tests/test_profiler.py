@@ -473,3 +473,48 @@ def test_cli_dataset_card_no_documents(spark, tmp_path, capsys):
     os.makedirs(root)
     assert cli.main([root, "--dataset-card"]) == 1
     assert "No `documents` table" in capsys.readouterr().err
+
+
+# --- profile_entropy ---------------------------------------------------------
+
+
+def test_column_entropy_constant_column_is_zero(spark):
+    """A constant column carries zero information: the single term is
+    -(1)·ln(1) = 0 exactly."""
+    import overpaint_spark.queries as Q
+
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string")
+    row = Q.column_entropy(df, "t", "v").collect()[0]
+    assert row["entropy_unats"] == 0
+    assert row["n_distinct"] == 1 and row["n_rows"] == 10
+
+
+def test_column_entropy_uniform_column_is_ln_k(spark):
+    """A uniform k-way column sits at ln(k) nats — the maximum; each of
+    the k terms is floor(ln(k)/k · 1e6 + 0.5)."""
+    import math
+
+    import overpaint_spark.queries as Q
+
+    k, reps = 8, 5
+    df = spark.createDataFrame(
+        [(i, f"v{i % k}") for i in range(k * reps)], "id long, v string"
+    )
+    row = Q.column_entropy(df, "t", "v").collect()[0]
+    want = k * math.floor(-math.log(1.0 / k) * (1.0 / k) * 1e6 + 0.5)
+    assert row["entropy_unats"] == want
+    assert abs(row["entropy_unats"] - 1e6 * math.log(k)) <= k  # ≈ ln(8)·1e6
+    assert row["n_distinct"] == k
+
+
+def test_profile_entropy_skew_orders_below_uniform(spark, sf_dir):
+    """Sanity on the fixture: every profiled column's entropy is
+    positive and bounded by ln(n_distinct)·1e6 (+k rounding slack)."""
+    import math
+
+    import overpaint_spark.queries as Q
+
+    for r in Q.q_profile_entropy(spark, sf_dir).collect():
+        assert r["entropy_unats"] >= 0
+        cap = 1e6 * math.log(r["n_distinct"]) + r["n_distinct"] if r["n_distinct"] > 1 else 0
+        assert r["entropy_unats"] <= cap
