@@ -626,3 +626,71 @@ def _ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def gram_partials(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """Per-Arrow-batch partial second-moment statistics: each batch
+    emits ONE row (n, sum[dim], gram[dim*dim] row-major) computed by a
+    single ``X.T @ X`` GEMM — the distributed-covariance shape (one
+    pass, no shuffle, output rows = #batches, data-sized work stays in
+    the executor BLAS). The caller reduces the batch rows; at any
+    realistic partition count that relation is KBs."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    out_schema = "n long, s array<double>, g array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return vectors.select(vec_col).mapInPandas(run, out_schema)
+
+
+def pca_variance_report(vectors: DataFrame, dim: int, vec_col: str = "embedding"):
+    """PCA variance-explained curve without ever materializing the
+    vectors on the driver: the covariance is assembled from the
+    bounded ``gram_partials`` relation (collected — #batches rows, the
+    BPE-trainer bounded-collect posture) and eigendecomposed in driver
+    numpy; only the dim-row report leaves the driver.
+
+    C = (G − n·μμᵀ) / (n−1); eigenvalues sorted descending, reported
+    as half-up ppm of the trace (scale-free) plus the cumulative
+    curve. This is the 'how many PQ/OPQ/IVF dimensions actually carry
+    signal' report an embedding pipeline reads before choosing code
+    sizes. Deterministic given one BLAS build; declared rows-only
+    (eigendecomposition has no SQL form — the dataset_pack_ffd class),
+    pinned against direct numpy PCA on the collected fixture in
+    tests/test_quantization.py."""
+    import numpy as np
+
+    rows = gram_partials(vectors, dim, vec_col).collect()
+    if not rows:
+        raise ValueError("no vectors")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evals = np.clip(evals, 0.0, None)  # numerical negatives -> 0
+    trace = float(evals.sum())
+    ppm = [int(np.floor(v / trace * 1_000_000.0 + 0.5)) for v in evals]
+    out, cum = [], 0
+    for i, p in enumerate(ppm):
+        cum += p
+        out.append((i + 1, p, cum))
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out, "component int, var_ppm long, cum_var_ppm long"
+    )

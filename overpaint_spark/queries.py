@@ -2202,6 +2202,23 @@ def _oracle_embedding_drift() -> str:
     )
 
 
+# --- PCA variance-explained curve --------------------------------------------
+
+
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA variance-explained curve of the embedding space — the 'how
+    many dimensions carry signal' report read before sizing PQ/OPQ
+    codes or an IVF geometry (operators/quantization.
+    pca_variance_report: covariance assembled from per-batch GEMM
+    partials, ONE pass and no shuffle; only the bounded #batches
+    partial rows and the dim-row report touch the driver). Rows-only
+    by design — eigendecomposition has no SQL form (the
+    dataset_pack_ffd class); pinned against direct numpy PCA on the
+    collected fixture in tests/test_quantization.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return QZ.pca_variance_report(e, _QUANT_DIM)
+
+
 # --- approximate heavy hitters (declared twin of text_top_tokens) -----------
 
 
@@ -8349,6 +8366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entropy with term-level micro-nat quantization
     "text_top_tokens_approx": q_text_top_tokens_approx,
     "profile_entropy": q_profile_entropy,
+    # PCA variance curve — rows-only by design (eigendecomposition;
+    # pinned vs direct numpy PCA in tests/test_quantization.py)
+    "embedding_pca_variance": q_embedding_pca_variance,
     # late-r6 rotation #4 ejections — still declared, still
     # oracle-checked locally every round (in: retrieval_hybrid_rrf,
     # dataset_epoch_plan, embedding_drift, quality_dup_lift)

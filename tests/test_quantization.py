@@ -472,3 +472,55 @@ def test_ann_trained_recall_relation_shape(spark):
     assert all(v > 0 for v in ratios.values())
     # Lloyd's updates never increase train-sample MSE from the seed init
     assert ratios["pq_trained_vs_seeded"] <= 1_000_000
+
+
+# --- pca_variance_report -----------------------------------------------------
+
+
+def test_pca_variance_matches_direct_numpy(spark, sf_dir):
+    """The batch-partial covariance assembly must equal direct numpy
+    PCA on the collected vectors — same eigenvalue ppm rows."""
+    import numpy as np
+
+    import overpaint_spark.queries as Q
+    from overpaint_spark.operators.quantization import pca_variance_report
+
+    e = Q._t(spark, sf_dir, "embeddings")
+    got = [
+        (r["component"], r["var_ppm"], r["cum_var_ppm"])
+        for r in pca_variance_report(e, 64).collect()
+    ]
+    X = np.array(
+        [list(r["embedding"]) for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(X, rowvar=False)  # same (n-1) normalization
+    evals = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    trace = float(evals.sum())
+    ppm = [int(np.floor(v / trace * 1_000_000.0 + 0.5)) for v in evals]
+    want, cum = [], 0
+    for i, p in enumerate(ppm):
+        cum += p
+        want.append((i + 1, p, cum))
+    assert got == want
+
+
+def test_pca_variance_planted_low_rank(spark):
+    """Vectors confined to a 2-D subspace (plus tiny noise): the top-2
+    components must explain ≳ 99.9% of the variance."""
+    import numpy as np
+
+    from overpaint_spark.operators.quantization import pca_variance_report
+
+    rng = np.random.default_rng(42)
+    basis = rng.normal(size=(2, 16))
+    coef = rng.normal(size=(200, 2)) * [5.0, 2.0]
+    X = coef @ basis + rng.normal(size=(200, 16)) * 1e-4
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["component"]: r for r in pca_variance_report(df, 16).collect()}
+    assert len(rows) == 16
+    assert rows[2]["cum_var_ppm"] >= 999_000
+    assert rows[16]["cum_var_ppm"] == pytest.approx(1_000_000, abs=16)
