@@ -618,7 +618,10 @@ def render_pgm(text: str, size: int = _PHASH_IMG) -> bytes:
     the text bytes plus a vertical gradient, so the whole
     render→encode→decode→hash pipeline is SQL-mirrorable and the
     declared relation carries a FULL oracle (unlike a codec payload,
-    which would be rows-only)."""
+    which would be rows-only). The SQL mirror indexes CHARACTERS while
+    this side samples UTF-8 BYTES — identical on the ASCII corpus (the
+    standing fixture assumption multimodal_metadata's oracle documents);
+    non-ASCII text would need the oracle to walk bytes."""
     import numpy as np
 
     raw = text.encode("utf-8")

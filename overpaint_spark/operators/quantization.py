@@ -646,6 +646,10 @@ def gram_partials(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> D
             if not len(pdf):
                 continue
             X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"expected dim={dim}, batch has {X.shape[1]}"
+                )
             yield pd.DataFrame(
                 {
                     "n": [len(X)],
