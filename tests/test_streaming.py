@@ -807,3 +807,57 @@ def test_write_lm_score_stream_rejects_docs_relation(spark, tmp_path):
         write_lm_score_stream(
             stream, d, str(tmp_path / "o"), str(tmp_path / "c")
         )
+
+
+def test_streaming_phash_gate_matches_batch(spark, tmp_path):
+    """Streaming image near-dup gate: incoming assets (fresh docs plus
+    re-ingested COPIES of existing docs under new ids) arrive as a
+    two-micro-batch stream and are screened against the static corpus's
+    phash index; copies must be rejected (identical render → Hamming 0)
+    and the admitted set must equal the shared batch predicate body
+    exactly across the micro-batch boundary."""
+    from overpaint_spark.operators.multimodal import image_phash
+    from overpaint_spark.sources.catalog import load_table
+    from overpaint_spark.streaming.phash import (
+        phash_gate_flags,
+        write_phash_dedup_stream,
+    )
+
+    docs = load_table(spark, f"{SF}/documents.parquet").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    copies = existing.limit(7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    incoming = fresh.unionAll(copies)
+    existing_hashes = image_phash(existing)
+
+    d = str(tmp_path / "assets_stream")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out_dir = str(tmp_path / "admitted_assets")
+    q = write_phash_dedup_stream(
+        stream, existing_hashes, out_dir, str(tmp_path / "ckpt_phash"),
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        r.asset_id
+        for r in phash_gate_flags(incoming, existing_hashes)
+        .filter(F.col("admitted"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # every planted re-ingested copy is rejected (Hamming 0 to corpus)
+    copy_ids = {r.doc_id for r in copies.collect()}
+    assert copy_ids.isdisjoint(set(got))
+    assert len(got) < incoming.count()
