@@ -2317,6 +2317,36 @@ def _oracle_profile_entropy() -> str:
     return " UNION ALL ".join(arms)
 
 
+# --- image dedup end-to-end: phash pair graph → clusters ---------------------
+
+
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate-cluster resolution: connected components over
+    the Hamming-≤3 phash pair graph — the dedup_clusters machinery
+    applied to image space, so transitive near-matches (A~B, B~C)
+    collapse to one cluster keyed by min asset_id. Same iterative
+    min-label propagation (operators/components.py), same recursive-CTE
+    reachability oracle. Only assets with ≥ 1 near-dup pair appear
+    (the dedup_clusters row contract); at sf0.001/0.01 the fixture has
+    no phash pairs so the relation is honestly empty — the sf0.1 exact
+    dups form its rows."""
+    from overpaint_spark.operators.components import connected_components
+
+    hashes = MM.image_phash(_t(spark, sf_dir, "documents"))
+    pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
+    return connected_components(pairs.select("a_id", "b_id")).select(
+        F.col("id").alias("asset_id"), "component"
+    )
+
+
+def _oracle_multimodal_phash_clusters() -> str:
+    return (
+        "SELECT doc_id AS asset_id, component FROM ("
+        + _oracle_components(_oracle_multimodal_phash_neardups())
+        + ")"
+    )
+
+
 # --- DSIR importance resampling (weights → corpus) ---------------------------
 
 _DSIR_RESAMPLE_CAP = 2_000_000  # acceptance prob = min(dsir_ppm / CAP, 1)
@@ -8358,6 +8388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # brute force by pigeonhole)
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_neardups": q_multimodal_phash_neardups,
+    "multimodal_phash_clusters": q_multimodal_phash_clusters,
     # DSIR resample (weights → corpus) and the distance-to-own-centroid
     # outlier audit — full SQL oracles
     "dataset_dsir_resample": q_dataset_dsir_resample,
@@ -8499,6 +8530,7 @@ def oracles() -> dict[str, str]:
         "quality_dup_lift": _oracle_quality_dup_lift(),
         "multimodal_image_phash": _oracle_multimodal_image_phash(),
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
+        "multimodal_phash_clusters": _oracle_multimodal_phash_clusters(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "text_top_tokens_approx": _oracle_text_top_tokens_approx(),

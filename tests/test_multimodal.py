@@ -514,3 +514,23 @@ def test_image_phash_spark_matches_local(spark):
     for i in (0, 1, 3):
         assert got[i] == MM.ahash_words(MM.decode_image(MM.render_pgm(texts[i])))
     assert got[0] == got[3]  # identical text -> identical hash
+
+
+def test_phash_clusters_transitive_collapse(spark):
+    """Identical renders under distinct ids form ONE cluster keyed by
+    the min asset_id; unrelated docs contribute no row."""
+    from overpaint_spark.operators.components import connected_components
+
+    t = "the same document text repeated verbatim for every copy here"
+    other = "a completely different sentence about rivers and morning light"
+    docs = spark.createDataFrame(
+        [(5, t, "s"), (9, t, "s"), (30, t, "s"), (40, other, "s")],
+        "doc_id long, text string, source string",
+    )
+    hashes = MM.image_phash(docs)
+    pairs = MM.phash_neardup_pairs(hashes, max_hamming=3)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs.select("a_id", "b_id")).collect()
+    }
+    assert got == {5: 5, 9: 5, 30: 5}  # 40 has no pair -> no row
