@@ -739,3 +739,23 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def persist_phash_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the corpus's perceptual-hash index at ``path``
+    (parquet, 16 bytes of signature per asset, repartitioned on w0 so
+    the streaming gate's band probes read clustered files) — build
+    once per corpus version; every ingest batch probes the stored
+    index and the payloads are never re-decoded (the
+    persist_dedup_index contract, applied to image space)."""
+    image_phash(docs, id_col=id_col, text_col=text_col).repartition(
+        "w0"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_phash_index(spark, path: str) -> DataFrame:
+    """(asset_id, w0, w1) — feed to streaming.phash.write_phash_dedup_stream
+    or phash_neardup_pairs."""
+    return spark.read.parquet(path)

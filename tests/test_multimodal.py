@@ -534,3 +534,29 @@ def test_phash_clusters_transitive_collapse(spark):
         for r in connected_components(pairs.select("a_id", "b_id")).collect()
     }
     assert got == {5: 5, 9: 5, 30: 5}  # 40 has no pair -> no row
+
+
+def test_phash_index_roundtrip_feeds_the_gate(spark, tmp_path):
+    """persist → load → gate: the loaded index must drive the SAME
+    admission decisions as the in-memory hash relation."""
+    from overpaint_spark.streaming.phash import phash_gate_flags
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with stable text", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "phash_index")
+    MM.persist_phash_index(corpus, path)
+    loaded = MM.load_phash_index(spark, path)
+    assert loaded.count() == 20
+
+    incoming = spark.createDataFrame(
+        [(100, "corpus document number 3 with stable text", "s"),
+         (101, "a brand new never seen sentence about harbors", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["asset_id"]: r["admitted"]
+           for r in phash_gate_flags(incoming, loaded).collect()}
+    want = {r["asset_id"]: r["admitted"]
+            for r in phash_gate_flags(incoming, MM.image_phash(corpus)).collect()}
+    assert got == want == {100: False, 101: True}
