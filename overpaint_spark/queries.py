@@ -7953,6 +7953,79 @@ def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).filter(F.col("n_grams") > 0)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization by the CUSTOM STATEFUL streaming operator
+    (streaming/sessionize.py — applyInPandasWithState, per-user O(1)
+    state, append mode): fifth oracle-verified streaming query and the
+    first with ARBITRARY user state (vs the others' built-in keyed /
+    stateless shapes). The append-mode contract emits a session only
+    when a LATER event closes it, so on a finite fixture the emitted
+    set is exactly 'every session except each user's last' — which IS
+    SQL-expressible, so the full oracle composes the batch sessionize
+    CTEs with a per-user MAX(session_id) cut. Determinism: the fixture
+    is staged as ONE file → one availableNow micro-batch → the
+    operator's in-batch sort makes closure decisions identical to the
+    batch window; equal-timestamp ties cannot flip session membership
+    (gap 0 never exceeds the threshold). The cross-batch late-arrival
+    policies stay pinned in tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.sessionize import streaming_sessionize
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_sess_src_{run}"
+    out_dir = f"{base}/stream_sess_out_{run}"
+    ckpt_dir = f"{base}/stream_sess_ckpt_{run}"
+    for d in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    e.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sq = (
+        # idle_timeout=False: on a finite availableNow run the
+        # processing-time flush would schedule no-data batches forever
+        streaming_sessionize(stream, idle_timeout=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_sessionize: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir)
+
+
+def _oracle_stream_sessionize() -> str:
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL "
+        "OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_sess "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS session_id FROM g), "
+        "agg AS (SELECT user_id, session_id, MIN(ts) AS session_start, "
+        "MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM s GROUP BY user_id, session_id), "
+        "mx AS (SELECT user_id, MAX(session_id) AS last_sess FROM agg "
+        "GROUP BY user_id) "
+        "SELECT a.user_id, a.session_start, a.session_end, a.n_events "
+        "FROM agg a JOIN mx USING (user_id) WHERE a.session_id < mx.last_sess"
+    )
+
+
 def q_stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NB classification by STRUCTURED STREAMING — fourth oracle-
     verified streaming query: a stateless per-row ARGMAX against the
@@ -8389,6 +8462,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_neardups": q_multimodal_phash_neardups,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
+    # fifth streaming witness: the applyInPandasWithState custom
+    # stateful operator, full oracle via the closed-sessions cut
+    "stream_sessionize": q_stream_sessionize,
     # DSIR resample (weights → corpus) and the distance-to-own-centroid
     # outlier audit — full SQL oracles
     "dataset_dsir_resample": q_dataset_dsir_resample,
@@ -8531,6 +8607,7 @@ def oracles() -> dict[str, str]:
         "multimodal_image_phash": _oracle_multimodal_image_phash(),
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "multimodal_phash_clusters": _oracle_multimodal_phash_clusters(),
+        "stream_sessionize": _oracle_stream_sessionize(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "text_top_tokens_approx": _oracle_text_top_tokens_approx(),

@@ -35,6 +35,7 @@ def _sessionize_group(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    _set_timeout: bool = True,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     gap_us = int(SESSION_GAP.total_seconds() * 1_000_000)
@@ -77,7 +78,8 @@ def _sessionize_group(
             # ever widen — never let a late event drag `last` backwards
             start, last, n = min(start, t), max(last, t), n + 1
     state.update((start, last, n))
-    state.setTimeoutDuration(60 * 60 * 1000)  # flush idle sessions after 1h
+    if _set_timeout:
+        state.setTimeoutDuration(60 * 60 * 1000)  # flush idle sessions after 1h
 
     if closed:
         yield pd.DataFrame(
@@ -88,16 +90,28 @@ def _sessionize_group(
         )
 
 
-def streaming_sessionize(events: DataFrame) -> DataFrame:
+def streaming_sessionize(events: DataFrame, idle_timeout: bool = True) -> DataFrame:
     """30-minute-gap sessions per user over a stream of (user_id, ts, …).
 
     Emits a session only once it is *closed* (by a later event or by the
     idle timeout) — the append-mode contract. State per user is O(1).
-    """
+
+    ``idle_timeout=False`` disables the processing-time flush: the right
+    mode for FINITE availableNow runs, where the timeout's extra no-data
+    micro-batches would keep the query alive long past the data (the
+    engine schedules batches just to fire timeouts) — a live 24/7 ingest
+    keeps the default so idle users' sessions eventually emit."""
+    if idle_timeout:
+        fn, conf = _sessionize_group, GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        def fn(key, pdfs, state):
+            return _sessionize_group(key, pdfs, state, _set_timeout=False)
+
+        conf = GroupStateTimeout.NoTimeout
     return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
