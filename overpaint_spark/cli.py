@@ -514,10 +514,17 @@ def _run_query(
         hint = f" (near: {', '.join(near[:5])})" if near else ""
         sys.stderr.write(f"Unknown query: {name}{hint}\n")
         return 1
-    res = fn(spark, data_root)
-    if materialize:
-        return _materialize(res, materialize, materialize_format)
-    rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
+    try:
+        res = fn(spark, data_root)
+        if materialize:
+            return _materialize(res, materialize, materialize_format)
+        rows = res.limit(max_rows + 1).collect() if max_rows else res.collect()
+    except Exception as exc:
+        # same one-line stderr + exit-1 contract as _run_sql: a bad
+        # data root (missing table) must not surface a raw traceback
+        first = str(exc).strip().splitlines()
+        sys.stderr.write(f"Query error: {first[0] if first else exc}\n")
+        return 1
     return _emit_rows(res.columns, rows, max_rows=max_rows, fmt=fmt)
 
 

@@ -117,10 +117,16 @@ def nb_classify(
 ) -> DataFrame:
     """Predict per doc: ``(id, pred)`` where pred is the argmax label of
     ``prior_ppm + Σ_tokens lp_ppm`` — all-BIGINT once the model exists.
-    Ties break by label ascending (deterministic cross-engine). Docs
-    with no tokens score on priors alone via the doc × label scaffold."""
+    Ties break by label ascending (deterministic cross-engine). NULL
+    texts classify as the empty string (one '' token), matching
+    streaming/nbayes.nb_classify_stream row-for-row; docs whose token
+    join finds no likelihood rows still score on priors alone via the
+    doc × label scaffold."""
     tb = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_tok"),
     ).withColumn("_b", _bucket(F.col("_tok")))
     tok_scores = (
         tb.join(F.broadcast(likelihoods), "_b")

@@ -682,6 +682,11 @@ def pca_variance_report(vectors: DataFrame, dim: int, vec_col: str = "embedding"
     if not rows:
         raise ValueError("no vectors")
     n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(
+            f"pca_variance_report needs >= 2 vectors for the n-1 "
+            f"covariance denominator, got {n}"
+        )
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
     mu = s / n
@@ -689,7 +694,12 @@ def pca_variance_report(vectors: DataFrame, dim: int, vec_col: str = "embedding"
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     evals = np.clip(evals, 0.0, None)  # numerical negatives -> 0
     trace = float(evals.sum())
-    ppm = [int(np.floor(v / trace * 1_000_000.0 + 0.5)) for v in evals]
+    if trace <= 0.0:
+        # identical vectors: zero variance everywhere — report all-zero
+        # ppm rather than dividing by the zero trace
+        ppm = [0] * len(evals)
+    else:
+        ppm = [int(np.floor(v / trace * 1_000_000.0 + 0.5)) for v in evals]
     out, cum = [], 0
     for i, p in enumerate(ppm):
         cum += p

@@ -2259,7 +2259,10 @@ def column_entropy(df: DataFrame, table: str, col: str) -> DataFrame:
     half-up-floored AT THE BOUNDED DISTINCT-VALUE RELATION (the
     text_lm_score / documents_bm25 idiom — JVM and DuckDB libm LN
     differ by 1 ulp, so quantize per term where the relation is
-    vocab-sized, then sum exact BIGINTs). Plan: one map-side-combined
+    vocab-sized, then sum exact BIGINTs). NULL is a CATEGORY here —
+    it groups, contributes an entropy term, and counts toward
+    n_distinct (the oracle adds the NULL group back onto DuckDB's
+    NULL-excluding COUNT(DISTINCT)). Plan: one map-side-combined
     groupBy over the column, a 1-row totals broadcast, a ≤-distinct-row
     final aggregate — the data-sized work is a single aggregate scan."""
     counts = df.groupBy(F.col(col).cast("string").alias("v")).agg(
@@ -2311,7 +2314,9 @@ def _oracle_profile_entropy() -> str:
             "GROUP BY 1) "
             "CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(COUNT(DISTINCT "
-            f"CAST({col} AS VARCHAR)) AS BIGINT) AS nd FROM {table})"
+            f"CAST({col} AS VARCHAR)) + MAX(CASE WHEN {col} IS NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS nd "
+            f"FROM {table})"
             ") GROUP BY n_rows, n_distinct"
         )
     return " UNION ALL ".join(arms)

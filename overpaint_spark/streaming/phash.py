@@ -62,7 +62,12 @@ def phash_gate_flags(
     test. A batch asset is admitted iff no existing signature sits
     within Hamming ``max_hamming`` (4-band pigeonhole shortlist, exact
     integer popcount confirm — zero false negatives for
-    max_hamming ≤ 3, the multimodal_phash_neardups guarantee)."""
+    max_hamming ≤ 3, the multimodal_phash_neardups guarantee).
+
+    Unhashable docs (empty text → image_phash's LENGTH > 0 filter
+    drops them) get NO flags row here; the streaming sink admits them
+    by rejecting only explicitly-flagged duplicates, matching the
+    batch composition (an asset with no hash forms no cross-pair)."""
     from overpaint_spark.operators.multimodal import image_phash
 
     if max_hamming > 3:
@@ -116,10 +121,14 @@ def write_phash_dedup_stream(
     trigger_available_now: bool = False,
 ):
     """Gate an asset ingest stream against a static corpus's phash
-    index, appending only ADMITTED documents to ``out_dir``. Replay
-    semantics match the other parquet-append sinks (re-run batches
-    re-admit the same rows; crash-replay duplicate FILES need
-    dedup-on-read or a transactional format — the standing caveat)."""
+    index, appending only ADMITTED documents to ``out_dir``. Rows the
+    hasher cannot sign (empty text) are admitted, not dropped: the
+    gate rejects only EXPLICIT near-duplicates (anti-join on the
+    rejected flags), so the admitted set equals the batch composition
+    for hashable and unhashable docs alike. Replay semantics match
+    the other parquet-append sinks (re-run batches re-admit the same
+    rows; crash-replay duplicate FILES need dedup-on-read or a
+    transactional format — the standing caveat)."""
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
@@ -127,12 +136,10 @@ def write_phash_dedup_stream(
         flags = phash_gate_flags(
             batch_df, existing_hashes, max_hamming, id_col, text_col
         )
-        admitted = batch_df.join(
-            flags.filter(F.col("admitted"))
-            .select(F.col("asset_id").alias(id_col)),
-            id_col,
-            "left_semi",
+        rejected = flags.filter(~F.col("admitted")).select(
+            F.col("asset_id").alias(id_col)
         )
+        admitted = batch_df.join(rejected, id_col, "left_anti")
         admitted.write.mode("append").parquet(out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(

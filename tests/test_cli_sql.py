@@ -109,6 +109,16 @@ def test_query_unknown_name_hints_nearest(spark, capsys):
     assert "Unknown query: lm_score" in err and "text_lm_score" in err
 
 
+def test_query_runtime_failure_exits_1_one_line(spark, capsys, tmp_path):
+    """A declared query failing at runtime (missing table in the data
+    root) follows the same stderr + exit-1 contract as --sql, not a
+    raw Python traceback."""
+    assert cli.main([str(tmp_path), "--query", "text_stats"]) == 1
+    err = capsys.readouterr().err
+    assert "Query error:" in err
+    assert "Traceback" not in err
+
+
 def test_list_queries_covers_manifest(capsys):
     from overpaint_spark import queries as Q
 

@@ -134,6 +134,10 @@ def test_stream_classify_null_text_survives(spark, separable):
     # the projection is stream-agnostic: exercise it on a batch frame
     out = nb_classify_stream(rows, labels, prior_ppms, lp_tables).collect()
     assert len(out) == 1 and out[0]["pred"] in set(labels)
+    # and the batch classifier must agree on the NULL row: both paths
+    # coalesce NULL text to '' (one empty token) before scoring
+    batch = nb_classify(rows, lp, pri).collect()
+    assert len(batch) == 1 and batch[0]["pred"] == out[0]["pred"]
 
 
 def test_frozen_model_refuses_sparse_grid(spark, separable):

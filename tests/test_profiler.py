@@ -507,6 +507,31 @@ def test_column_entropy_uniform_column_is_ln_k(spark):
     assert row["n_distinct"] == k
 
 
+def test_column_entropy_null_is_a_category_both_engines(spark):
+    """NULL groups, contributes a term, and counts toward n_distinct —
+    and the DuckDB oracle (COUNT(DISTINCT)+NULL-group add-back) agrees
+    value-for-value on a NULL-bearing column."""
+    import duckdb
+
+    import overpaint_spark.queries as Q
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else None))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    got = Q.column_entropy(df, "t", "v").collect()[0]
+    assert got["n_distinct"] == 3  # a, b, NULL
+    con = duckdb.connect()
+    con.register("t_pdf", df.toPandas())
+    sql = Q._oracle_profile_entropy().split(" UNION ALL ")[0]
+    sql = sql.replace("'documents'", "'t'").replace("'lang'", "'v'")
+    sql = sql.replace("lang", "v").replace("documents", "t_pdf")
+    want = con.execute(sql).fetchone()
+    con.close()
+    assert (got["n_rows"], got["n_distinct"], got["entropy_unats"]) == (
+        want[2], want[3], want[4]
+    )
+
+
 def test_profile_entropy_skew_orders_below_uniform(spark, sf_dir):
     """Sanity on the fixture: every profiled column's entropy is
     positive and bounded by ln(n_distinct)·1e6 (+k rounding slack)."""

@@ -524,3 +524,24 @@ def test_pca_variance_planted_low_rank(spark):
     assert len(rows) == 16
     assert rows[2]["cum_var_ppm"] >= 999_000
     assert rows[16]["cum_var_ppm"] == pytest.approx(1_000_000, abs=16)
+
+
+def test_pca_variance_degenerate_inputs(spark):
+    """A single vector refuses clearly (the n-1 denominator); identical
+    vectors report an all-zero ppm curve instead of dividing by the
+    zero trace."""
+    from overpaint_spark.operators.quantization import pca_variance_report
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_variance_report(one, 4)
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pca_variance_report(same, 4).collect()
+    assert [r["var_ppm"] for r in rows] == [0, 0, 0, 0]
+    assert rows[-1]["cum_var_ppm"] == 0

@@ -829,7 +829,12 @@ def test_streaming_phash_gate_matches_batch(spark, tmp_path):
     copies = existing.limit(7).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    incoming = fresh.unionAll(copies)
+    # an unhashable (empty-text) asset: no phash row, must be ADMITTED
+    # (the batch composition forms no cross-pair for it)
+    blank = spark.createDataFrame(
+        [(200001, "")], "doc_id long, text string"
+    )
+    incoming = fresh.unionAll(copies).unionAll(blank)
     existing_hashes = image_phash(existing)
 
     d = str(tmp_path / "assets_stream")
@@ -850,13 +855,18 @@ def test_streaming_phash_gate_matches_batch(spark, tmp_path):
     assert q.awaitTermination(120)
 
     got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
-    want = sorted(
+    rejected = {
         r.asset_id
         for r in phash_gate_flags(incoming, existing_hashes)
-        .filter(F.col("admitted"))
+        .filter(~F.col("admitted"))
         .collect()
+    }
+    want = sorted(
+        r.doc_id for r in incoming.collect() if r.doc_id not in rejected
     )
     assert got == want and len(got) > 0
+    # the hash-less asset passed through the gate
+    assert 200001 in got
     # every planted re-ingested copy is rejected (Hamming 0 to corpus)
     copy_ids = {r.doc_id for r in copies.collect()}
     assert copy_ids.isdisjoint(set(got))
