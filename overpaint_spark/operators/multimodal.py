@@ -652,15 +652,34 @@ def image_phash(d: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     is embarrassingly parallel scan work, and the payload column never
     leaves the executor. Empty docs are filtered (no raster to render)
     — the oracle mirrors the LENGTH(text) > 0 guard."""
-    out_schema = "asset_id long, w0 long, w1 long"
+    return (
+        d.filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias(id_col), text_col)
+        .mapInPandas(
+            _phash_map(id_col, text_col, payload_fn=render_pgm),
+            _PHASH_SCHEMA,
+        )
+    )
+
+
+_PHASH_SCHEMA = "asset_id long, w0 long, w1 long"
+
+
+def _phash_map(id_col: str, payload_col: str, payload_fn=None):
+    """Shared Arrow-batched hashing body for BOTH phash fronts: the
+    text-render declared query (``payload_fn=render_pgm``) and the
+    real-bytes operator (``payload_fn=None`` — the column already
+    holds image bytes). Per row: decode_image → ahash_words; rows the
+    decoder rejects yield NO output (no signature → no near-dup
+    evidence; the ingest gate admits such assets — streaming/phash)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, w0s, w1s = [], [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                payload = render_pgm(t)
-                arr = decode_image(payload)  # REAL P5 decode round-trip
-                if arr is None:  # pragma: no cover - render is valid P5
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload_fn(p) if payload_fn is not None else bytes(p)
+                arr = decode_image(payload)
+                if arr is None:
                     continue
                 w0, w1 = ahash_words(arr)
                 ids.append(int(i))
@@ -674,11 +693,58 @@ def image_phash(d: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
                 }
             )
 
+    return run
+
+
+def render_payloads(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(asset_id, payload): the documents' deterministic PGM renders as
+    a real BINARY column — the executor-built image-bytes fixture (the
+    multimodal_video_frames AVI pattern). Feeding this through
+    :func:`image_phash_bytes` must reproduce :func:`image_phash`
+    bit-for-bit; the declared ``multimodal_phash_bytes`` relation holds
+    that equality to the text front's full SQL oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "payload": [render_pgm(t) for t in pdf[text_col]],
+                }
+            )
+
     return (
         d.filter(F.length(F.col(text_col)) > 0)
-        .select(F.col(id_col).alias(id_col), text_col)
-        .mapInPandas(run, out_schema)
+        .select(F.col(id_col), text_col)
+        .mapInPandas(run, "asset_id long, payload binary")
     )
+
+
+def image_phash_bytes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-asset 64-bit aHash over REAL image bytes — the production
+    front of the phash tier: a ``binary`` payload column (binaryFile
+    source, parquet blob, …) flows through the full decoder stack
+    (PGM/PPM/BMP/PNG/JPEG incl. progressive — decode_image) and the
+    same integer aHash as the declared text-render query, so an index
+    built from either front is band-compatible with
+    phash_neardup_pairs / build_phash_index / the streaming gate.
+
+    Undecodable payloads produce NO row (no signature; downstream
+    gates admit them — the documented unhashable-asset posture). ONE
+    Arrow-batched ``mapInPandas`` pass, no shuffle: at 100 TB this is
+    embarrassingly parallel scan work and the payload bytes never
+    leave the executor. Pinned on Spark's bundled kitten JPEGs in
+    tests/test_multimodal.py (hash stability vs direct numpy, format
+    invariance, and re-encode near-dup detection)."""
+    return assets.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(_phash_map("asset_id", "payload"), _PHASH_SCHEMA)
 
 
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -560,3 +560,119 @@ def test_phash_index_roundtrip_feeds_the_gate(spark, tmp_path):
     want = {r["asset_id"]: r["admitted"]
             for r in phash_gate_flags(incoming, MM.image_phash(corpus)).collect()}
     assert got == want == {100: False, 101: True}
+
+
+# --- image_phash_bytes: the real-bytes phash front ---------------------------
+
+
+def _kittens_dir():
+    import os
+
+    src = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens"
+    if not os.path.isdir(src):
+        import pytest
+
+        pytest.skip("no spark sample images")
+    return src
+
+
+def _load_kittens(spark, src):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(src)
+        .select(
+            F.row_number().over(Window.orderBy("path")).alias("asset_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+def test_phash_bytes_real_jpegs_match_direct_numpy(spark):
+    """Hash stability on REAL photos: the Spark bytes front must equal
+    decode_jpeg + ahash_words computed directly in numpy per file, and
+    distinct photos must sit far outside the near-dup radius (measured
+    pairwise Hamming >= 11 on the four kittens)."""
+    import glob
+
+    from overpaint_spark.operators import multimodal as MM
+
+    src = _kittens_dir()
+    want = {}
+    for i, f in enumerate(sorted(glob.glob(f"{src}/*.jpg")), start=1):
+        arr = MM.decode_image(open(f, "rb").read())
+        want[i] = MM.ahash_words(arr)
+    got = {
+        r["asset_id"]: (r["w0"], r["w1"])
+        for r in MM.image_phash_bytes(_load_kittens(spark, src)).collect()
+    }
+    assert got == want
+    ids = sorted(got)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d = bin(got[a][0] ^ got[b][0]).count("1") + bin(
+                    got[a][1] ^ got[b][1]
+                ).count("1")
+                assert d > 3, f"distinct kittens {a},{b} inside radius: {d}"
+
+
+def test_phash_bytes_reencode_is_near_dup_and_banded_pair_found(spark):
+    """A re-encoded copy of a real photo (repo's own JPEG encoder at
+    q=60) must land within Hamming <= 3 of the original THROUGH the
+    Spark operator, and phash_neardup_pairs must surface exactly the
+    planted copy pairs via the banded plan (pigeonhole-exact)."""
+    import glob
+
+    from overpaint_spark.operators import multimodal as MM
+    from overpaint_spark.operators.jpeg import encode_jpeg
+
+    src = _kittens_dir()
+    rows = []
+    for i, f in enumerate(sorted(glob.glob(f"{src}/*.jpg")), start=1):
+        payload = open(f, "rb").read()
+        rows.append((i, payload))
+        if i <= 2:  # re-encode two of the four as planted near-dups
+            arr = MM.decode_image(payload)
+            rows.append((100 + i, encode_jpeg(arr, quality=60)))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = MM.image_phash_bytes(assets)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in MM.phash_neardup_pairs(hashes).collect()
+    }
+    assert pairs == {(1, 101), (2, 102)}
+
+
+def test_phash_bytes_format_invariance_and_undecodable_dropped(spark):
+    """The SAME raster hashes identically whether it arrives as JPEG
+    bytes re-rendered to PGM or PPM (format must not matter once
+    decoded), and an undecodable payload yields NO row — the
+    unhashable-asset posture the streaming gate documents."""
+    import glob
+
+    import numpy as np
+
+    from overpaint_spark.operators import multimodal as MM
+
+    src = _kittens_dir()
+    f = sorted(glob.glob(f"{src}/*.jpg"))[0]
+    arr = MM.decode_image(open(f, "rb").read())
+    gray = arr[..., 0]
+    h, w = gray.shape
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + gray.astype(np.uint8).tobytes()
+    rgb = np.ascontiguousarray(arr[..., :3]).astype(np.uint8)
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    assets = spark.createDataFrame(
+        [(1, pgm), (2, ppm), (3, b"definitely not an image")],
+        "asset_id long, payload binary",
+    )
+    got = {
+        r["asset_id"]: (r["w0"], r["w1"])
+        for r in MM.image_phash_bytes(assets).collect()
+    }
+    want = MM.ahash_words(arr)
+    assert got == {1: want, 2: want}  # id 3 dropped: no signature
