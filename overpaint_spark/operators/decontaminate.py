@@ -31,10 +31,34 @@ from overpaint_spark.functions import text as TX
 from overpaint_spark.functions import vectors as VX
 from overpaint_spark.operators.dedup import distinct_shingles
 
-#: Default Bloom geometry: 2^17 bits = 16 KiB regardless of eval-set
-#: size; 5 probes ≈ 3% false-positive rate at 0.1 bits-used ratio.
+#: Bloom geometry floor: 2^17 bits = 16 KiB — roomy for any eval suite
+#: under ~13k distinct grams at the 10 bits/gram budget below.
 BLOOM_BITS_DEFAULT = 1 << 17
 BLOOM_HASHES_DEFAULT = 5
+#: Derived-geometry budget: ~10 bits per eval gram at 5 probes keeps the
+#: false-positive rate (= the candidate fraction paying the exact
+#: confirm) under ~1% however large the eval suite grows.
+BLOOM_BITS_PER_GRAM = 10
+#: Geometry ceiling: 2^27 bits = 16 MiB — the bitset rides into the plan
+#: as a literal, so it must stay broadcast-sized. Past ~13M eval grams
+#: the screen degrades gracefully (more candidates pay the exact
+#: confirm); correctness is unchanged at ANY geometry (no false
+#: negatives).
+BLOOM_BITS_MAX = 1 << 27
+
+
+def bloom_geometry(n_grams: int) -> int:
+    """Bitset size derived from the eval gram count: the next power of
+    two ≥ ``BLOOM_BITS_PER_GRAM · n_grams``, clamped to
+    ``[BLOOM_BITS_DEFAULT, BLOOM_BITS_MAX]`` — the ``_ivf_params``
+    posture (geometry from a measured count, not a constant). A fixed
+    2^17 default saturates past ~13k grams and every doc then pays the
+    exact confirm join: correct, but the screen stops screening."""
+    target = BLOOM_BITS_PER_GRAM * max(1, int(n_grams))
+    bits = 1 << max(
+        BLOOM_BITS_DEFAULT.bit_length() - 1, (target - 1).bit_length()
+    )
+    return min(bits, BLOOM_BITS_MAX)
 
 
 def contamination_report(
@@ -150,6 +174,18 @@ def build_eval_bloom(
         .select("shingle")
         .distinct()
     )
+    return build_gram_bloom(ev, n_bits, n_hashes)
+
+
+def build_gram_bloom(
+    ev: DataFrame,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES_DEFAULT,
+) -> list[int]:
+    """``build_eval_bloom`` over an already-materialized distinct gram
+    relation (column ``shingle``) — the shared body, so callers that
+    need the gram relation anyway (for the exact confirm, or to COUNT
+    it for :func:`bloom_geometry`) never re-shingle the eval corpus."""
     rows = (
         ev.select(
             F.explode(
@@ -200,14 +236,17 @@ def decontaminated_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_bits: int | None = None,
     n_hashes: int = BLOOM_HASHES_DEFAULT,
 ) -> DataFrame:
     """Training docs sharing NO word-``k``-gram with any eval doc —
     bit-identical to ``decontaminated(..., max_containment=0.0)`` but
     with the 100 TB-shaped plan:
 
-    1. eval grams → 16 KiB Bloom bitset (distributed build, tiny collect);
+    1. eval grams → Bloom bitset (distributed build, tiny collect) —
+       geometry DERIVED from the measured eval gram count by default
+       (:func:`bloom_geometry`, one cheap count over the bounded eval
+       gram relation; pass ``n_bits`` to pin it);
     2. every training doc is screened MAP-SIDE by an ``exists`` lambda
        over its own gram array probing the bitset literal — no explode,
        no shuffle, no join for the (vast) clean majority;
@@ -218,18 +257,20 @@ def decontaminated_bloom(
 
     Steps 3–4 touch only the candidate sliver, so the full corpus is
     read once and shuffled never."""
-    words = build_eval_bloom(eval_docs, id_col, text_col, k, n_bits, n_hashes)
+    ev_exact = (
+        distinct_shingles(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    if n_bits is None:
+        n_bits = bloom_geometry(ev_exact.count())
+    words = build_gram_bloom(ev_exact, n_bits, n_hashes)
     grams = TX.shingles(F.col(text_col), k)
     is_candidate = F.exists(
         grams, lambda g: bloom_might_contain(g, words, n_bits, n_hashes)
     )
     candidates = train.filter(is_candidate)
 
-    ev_exact = (
-        distinct_shingles(eval_docs, id_col, text_col, k)
-        .select("shingle")
-        .distinct()
-    )
     confirmed = (
         candidates.select(
             F.col(id_col), F.explode(grams).alias("shingle")

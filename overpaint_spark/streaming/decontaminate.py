@@ -30,8 +30,9 @@ from overpaint_spark.functions import text as TX
 from overpaint_spark.operators.decontaminate import (
     BLOOM_BITS_DEFAULT,
     BLOOM_HASHES_DEFAULT,
+    bloom_geometry,
     bloom_might_contain,
-    build_eval_bloom,
+    build_gram_bloom,
 )
 from overpaint_spark.operators.dedup import distinct_shingles
 
@@ -86,24 +87,28 @@ def write_decontaminate_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_bits: int | None = None,
     n_hashes: int = BLOOM_HASHES_DEFAULT,
     trigger_available_now: bool = False,
 ):
     """Append only eval-clean documents to ``out_dir``.
 
     The Bloom bitset and the exact eval-gram relation are both frozen
-    HERE, once — per-batch work is one map-side screen plus the
-    candidate-sliver confirm. Replay semantics match the repo's other
-    parquet-append sinks (re-run batches re-admit the same rows; the
-    gate itself is deterministic)."""
-    words = build_eval_bloom(eval_docs, id_col, text_col, k, n_bits, n_hashes)
+    HERE, once — geometry derived from the measured eval gram count by
+    default (:func:`bloom_geometry`, matching the batch operator);
+    per-batch work is one map-side screen plus the candidate-sliver
+    confirm. Replay semantics match the repo's other parquet-append
+    sinks (re-run batches re-admit the same rows; the gate itself is
+    deterministic)."""
     eval_grams = (
         distinct_shingles(eval_docs, id_col, text_col, k)
         .select("shingle")
         .distinct()
         .cache()
     )
+    if n_bits is None:
+        n_bits = bloom_geometry(eval_grams.count())
+    words = build_gram_bloom(eval_grams, n_bits, n_hashes)
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):

@@ -174,3 +174,74 @@ def test_semantic_report_invariants(spark, vecs):
     assert bad == 0
     train_ids = {r["vec_id"] for r in tr.select("vec_id").collect()}
     assert {r["vec_id"] for r in rep.collect()} <= train_ids
+
+
+# --- derived Bloom geometry (bloom_geometry) ---------------------------------
+
+
+def test_bloom_geometry_formula():
+    """Floor at the 2^17 default, next-power-of-two growth at ~10
+    bits/gram, ceiling at the 16 MiB plan-literal bound."""
+    from overpaint_spark.operators.decontaminate import (
+        BLOOM_BITS_DEFAULT,
+        BLOOM_BITS_MAX,
+        bloom_geometry,
+    )
+
+    assert bloom_geometry(0) == BLOOM_BITS_DEFAULT
+    assert bloom_geometry(1) == BLOOM_BITS_DEFAULT
+    assert bloom_geometry(13_000) == BLOOM_BITS_DEFAULT  # 130k <= 2^17
+    assert bloom_geometry(14_000) == 1 << 18  # 140k > 131072
+    assert bloom_geometry(40_000) == 1 << 19
+    assert bloom_geometry(1_000_000) == 1 << 24
+    assert bloom_geometry(10**12) == BLOOM_BITS_MAX
+    for n in (1, 100, 13_000, 50_000, 10**7):
+        bits = bloom_geometry(n)
+        assert bits & (bits - 1) == 0  # power of two
+
+
+def test_bloom_derived_geometry_stays_selective_where_fixed_saturates(spark):
+    """At an eval suite ~3x past the fixed default's saturation point
+    (40k distinct grams), the DERIVED bitset keeps the candidate
+    fraction on a disjoint training corpus under 10%, while the old
+    fixed 2^17 geometry lets the majority of clean docs through to the
+    exact confirm — the screen stops screening."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.functions import text as TX
+    from overpaint_spark.operators.decontaminate import (
+        BLOOM_BITS_DEFAULT,
+        bloom_geometry,
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from overpaint_spark.operators.dedup import distinct_shingles
+
+    k = 5
+    # eval: 2000 docs x 24 globally-unique words -> 40k distinct 5-grams
+    ev = spark.createDataFrame(
+        [(i, " ".join(f"e{i}w{j}" for j in range(24))) for i in range(2000)],
+        "doc_id long, text string",
+    )
+    # train: 500 docs x 10 words, vocabulary DISJOINT from eval
+    tr = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(10))) for i in range(500)],
+        "doc_id long, text string",
+    )
+    grams_rel = distinct_shingles(ev, k=k).select("shingle").distinct().cache()
+    n_grams = grams_rel.count()
+    assert n_grams == 2000 * 20
+    derived_bits = bloom_geometry(n_grams)
+    assert derived_bits > BLOOM_BITS_DEFAULT
+
+    def candidate_fraction(n_bits: int) -> float:
+        words = build_gram_bloom(grams_rel, n_bits=n_bits)
+        g = TX.shingles(F.col("text"), k)
+        n = tr.filter(
+            F.exists(g, lambda x: bloom_might_contain(x, words, n_bits, 5))
+        ).count()
+        return n / 500.0
+
+    assert candidate_fraction(derived_bits) <= 0.10
+    assert candidate_fraction(BLOOM_BITS_DEFAULT) >= 0.50
+    grams_rel.unpersist()
