@@ -824,7 +824,6 @@ def mmr_select(
     if not qrow:
         raise ValueError(f"query vector id {query_vec_id} not found")
     qv = np.asarray(qrow[0][0], dtype=np.float64)
-    qn = float(np.linalg.norm(qv))
 
     pool = (
         candidates.filter(F.col(id_col) != query_vec_id)
@@ -843,6 +842,23 @@ def mmr_select(
     ids = np.array([r["item_id"] for r in pool], dtype=np.int64)
     mat = np.array([r["vec"] for r in pool], dtype=np.float64)
     rel = np.array([r["rel"] for r in pool], dtype=np.float64)
+    out = mmr_greedy_trace(ids, mat, rel, k)
+    return spark.createDataFrame(
+        out, "select_rank int, item_id long, rel_ppm long, maxsim_ppm long"
+    )
+
+
+def mmr_greedy_trace(ids, mat, rel, k: int) -> list[tuple]:
+    """The integer MMR recurrence over an in-memory shortlist — the
+    shared core of :func:`mmr_select` (driver, single query) and
+    operators/retrieval.mmr_select_queries (one ``applyInPandas``
+    group per query). Inputs: item ids, their vectors (rows), and
+    their float relevance to the query; output: the greedy trace
+    tuples ``(select_rank, item_id, rel_ppm, maxsim_ppm)``. Both rel
+    and pairwise sims are half-up ppm-quantized BEFORE the loop, so
+    selection is pure integer arithmetic (see mmr_select's
+    determinism note)."""
+    import numpy as np
 
     # half-up ppm quantization — the integer domain the greedy loop
     # runs in (same idiom as text_lm_score / documents_bm25)
@@ -881,6 +897,4 @@ def mmr_select(
         chosen.append(j)
         # fold the new selection into every candidate's running max
         maxsim = np.maximum(maxsim, pair_ppm[:, j])
-    return spark.createDataFrame(
-        out, "select_rank int, item_id long, rel_ppm long, maxsim_ppm long"
-    )
+    return out

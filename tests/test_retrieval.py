@@ -251,3 +251,136 @@ def test_mmr_diversification_binds_on_planted_clump(spark):
     # remaining two clump twins (penalty ≈ 1e6 wipes their rel edge)
     assert got[0] in {1, 2, 3}
     assert set(got[1:]) == {4, 5, 6}
+
+
+# --- multi-query retrieval (operators/retrieval.py) --------------------------
+#
+# Each operator takes a QUERY RELATION; on a 1-row relation matching the
+# declared fixed-literal query, it must reproduce the declared row.
+
+
+def test_bm25_queries_one_row_matches_declared(spark, sf_dir):
+    """bm25_topk_queries on the declared 3-term query reproduces
+    documents_bm25's ranking; scores agree within the per-term
+    quantization bound (the multi-query path sums ppm-quantized
+    per-term contributions; the declared row quantizes the float sum
+    — they differ by < |terms| ppm)."""
+    from overpaint_spark.operators.retrieval import bm25_topk_queries
+
+    d = Q._t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, list(_BM25_TERMS))], "query_id long, terms array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["bm25_ppm"])
+        for r in bm25_topk_queries(d, queries, k=25).collect()
+    }
+    want = Q.q_documents_bm25(spark, sf_dir).collect()
+    assert len(got) == len(want) == 25
+    for rank, r in enumerate(want, start=1):
+        assert r["doc_id"] in got
+        g_rank, g_ppm = got[r["doc_id"]]
+        assert g_rank == rank
+        assert abs(g_ppm - r["bm25_ppm"]) <= len(_BM25_TERMS)
+
+
+def test_bm25_queries_scores_are_per_query(spark, sf_dir):
+    """Two queries with disjoint vocabularies rank independently: each
+    hit doc's score equals the 1-query run's score for that query."""
+    from overpaint_spark.operators.retrieval import bm25_scores_queries
+
+    d = Q._t(spark, sf_dir, "documents")
+    both = spark.createDataFrame(
+        [(0, ["hash", "join"]), (1, ["vector"])],
+        "query_id long, terms array<string>",
+    )
+    multi = {
+        (r["query_id"], r["doc_id"]): r["bm25_ppm"]
+        for r in bm25_scores_queries(d, both).collect()
+    }
+    for qid, terms in [(0, ["hash", "join"]), (1, ["vector"])]:
+        solo_rel = spark.createDataFrame(
+            [(qid, terms)], "query_id long, terms array<string>"
+        )
+        solo = {
+            (r["query_id"], r["doc_id"]): r["bm25_ppm"]
+            for r in bm25_scores_queries(d, solo_rel).collect()
+        }
+        assert solo == {kv: v for kv, v in multi.items() if kv[0] == qid}
+
+
+def test_hybrid_rrf_queries_one_row_matches_declared(spark, sf_dir):
+    """hybrid_rrf_queries with query 0 = (declared terms, vec 0's
+    embedding) reproduces retrieval_hybrid_rrf row-for-row (doc_id,
+    lex_rank, vec_rank, rrf_ppm)."""
+    from overpaint_spark.operators.retrieval import hybrid_rrf_queries
+
+    d = Q._t(spark, sf_dir, "documents")
+    e = Q._t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    queries = spark.createDataFrame(
+        [(0, list(_BM25_TERMS), list(qvec))],
+        "query_id long, terms array<string>, qvec array<double>",
+    )
+    got = sorted(
+        (r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_ppm"])
+        for r in hybrid_rrf_queries(d, e, queries, k=25).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_ppm"])
+        for r in Q.q_retrieval_hybrid_rrf(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_mmr_queries_one_row_matches_declared(spark, sf_dir):
+    """mmr_select_queries with query 0 = vec 0's embedding reproduces
+    mmr_select's greedy trace exactly (same integer core)."""
+    from overpaint_spark.operators.retrieval import mmr_select_queries
+
+    e = Q._t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    queries = spark.createDataFrame(
+        [(0, list(qvec))], "query_id long, qvec array<double>"
+    )
+    got = sorted(
+        (
+            r["select_rank"],
+            r["item_id"],
+            r["rel_ppm"],
+            r["maxsim_ppm"],
+        )
+        for r in mmr_select_queries(e, queries, k=10, shortlist=50).collect()
+    )
+    want = sorted(
+        (r["select_rank"], r["item_id"], r["rel_ppm"], r["maxsim_ppm"])
+        for r in Q.q_retrieval_mmr(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_mmr_queries_traces_are_independent(spark, sf_dir):
+    """Each query's trace depends only on its own shortlist: a 2-query
+    run restricted to either query equals the corresponding 1-query
+    run."""
+    from overpaint_spark.operators.retrieval import mmr_select_queries
+
+    e = Q._t(spark, sf_dir, "embeddings")
+    v0 = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    v1 = e.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    both = spark.createDataFrame(
+        [(0, list(v0)), (1, list(v1))], "query_id long, qvec array<double>"
+    )
+    multi = {
+        (r["query_id"], r["select_rank"]): (r["item_id"], r["rel_ppm"])
+        for r in mmr_select_queries(e, both, k=5).collect()
+    }
+    for qid, v in [(0, v0), (1, v1)]:
+        solo_rel = spark.createDataFrame(
+            [(qid, list(v))], "query_id long, qvec array<double>"
+        )
+        solo = {
+            (r["query_id"], r["select_rank"]): (r["item_id"], r["rel_ppm"])
+            for r in mmr_select_queries(e, solo_rel, k=5).collect()
+        }
+        assert solo == {kv: v2 for kv, v2 in multi.items() if kv[0] == qid}
