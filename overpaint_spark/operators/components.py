@@ -44,6 +44,7 @@ def connected_components(
     b_col: str = "b_id",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """(id, component) for every vertex in ``pairs``; component is the
     minimum id reachable through the pair graph (deterministic cluster
@@ -63,9 +64,13 @@ def connected_components(
     Above the threshold (web-scale dup graphs) the distributed min-label
     loop runs unchanged. ``driver_threshold=0`` forces the distributed
     path (used by tests to cover it). For adversarial-diameter graphs
-    that exceed ``max_iter`` rounds (long chains — the loop raises
-    rather than mislabel), use :func:`connected_components_star`: same
-    output contract, O(log n) rounds on any shape.
+    that exceed ``max_iter`` rounds (long chains), the loop
+    AUTO-DISPATCHES to :func:`connected_components_star` — same output
+    contract, O(log n) rounds on any shape — so the public entry is
+    total: near-clique dup graphs pay min-label's smaller per-round
+    constant, pathological diameters converge anyway instead of
+    raising. ``fallback_star=False`` restores the loud
+    non-convergence error (diagnostics / tests).
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -113,6 +118,13 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if fallback_star:
+            # min-label needs ~graph-diameter rounds; a diameter past
+            # max_iter means a chain-shaped graph — exactly the shape
+            # the alternating-star rounds collapse in O(log n). Silent
+            # partial labels are never returned: either the star path
+            # converges or IT raises.
+            return connected_components_star(pairs, a_col, b_col)
         # silent partial labels would let dedup keep several
         # "representatives" of one duplicate cluster — fail loudly
         # instead (min-label propagation needs ~graph-diameter rounds;

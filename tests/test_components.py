@@ -81,8 +81,9 @@ def test_survivors_no_pairs_is_identity(spark):
 
 def test_unconverged_distributed_loop_raises(spark):
     """A 30-vertex chain needs ~29 propagation rounds; with max_iter=3
-    the distributed loop must FAIL LOUDLY — silent partial labels would
-    let dedup keep several representatives of one cluster."""
+    and the star fallback disabled, the distributed loop must FAIL
+    LOUDLY — silent partial labels would let dedup keep several
+    representatives of one cluster."""
     import pytest
 
     from overpaint_spark.operators.components import connected_components
@@ -91,7 +92,9 @@ def test_unconverged_distributed_loop_raises(spark):
         [(i, i + 1) for i in range(30)], "a_id long, b_id long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3, driver_threshold=0).collect()
+        connected_components(
+            edges, max_iter=3, driver_threshold=0, fallback_star=False
+        ).collect()
     # the same graph converges fine with enough rounds
     ok = connected_components(edges, max_iter=40, driver_threshold=0)
     assert {r.component for r in ok.collect()} == {0}
@@ -145,10 +148,12 @@ def test_star_matches_min_label_on_fixture_graph(spark):
 
 
 def test_star_converges_on_long_chain_where_min_label_refuses(spark):
-    """A 60-vertex path has diameter 59: the distributed min-label loop
-    (driver_threshold=0 forces it) raises its honest non-convergence
-    error at max_iter=25, while the star rounds collapse it in O(log n)
-    and label every vertex with the chain minimum."""
+    """A 60-vertex path has diameter 59: with the fallback disabled the
+    distributed min-label loop (driver_threshold=0 forces it) raises
+    its honest non-convergence error at max_iter=25; the DEFAULT
+    public entry auto-dispatches to the star rounds and labels every
+    vertex with the chain minimum — as does calling the star variant
+    directly."""
     import pytest as _pytest
 
     from overpaint_spark.operators.components import connected_components
@@ -157,9 +162,18 @@ def test_star_converges_on_long_chain_where_min_label_refuses(spark):
         [(i, i + 1) for i in range(1, 60)], "a_id long, b_id long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, driver_threshold=0, max_iter=25)
-    got = _star_labels(spark, chain)
-    assert got == [(i, 1) for i in range(1, 61)]
+        connected_components(
+            chain, driver_threshold=0, max_iter=25, fallback_star=False
+        )
+    want = [(i, 1) for i in range(1, 61)]
+    via_public = sorted(
+        (r.id, r.component)
+        for r in connected_components(
+            chain, driver_threshold=0, max_iter=25
+        ).collect()
+    )
+    assert via_public == want
+    assert _star_labels(spark, chain) == want
 
 
 def test_star_matches_union_find_on_random_graphs(spark):
