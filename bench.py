@@ -50,6 +50,57 @@ def bench_query_names(Q) -> list[str]:
     return [n for n in Q.QUERIES if n not in BENCH_EXCLUDED]
 
 
+def prepare_extra_timers(Q, spark, sf_dir) -> dict:
+    """Phase-split extras (VERDICT r6 #6): steady-state timings whose
+    setup runs OUTSIDE the timed region — ``name → zero-arg callable``
+    executing only the steady-state phase against the noop sink. Names
+    carry a ``:phase`` suffix so they can never collide with declared
+    manifest queries (tests/test_bench_budget.py pins disjointness).
+
+    ``ann_ivfpq_persisted:search``: the declared
+    ``ann_topk_ivfpq_persisted`` row deliberately times the FULL
+    index lifecycle (build → persist → load → search) because the
+    round-trip is its oracle claim — which leaves the steady-state
+    number (what a deployed index costs per query batch after ONE
+    build) invisible in the bench record. This extra builds/persists/
+    loads once, then times search alone; its median should sit ≈ the
+    live ``ann_topk_ivfpq`` row."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+    from overpaint_spark.queries import _PQ_K, _PQ_M, _QUANT_DIM, _ivf_params, _t
+
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K
+    )
+    path = tempfile.mkdtemp(prefix=f"overpaint_bench_annidx_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    queries_side = e.filter(F.col("vec_id") < 10)
+
+    def search_only():
+        out = search_ann_index(loaded, queries_side, n_probe=n_probe, k=5)
+        out.select(
+            "query_id", "neighbor_id", "rank",
+            F.round("adc_dist", 4).alias("adc_dist_r"),
+        ).write.mode("overwrite").format("noop").save()
+
+    return {"ann_ivfpq_persisted:search": search_only}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -99,6 +150,18 @@ def main() -> int:
             runs.append(round(time.perf_counter() - t0, 3))
         runs_map[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]  # median (upper for even n)
+        spreads[name] = round(max(runs) - min(runs), 3)
+
+    # phase-split extras: setup outside the timed region, steady-state
+    # phase timed with the same median-of-n protocol
+    for name, thunk in prepare_extra_timers(Q, spark, sf_dir).items():
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs_map[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
         spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)

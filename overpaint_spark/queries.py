@@ -2544,6 +2544,44 @@ def q_multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
 
 
+def q_multimodal_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-ingest gate's batch-equivalent relation (VERDICT r6
+    #7): incoming assets (doc_id % 5 = 0) screened against the
+    existing corpus's phash index (the rest), via the SAME shared
+    predicate body the streaming sink runs per micro-batch
+    (streaming/phash.phash_gate_flags) — so the foreachBatch gate has
+    oracle-level standing exactly like the text gates
+    (decontaminate_bloom ↔ write_decontaminate_stream). Output:
+    (asset_id, w0, w1, admitted 1/0) for every hashable incoming
+    asset; admitted = no existing signature within Hamming ≤ 3
+    (4-band pigeonhole shortlist + exact popcount confirm on Spark;
+    brute-force NOT EXISTS on the oracle — equal by pigeonhole)."""
+    from overpaint_spark.streaming.phash import phash_gate_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    flags = phash_gate_flags(
+        incoming, MM.image_phash(existing), max_hamming=_PHASH_MAX_HAMMING
+    )
+    return flags.select(
+        "asset_id", "w0", "w1", F.col("admitted").cast("int").alias("admitted")
+    )
+
+
+def _oracle_multimodal_phash_gate() -> str:
+    return (
+        f"WITH {_phash_ctes()}, "
+        "inc AS (SELECT * FROM ph WHERE asset_id % 5 = 0), "
+        "ex AS (SELECT * FROM ph WHERE asset_id % 5 <> 0) "
+        "SELECT i.asset_id, i.w0, i.w1, "
+        "CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM ex e "
+        "WHERE bit_count(xor(i.w0, e.w0)) + bit_count(xor(i.w1, e.w1)) "
+        f"<= {_PHASH_MAX_HAMMING}) THEN 1 ELSE 0 END AS INT) AS admitted "
+        "FROM inc i"
+    )
+
+
 def _oracle_multimodal_phash_neardups() -> str:
     # brute-force all-pairs ground truth: the banded Spark plan must
     # reproduce it exactly (no false negatives by pigeonhole)
@@ -8234,7 +8272,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r7 rotation: dedup_exact ejected after three driver-green rounds
     # (its hash-groupBy core is re-witnessed inside split_dedup_leakage
     # and dedup_clusters); the family keeps six in-window witnesses
-    "dedup_substring_spans": q_dedup_substring_spans,
+    # r7 rotation #2: dedup_substring_spans (green r4–r6) hands its
+    # slot to dedup_survivors_longest — the keep-longest cluster
+    # resolution that has never had a driver row; the span math stays
+    # witnessed by corpus_span_scrubbed + corpus_pipeline's scrub stage
+    "dedup_survivors_longest": q_dedup_survivors_longest,
     # r6 rotation: the span SCRUBBER (remediation twin of the span
     # detector above) earns a driver row next to it
     "corpus_span_scrubbed": q_corpus_span_scrubbed,
@@ -8254,7 +8296,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_survivors' slot (dedup keeps six in-window witnesses;
     # survivors stays declared + locally oracle-checked)
     "decontaminate_bloom": q_decontaminate_bloom,
-    "dedup_incremental": q_dedup_incremental,
+    # r7 rotation #2: dedup_incremental (green r3–r6) hands its slot to
+    # shard_balance — the training-shard size-skew audit, never
+    # driver-witnessed; the incremental gate's admission math stays
+    # witnessed by its streaming equivalence test and local oracle runs
+    "shard_balance": q_shard_balance,
     "semantic_dedup": q_semantic_dedup,
     # -- text analysis ----------------------------------------------
     # late-r6 rotation: budget selection + BM25 take the text_stats /
@@ -8319,7 +8365,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # n_words accounting; curriculum keeps its only family witness)
     "dataset_epoch_plan": q_dataset_epoch_plan,
     "curriculum_stages": q_curriculum_stages,
-    "corpus_dataset_card": q_corpus_dataset_card,
+    # r7 rotation #2: corpus_dataset_card (green r4–r6) hands its slot
+    # to the streaming image-ingest gate's batch-equivalent relation
+    # (multimodal_phash_gate, below) — the card's aggregate shapes stay
+    # witnessed by corpus_source_stats-family local oracle runs
     # -- tokenizer training statistics -------------------------------
     "bpe_merge_pairs": q_bpe_merge_pairs,
     # -- embedding quantization --------------------------------------
@@ -8367,7 +8416,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # of the same operator family stays in-window)
     "stream_nb_classify": q_stream_nb_classify,
     # -- multimodal --------------------------------------------------
-    "multimodal_video_frames": q_multimodal_video_frames,
+    # r7 rotation #2: multimodal_video_frames (the real MJPEG-in-AVI
+    # decode witness, green r4–r6) hands its slot to the r7 phash
+    # additions; the video decoder stays pinned by tests/test_jpeg.py
+    # + tests/test_multimodal.py round-trips and local oracle runs.
+    # In: the real-bytes phash front and the ingest gate's
+    # batch-equivalent relation
+    "multimodal_phash_bytes": q_multimodal_phash_bytes,
+    "multimodal_phash_gate": q_multimodal_phash_gate,
     # r7 rotation: the image perceptual-hash family — per-asset 64-bit
     # aHash through the real P5 decode path, the 4×16-bit banded
     # near-dup pair plan (pigeonhole-exact at Hamming ≤ 3), and the
@@ -8506,11 +8562,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "events_funnel": q_events_funnel,
     # r6 additions (appended after the window; oracle-checked locally)
-    # — corpus_funnel and ann_topk_ivfpq_persisted rotated INTO the
-    # window in r7
-    "dedup_survivors_longest": q_dedup_survivors_longest,
+    # — corpus_funnel, ann_topk_ivfpq_persisted, and (rotation #2)
+    # dedup_survivors_longest + shard_balance rotated INTO the window
+    # in r7
     "corpus_langid_agreement": q_corpus_langid_agreement,
-    "shard_balance": q_shard_balance,
     "profile_ddsketch_quantiles": q_profile_ddsketch_quantiles,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
@@ -8527,12 +8582,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
     "multimodal_audio_windows": q_multimodal_audio_windows,
-    # (the image perceptual-hash family, stream_sessionize,
+    # (the image perceptual-hash family — incl. the r7-new bytes front
+    # and ingest-gate relation — plus stream_sessionize,
     # text_top_tokens_approx, and profile_entropy rotated INTO the
     # window in r7)
-    # r7: the real-bytes phash front held to the text front's oracle
-    # (binary payload column → full decoder stack → same signatures)
-    "multimodal_phash_bytes": q_multimodal_phash_bytes,
+    # r7 rotation #2 ejections — still declared, still oracle-checked
+    # locally every round (in: dedup_survivors_longest, shard_balance,
+    # multimodal_phash_bytes, multimodal_phash_gate)
+    "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_dataset_card": q_corpus_dataset_card,
+    "multimodal_video_frames": q_multimodal_video_frames,
     # DSIR resample (weights → corpus) and the distance-to-own-centroid
     # outlier audit — full SQL oracles
     "dataset_dsir_resample": q_dataset_dsir_resample,
@@ -8672,6 +8732,7 @@ def oracles() -> dict[str, str]:
         # bytes front == text front, held at oracle level (the
         # ann_topk_ivfpq_persisted proof shape)
         "multimodal_phash_bytes": _oracle_multimodal_image_phash(),
+        "multimodal_phash_gate": _oracle_multimodal_phash_gate(),
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "multimodal_phash_clusters": _oracle_multimodal_phash_clusters(),
         "stream_sessionize": _oracle_stream_sessionize(),

@@ -68,6 +68,15 @@ def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
         assert len(runs) == out["n_runs"]
         assert detail["queries"][name] == sorted(runs)[len(runs) // 2]
 
+    # phase-split extra (VERDICT r6 #6): the persisted-index
+    # steady-state search is timed with setup outside the clock, and
+    # must cost well under the full-lifecycle declared row
+    assert "ann_ivfpq_persisted:search" in detail["queries"]
+    assert (
+        detail["queries"]["ann_ivfpq_persisted:search"]
+        < detail["queries"]["ann_topk_ivfpq_persisted"]
+    )
+
 
 def test_bench_covers_every_declared_query():
     """Full-manifest coverage (VERDICT r5 #4): every declared query is
@@ -82,3 +91,16 @@ def test_bench_covers_every_declared_query():
     assert timed | set(bench.BENCH_EXCLUDED) == declared
     assert not (set(bench.BENCH_EXCLUDED) - declared), "stale exclusion"
     assert all(bench.BENCH_EXCLUDED.values()), "exclusions need reasons"
+
+
+def test_bench_extra_names_disjoint_from_manifest():
+    """Phase-split extras carry a ':phase' suffix and can never shadow
+    a declared query name."""
+    sys.path.insert(0, REPO)
+    from overpaint_spark import queries as Q
+
+    # static check on the known extras (building the index just to list
+    # keys would boot Spark; the name contract is what matters here)
+    extras = {"ann_ivfpq_persisted:search"}
+    assert all(":" in n for n in extras)
+    assert extras.isdisjoint(set(Q.QUERIES))

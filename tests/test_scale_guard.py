@@ -67,6 +67,13 @@ GUARD_QUERIES = [
     # late r6: the phash banded self-join is the postings shape that
     # blows up under band skew — exactly what this guard exists to see
     "multimodal_phash_neardups",
+    # r7 (VERDICT r6 #6): the full persisted-index lifecycle — build,
+    # parquet write, load, search — must scale with the corpus, not
+    # with any fixed-capacity knob (C and n_probe derive from footer
+    # counts via _ivf_params; the codes parquet repartitions by
+    # cluster). The steady-state search phase is benched separately
+    # (bench.py prepare_extra_timers: 'ann_ivfpq_persisted:search').
+    "ann_topk_ivfpq_persisted",
 ]
 ALPHA_MAX = 1.0
 

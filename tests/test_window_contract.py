@@ -65,11 +65,10 @@ def test_window_contains_the_flagship_operators():
     window = set(_window())
     flagships = {
         # r5 rotation: the four r4 operators the judge asked to see
-        # driver-green (VERDICT r4, next-round #2; dataset_dsir_weights
-        # rotated back out in r7 after three green rounds)
-        "dedup_substring_spans",
+        # driver-green (VERDICT r4, next-round #2; dataset_dsir_weights,
+        # dedup_substring_spans, and multimodal_video_frames rotated
+        # back out in r7 after three green rounds each)
         "bpe_merge_pairs",
-        "multimodal_video_frames",
         # r5 flagships: the upgraded residual oracle, the PQ-tier
         # recall report, the third streaming witness, the all-integer
         # binary-sketch tier, and the five-predicate cleaner
@@ -119,10 +118,8 @@ def test_window_contains_the_flagship_operators():
         "ann_knn_accuracy",
         "ann_ivf_probe_curve",
         "dedup_clusters",
-        "dedup_incremental",
         "semantic_dedup",
         "curriculum_stages",
-        "corpus_dataset_card",
         # late-r6 rotation #4: the hybrid retrieval fusion and the
         # three curation audits (ejecting decontaminate_overlap /
         # corpus_vocabulary / documents_tokenized / ann_topk_ivf — the
@@ -153,6 +150,17 @@ def test_window_contains_the_flagship_operators():
         "corpus_funnel",
         "profile_entropy",
         "text_top_tokens_approx",
+        # r7 rotation #2: the r7-built phash relations (real-bytes
+        # front, ingest-gate batch equivalent) plus two more
+        # never-witnessed r6 audits. Ejected (each ≥ 3 prior green
+        # rounds; dedup keeps 6 witnesses, multimodal keeps 5, the
+        # card's aggregates and the video decoder stay pinned locally):
+        # dedup_substring_spans, dedup_incremental, corpus_dataset_card,
+        # multimodal_video_frames.
+        "multimodal_phash_bytes",
+        "multimodal_phash_gate",
+        "dedup_survivors_longest",
+        "shard_balance",
     }
     missing = sorted(flagships - window)
     assert not missing, f"flagships outside the driver window: {missing}"
