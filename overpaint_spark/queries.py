@@ -1934,6 +1934,81 @@ def _oracle_documents_bm25() -> str:
     )
 
 
+#: The declared multi-query batch: q1 shares a term with q0, so the
+#: shared-term fan-out (one scored posting feeding two queries'
+#: sums) is witnessed at oracle level, not just in tests.
+_BM25_QUERIES = {0: ("hash", "join", "vector"), 1: ("hash", "sort", "merge")}
+
+
+def q_retrieval_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-QUERY BM25 ranker (operators/retrieval.py —
+    VERDICT r6 #4: retrieval parameterized by a query relation) as a
+    declared, fully-oracled row: per-query top-25 of the fixed 2-query
+    batch ``_BM25_QUERIES``. Unlike ``documents_bm25`` (which
+    ppm-quantizes the float term SUM), the multi-query operator
+    quantizes per (doc, term) at the bounded postings relation and
+    sums exact BIGINTs per query — deterministic under any aggregation
+    order, which is what the distributed plan needs; the oracle
+    mirrors that exactly. Equivalence to the single-query twin on a
+    1-row relation is pinned in tests/test_retrieval.py."""
+    from overpaint_spark.operators.retrieval import bm25_topk_queries
+
+    d = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in sorted(_BM25_QUERIES.items())],
+        "query_id long, terms array<string>",
+    )
+    return bm25_topk_queries(d, queries, k=25)
+
+
+def _oracle_retrieval_bm25_queries() -> str:
+    k1, k1p1, b = _BM25_K1, _BM25_K1 + 1.0, _BM25_B
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    ti = {t: i for i, t in enumerate(all_terms)}
+    tf_cols = ", ".join(
+        "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        f"t -> t = '{term}')) AS BIGINT) AS tf_{i}"
+        for term, i in ti.items()
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"AS df_{i}"
+        for i in ti.values()
+    )
+    # per-(doc, term) ppm contribution — quantized BEFORE the per-query
+    # sum, mirroring bm25_scores_queries
+    contrib = lambda i: (  # noqa: E731 - local SQL fragment builder
+        f"CAST(FLOOR(LN((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) "
+        f"* (CAST(tf_{i} AS DOUBLE) * {k1p1!r}) "
+        f"/ (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} "
+        "* CAST(dl AS DOUBLE) / avgdl)) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, "
+        + " + ".join(
+            f"(CASE WHEN tf_{ti[t]} > 0 THEN {contrib(ti[t])} "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for t in terms
+        )
+        + " AS bm25_ppm FROM base, stats"
+        for qid, terms in sorted(_BM25_QUERIES.items())
+    )
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl, "
+        f"{tf_cols} FROM documents), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
+        f"{df_cols} FROM base), "
+        f"scored AS ({arms}) "
+        "SELECT query_id, doc_id, rank, bm25_ppm FROM ("
+        "SELECT query_id, doc_id, bm25_ppm, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY bm25_ppm DESC, doc_id) AS BIGINT) AS rank "
+        "FROM scored WHERE bm25_ppm > 0) WHERE rank <= 25"
+    )
+
+
 _RRF_K = 60
 _RRF_DEPTH = 50
 
@@ -8085,6 +8160,111 @@ def _oracle_stream_sessionize() -> str:
     )
 
 
+_PSI_LO, _PSI_HI, _PSI_BINS = 0.0, 200.0, 10
+
+
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring by STRUCTURED STREAMING — sixth
+    oracle-verified streaming query: each arriving micro-batch of
+    events is histogrammed on fixed bin edges and scored with
+    integer-ppm PSI against a reference histogram frozen at sink
+    construction (streaming/drift.py — the foreachBatch twin of the
+    CLI's --drift-against loop). The reference is the user_id % 3 ≠ 0
+    split; the % 3 = 0 events arrive as TWO files split by
+    user_id % 2 (a ``split`` column staged onto each file makes every
+    batch self-identifying, so the output is order-independent:
+    one (split_id, n_rows, psi_ppm, band) row per batch). Per-bucket
+    PSI terms are ppm-quantized then summed as exact BIGINTs
+    (rules/psi.psi_ppm_from_histograms — the column_entropy idiom), so
+    the oracle mirrors the fold bucket-for-bucket. Fixture margins of
+    each term to its half-up boundary were measured ≥ 2e-3 term units
+    at all three SFs — 13 orders above 1-ulp LN noise."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.rules.psi import histogram
+    from overpaint_spark.streaming.drift import write_psi_stream
+
+    e = _t(spark, sf_dir, "events")
+    base_hist = histogram(
+        e.filter(F.col("user_id") % 3 != 0), "value", _PSI_LO, _PSI_HI, _PSI_BINS
+    )
+    incoming = e.filter(F.col("user_id") % 3 == 0).select(
+        "value", (F.col("user_id") % 2).alias("split")
+    )
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_psi_src_{run}"
+    out_dir = f"{base}/stream_psi_out_{run}"
+    ckpt_dir = f"{base}/stream_psi_ckpt_{run}"
+    for d in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    incoming.filter(F.col("split") == 0).coalesce(1).write.parquet(f"{src}/a")
+    incoming.filter(F.col("split") == 1).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("value double, split long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_psi_stream(
+        stream, base_hist, out_dir, ckpt_dir,
+        column="value", lo=_PSI_LO, hi=_PSI_HI, n_bins=_PSI_BINS,
+        label_col="split", trigger_available_now=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_psi: availableNow trigger did not complete within "
+            "300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir)
+
+
+def _oracle_stream_psi() -> str:
+    w = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    bucket = (
+        f"CASE WHEN value < {_PSI_LO!r} THEN 0 "
+        f"WHEN value >= {_PSI_HI!r} THEN {_PSI_BINS + 1} "
+        f"ELSE CAST(FLOOR((value - {_PSI_LO!r}) / {w!r}) AS INT) + 1 END"
+    )
+    arms = []
+    for s in (0, 1):
+        arms.append(
+            f"SELECT CAST({s} AS BIGINT) AS split_id, "
+            "(SELECT CAST(SUM(n) AS BIGINT) FROM "
+            f"cc{s}) AS n_rows, "
+            "(SELECT CAST(SUM(FLOOR((pc - pb) * LN(pc / pb) * 1000000.0 "
+            f"+ 0.5)) AS BIGINT) FROM t{s}) AS psi_ppm, "
+            "(SELECT CASE WHEN CAST(SUM(FLOOR((pc - pb) * LN(pc / pb) "
+            "* 1000000.0 + 0.5)) AS BIGINT) < 100000 THEN 'stable' "
+            "WHEN CAST(SUM(FLOOR((pc - pb) * LN(pc / pb) * 1000000.0 "
+            "+ 0.5)) AS BIGINT) <= 250000 THEN 'shifted' "
+            f"ELSE 'action' END FROM t{s}) AS band"
+        )
+    cur_ctes = ", ".join(
+        f"cc{s} AS (SELECT {bucket} AS bucket, COUNT(*) AS n FROM events "
+        f"WHERE user_id % 3 = 0 AND user_id % 2 = {s} "
+        "AND value IS NOT NULL GROUP BY 1), "
+        f"t{s} AS (SELECT GREATEST(COALESCE(bb.n, 0) / "
+        "(SELECT CAST(SUM(n) AS DOUBLE) FROM bb), 1e-6) AS pb, "
+        f"GREATEST(COALESCE(cc{s}.n, 0) / "
+        f"(SELECT CAST(SUM(n) AS DOUBLE) FROM cc{s}), 1e-6) AS pc "
+        f"FROM series LEFT JOIN bb USING (bucket) "
+        f"LEFT JOIN cc{s} USING (bucket))"
+        for s in (0, 1)
+    )
+    return (
+        f"WITH bb AS (SELECT {bucket} AS bucket, COUNT(*) AS n FROM events "
+        "WHERE user_id % 3 <> 0 AND value IS NOT NULL GROUP BY 1), "
+        "series AS (SELECT i AS bucket FROM "
+        f"UNNEST(GENERATE_SERIES(0, {_PSI_BINS + 1})) s(i)), "
+        f"{cur_ctes} "
+        + " UNION ALL ".join(arms)
+    )
+
+
 def q_stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NB classification by STRUCTURED STREAMING — fourth oracle-
     verified streaming query: a stateless per-row ARGMAX against the
@@ -8581,6 +8761,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
+    # r7: the multi-query BM25 ranker (query-relation-parameterized
+    # retrieval) as a fully-oracled declared row
+    "retrieval_bm25_queries": q_retrieval_bm25_queries,
+    # r7: sixth streaming witness — the foreachBatch PSI drift monitor,
+    # per-batch integer-ppm PSI vs a frozen reference histogram
+    "stream_psi": q_stream_psi,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # (the image perceptual-hash family — incl. the r7-new bytes front
     # and ingest-gate relation — plus stream_sessionize,
@@ -8725,6 +8911,7 @@ def oracles() -> dict[str, str]:
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),
         "retrieval_hybrid_rrf": _oracle_retrieval_hybrid_rrf(),
+        "retrieval_bm25_queries": _oracle_retrieval_bm25_queries(),
         "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
         "embedding_drift": _oracle_embedding_drift(),
         "quality_dup_lift": _oracle_quality_dup_lift(),
@@ -8736,6 +8923,7 @@ def oracles() -> dict[str, str]:
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "multimodal_phash_clusters": _oracle_multimodal_phash_clusters(),
         "stream_sessionize": _oracle_stream_sessionize(),
+        "stream_psi": _oracle_stream_psi(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "text_top_tokens_approx": _oracle_text_top_tokens_approx(),

@@ -103,6 +103,36 @@ def psi(
     return psi_from_histograms(b, c, n_bins)
 
 
+def psi_ppm_from_histograms(
+    base: list[tuple[int, int]],
+    cur: list[tuple[int, int]],
+    n_bins: int = 10,
+) -> int:
+    """Integer-ppm PSI: each bucket's ``(pc − pb)·ln(pc/pb)`` term is
+    half-up quantized to parts-per-million AT THE BUCKET (the
+    column_entropy idiom — the bucket relation is n_bins+2 rows, so
+    quantizing there costs nothing), then the terms sum as exact
+    BIGINTs. That makes the metric reproducible across engines and
+    aggregation orders — a float SUM over even 12 bucket terms is
+    order-dependent in the last ulp, which is enough to flip a
+    quantized value at a boundary; per-term quantization removes the
+    ordering from the math entirely. This is the form the streaming
+    drift monitor emits and its DuckDB oracle mirrors
+    (streaming/drift.py)."""
+    nb = dict(base)
+    nc = dict(cur)
+    tb = sum(nb.values())
+    tc = sum(nc.values())
+    if tb == 0 or tc == 0:
+        raise ValueError("PSI needs non-empty base and current windows")
+    out = 0
+    for b in range(n_bins + 2):
+        pb = max(nb.get(b, 0) / tb, EPS)
+        pc = max(nc.get(b, 0) / tc, EPS)
+        out += int(math.floor((pc - pb) * math.log(pc / pb) * 1_000_000.0 + 0.5))
+    return out
+
+
 def psi_band(value: float) -> str:
     """Operating band: stable / shifted / action."""
     if value < 0.1:

@@ -21,4 +21,5 @@ from overpaint_spark.streaming.topk import (  # noqa: F401
 )
 from overpaint_spark.streaming.drift import (  # noqa: F401
     write_drift_monitor_stream,
+    write_psi_stream,
 )

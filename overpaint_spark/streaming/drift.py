@@ -79,3 +79,93 @@ def write_drift_monitor_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- oracle-checkable integer-ppm variant (r7) ------------------------------
+#
+# write_drift_monitor_stream above is the OPERATIONAL monitor: float
+# PSI + batch_id provenance, exactly what a live pipeline logs. The
+# declared ``stream_psi`` relation needs the cross-engine-reproducible
+# form: per-bucket PSI terms half-up ppm-quantized then summed as exact
+# BIGINTs (rules/psi.psi_ppm_from_histograms — the column_entropy
+# idiom), and batches self-identified by a staged ``label_col`` so the
+# emitted relation is order-independent and a DuckDB oracle can mirror
+# it bucket-for-bucket. Same per-batch plan shape as the monitor above.
+
+
+def psi_batch_row(
+    batch: DataFrame,
+    base_counts: list[tuple[int, int]],
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    label_col: str | None = None,
+) -> tuple | None:
+    """Score ONE batch against the frozen reference histogram — the
+    shared body of :func:`write_psi_stream` and the equivalence test.
+    Returns ``(split_id, n_rows, psi_ppm, band)``, or ``None`` for a
+    batch with no non-NULL values; ``split_id`` is the batch's
+    ``label_col`` value when given (assumed constant within the batch
+    — the declared query stages files that way), else −1.
+
+    ONE Spark action per batch: the bucket histogram and the batch
+    label come back from a single groupBy aggregate (≤ n_bins+2 rows)
+    — a separate isEmpty probe / label agg would triple the per-batch
+    job count for no information."""
+    from overpaint_spark.rules.psi import bucket_expr, psi_ppm_from_histograms
+
+    c = F.col(column)
+    label = F.min(label_col) if label_col is not None else F.min(F.lit(-1))
+    rows = (
+        batch.filter(c.isNotNull())
+        .groupBy(bucket_expr(c, lo, hi, n_bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), label.alias("split"))
+        .collect()
+    )
+    if not rows:
+        return None
+    cur = [(r["bucket"], r["n"]) for r in rows]
+    n_rows = sum(n for _, n in cur)
+    ppm = psi_ppm_from_histograms(base_counts, cur, n_bins)
+    split = min(r["split"] for r in rows)
+    return (int(split), int(n_rows), int(ppm), psi_band(ppm / 1_000_000.0))
+
+
+def write_psi_stream(
+    stream: DataFrame,
+    base_hist: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    label_col: str | None = None,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Integer-ppm PSI per micro-batch: one
+    ``(split_id, n_rows, psi_ppm, band)`` row appended to ``out_dir``
+    per non-empty batch, scored against ``base_hist`` (a (bucket, n)
+    relation — collected and frozen HERE, once). See the section
+    comment for how this differs from write_drift_monitor_stream."""
+    base_counts = [(r.bucket, r.n) for r in base_hist.collect()]
+    if not base_counts:
+        raise ValueError("reference histogram is empty")
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        row = psi_batch_row(
+            batch_df, base_counts, column, lo, hi, n_bins, label_col
+        )
+        if row is None:
+            return
+        batch_df.sparkSession.createDataFrame(
+            [row], "split_id long, n_rows long, psi_ppm long, band string"
+        ).coalesce(1).write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -871,3 +871,79 @@ def test_streaming_phash_gate_matches_batch(spark, tmp_path):
     copy_ids = {r.doc_id for r in copies.collect()}
     assert copy_ids.isdisjoint(set(got))
     assert len(got) < incoming.count()
+
+
+def test_streaming_psi_ppm_matches_batch_and_float_psi(spark, events_dir, tmp_path):
+    """The oracle-checkable integer-ppm PSI stream (write_psi_stream):
+    each micro-batch's row equals the shared predicate body applied to
+    that slice batch-side, and psi_ppm tracks the float PSI within the
+    per-bucket quantization bound (n_bins+2 half-ups)."""
+    from overpaint_spark.rules.psi import histogram, psi_from_histograms
+    from overpaint_spark.streaming.drift import psi_batch_row, write_psi_stream
+
+    events = spark.read.parquet(events_dir)
+    base = events.filter(F.col("user_id") % 3 != 0)
+    base_hist = histogram(base, "value", 0.0, 200.0, 10)
+    base_counts = [(r.bucket, r.n) for r in base_hist.collect()]
+    incoming = events.filter(F.col("user_id") % 3 == 0).select(
+        "value", (F.col("user_id") % 2).alias("split")
+    )
+    src = str(tmp_path / "psi_src")
+    incoming.filter(F.col("split") == 0).coalesce(1).write.parquet(f"{src}/a")
+    incoming.filter(F.col("split") == 1).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("value double, split long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = write_psi_stream(
+        stream, base_hist, str(tmp_path / "psi_out"),
+        str(tmp_path / "psi_ckpt"), column="value", lo=0.0, hi=200.0,
+        n_bins=10, label_col="split", trigger_available_now=True,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.split_id: (r.n_rows, r.psi_ppm, r.band)
+        for r in spark.read.parquet(str(tmp_path / "psi_out")).collect()
+    }
+    assert set(got) == {0, 1}
+    for s in (0, 1):
+        batch = incoming.filter(F.col("split") == s)
+        want = psi_batch_row(
+            batch, base_counts, "value", 0.0, 200.0, 10, label_col="split"
+        )
+        assert got[s] == (want[1], want[2], want[3]) and want[0] == s
+        # ppm tracks the float fold within the quantization bound
+        cur = [
+            (r.bucket, r.n)
+            for r in histogram(batch, "value", 0.0, 200.0, 10).collect()
+        ]
+        f = psi_from_histograms(base_counts, cur, 10)
+        assert abs(got[s][1] - f * 1_000_000.0) <= 12
+
+
+def test_streaming_psi_empty_and_null_batches_skipped(spark, tmp_path):
+    """A batch whose monitored column is all NULL emits no row (no
+    distribution to score) — and the reference must be non-empty."""
+    import pytest as _pytest
+
+    from overpaint_spark.rules.psi import histogram
+    from overpaint_spark.streaming.drift import psi_batch_row, write_psi_stream
+
+    base = spark.createDataFrame(
+        [(float(i % 200),) for i in range(100)], "value double"
+    )
+    nulls = spark.createDataFrame(
+        [(None, 0)], "value double, split long"
+    )
+    counts = [
+        (r.bucket, r.n)
+        for r in histogram(base, "value", 0.0, 200.0, 10).collect()
+    ]
+    assert psi_batch_row(nulls, counts, "value", 0.0, 200.0, 10) is None
+    with _pytest.raises(ValueError, match="reference histogram is empty"):
+        write_psi_stream(
+            nulls, histogram(nulls, "value", 0.0, 200.0, 10),
+            str(tmp_path / "o"), str(tmp_path / "c"),
+            column="value", lo=0.0, hi=200.0,
+        )
