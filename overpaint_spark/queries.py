@@ -1726,6 +1726,106 @@ def _oracle_source_tfidf_terms() -> str:
     )
 
 
+_CLUSTER_TOPICS_TOPK = 3
+
+
+def q_corpus_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What is each SEMANTIC cluster made of? Per seeded-IVF cluster,
+    the top-3 tokens by tf·idf over its member documents — the topic
+    card a curation run reads next to embedding_centroid_purity (purity
+    says whether clusters are coherent; this says what they contain,
+    e.g. before dropping a cluster or re-weighting it in the mixture).
+
+    Composes two already-pinned bodies: the deterministic seeded
+    assignment (the IVF-oracle geometry, fixture margins ≥ 2.3e-4) and
+    the source_tfidf_terms scoring idiom (idf ppm-floored at the
+    vocab-bounded df relation, integer score, token-ascending ties).
+    Plan: assignment is N·C broadcast-fold flops (two-level dispatch
+    past 4096 centroids), one token explode/groupBy, and the top-3
+    window partitions by cluster over vocab-sized groups — no
+    corpus-sized window, no all-pairs stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    n_cent, _ = _ivf_params(sf_dir)
+    cmat = SIM.seeded_centroids(e, n_centroids=n_cent)
+    asg = SIM.assign_to_centroids(e, cmat).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    joined = d.join(asg, "doc_id")
+    tk = joined.select(
+        "doc_id", "cluster_id", F.explode(TX.words(F.col("text"))).alias("tok")
+    )
+    tf = tk.groupBy("cluster_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfr = (
+        tk.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dfd"))
+    )
+    n = joined.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    scored = (
+        tf.join(dfr, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cluster_id",
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        (F.col("nd") + F.lit(1)).cast("double")
+                        / (F.col("dfd") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("bigint")
+            ).alias("tfidf_score"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("tfidf_score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _CLUSTER_TOPICS_TOPK)
+        .select("cluster_id", "tok", "tf", "tfidf_score")
+    )
+
+
+def _oracle_corpus_cluster_topics() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "v FROM e), "
+        "cent AS (SELECT cid, v AS cv FROM ranked WHERE cid < "
+        f"GREATEST({_IVF_CENTROIDS}, (SELECT COUNT(*) FROM e) // {_IVF_LIST_TARGET})), "
+        "asg AS (SELECT vec_id, cid, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, "
+        "cid) AS rk FROM e CROSS JOIN cent), "
+        "assigned AS (SELECT vec_id AS doc_id, cid FROM asg WHERE rk = 1), "
+        "tk AS (SELECT d.doc_id, a.cid, "
+        "UNNEST(STRING_SPLIT(d.text, ' ')) AS tok "
+        "FROM documents d JOIN assigned a USING (doc_id)), "
+        "tf AS (SELECT cid, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tk GROUP BY cid, tok), "
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfd FROM "
+        "(SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd "
+        "FROM documents d JOIN assigned a USING (doc_id)), "
+        "scored AS (SELECT tf.cid, tf.tok, tf.tf, "
+        "tf.tf * CAST(FLOOR(LN(CAST(nd + 1 AS DOUBLE) / "
+        "CAST(dfd + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS tfidf_score "
+        "FROM tf JOIN df USING (tok) CROSS JOIN n) "
+        "SELECT cid AS cluster_id, tok, tf, tfidf_score FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY cid "
+        "ORDER BY tfidf_score DESC, tok ASC) AS rn FROM scored) "
+        f"WHERE rn <= {_CLUSTER_TOPICS_TOPK}"
+    )
+
+
 #: Per-source token budget: below the fixtures' ~1.3k tokens/source so
 #: the selection is genuinely selective at every SF.
 _BUDGET_SELECT_TOKENS = 800
@@ -8746,6 +8846,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_survivors_longest + shard_balance rotated INTO the window
     # in r7
     "corpus_langid_agreement": q_corpus_langid_agreement,
+    # r7: per-semantic-cluster topic card (seeded-IVF assignment ×
+    # tf·idf) — what each cluster contains, next to purity's coherence
+    "corpus_cluster_topics": q_corpus_cluster_topics,
     "profile_ddsketch_quantiles": q_profile_ddsketch_quantiles,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
@@ -8907,6 +9010,7 @@ def oracles() -> dict[str, str]:
         "quality_calibration": _oracle_quality_calibration(),
         "dedup_cluster_sizes": _oracle_dedup_cluster_sizes(),
         "source_tfidf_terms": _oracle_source_tfidf_terms(),
+        "corpus_cluster_topics": _oracle_corpus_cluster_topics(),
         "stream_nb_classify": _oracle_stream_nb_classify(),
         "dataset_budget_select": _oracle_dataset_budget_select(),
         "documents_bm25": _oracle_documents_bm25(),

@@ -205,3 +205,23 @@ def test_embedding_outliers_centroid_members_not_outliers(spark, sf_dir):
     for i, vid in enumerate(sorted(cent_ids)):
         assert got[vid]["cluster_id"] == i  # assigned to itself
         assert got[vid]["cos_r"] == 1.0 and not got[vid]["is_outlier"]
+
+
+def test_cluster_topics_shape_and_ordering(spark, sf_dir):
+    """Per cluster: at most top-3 rows, integer scores strictly ordered
+    (score desc, token asc), and every cluster_id comes from the seeded
+    geometry [0, C)."""
+    import overpaint_spark.queries as Q
+
+    rows = Q.q_corpus_cluster_topics(spark, sf_dir).collect()
+    assert rows
+    n_cent, _ = Q._ivf_params(sf_dir)
+    per = {}
+    for r in rows:
+        assert 0 <= r["cluster_id"] < n_cent
+        per.setdefault(r["cluster_id"], []).append((r["tfidf_score"], r["tok"]))
+    for cid, items in per.items():
+        assert 1 <= len(items) <= Q._CLUSTER_TOPICS_TOPK
+        # no duplicate tokens within a cluster's card
+        toks = [t for _, t in items]
+        assert len(toks) == len(set(toks)), f"cluster {cid} repeats a token"
