@@ -2061,7 +2061,12 @@ def q_retrieval_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_queries(d, queries, k=25)
 
 
-def _oracle_retrieval_bm25_queries() -> str:
+def _bm25_queries_ctes() -> str:
+    """CTE body ``base, stats, mqscored`` — the multi-query BM25 oracle
+    core (``mqscored`` is (query_id, doc_id, bm25_ppm), per-term
+    ppm-quantized then BIGINT-summed), shared by the declared
+    multi-query BM25 and multi-query RRF oracles (the _bm25_ctes
+    convention)."""
     k1, k1p1, b = _BM25_K1, _BM25_K1 + 1.0, _BM25_B
     all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
     ti = {t: i for i, t in enumerate(all_terms)}
@@ -2094,18 +2099,90 @@ def _oracle_retrieval_bm25_queries() -> str:
         for qid, terms in sorted(_BM25_QUERIES.items())
     )
     return (
-        "WITH base AS (SELECT doc_id, "
+        "base AS (SELECT doc_id, "
         "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl, "
         f"{tf_cols} FROM documents), "
         "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
         "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
         f"{df_cols} FROM base), "
-        f"scored AS ({arms}) "
+        f"mqscored AS ({arms})"
+    )
+
+
+def _oracle_retrieval_bm25_queries() -> str:
+    return (
+        f"WITH {_bm25_queries_ctes()} "
         "SELECT query_id, doc_id, rank, bm25_ppm FROM ("
         "SELECT query_id, doc_id, bm25_ppm, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
         "ORDER BY bm25_ppm DESC, doc_id) AS BIGINT) AS rank "
-        "FROM scored WHERE bm25_ppm > 0) WHERE rank <= 25"
+        "FROM mqscored WHERE bm25_ppm > 0) WHERE rank <= 25"
+    )
+
+
+def q_retrieval_rrf_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-QUERY hybrid RRF as a declared, fully-oracled row: the
+    query-relation fusion operator (operators/retrieval.py
+    hybrid_rrf_queries) on a 2-query batch — query q's terms come from
+    ``_BM25_QUERIES[q]`` and its dense vector is embedding q's own
+    vector, so both retrieval modalities are parameterized per query.
+    Per-query partitioned rank windows, per-query top-25; rrf_ppm is
+    exact by the same reduced-denominator argument as
+    retrieval_hybrid_rrf. Dense rank determinism at the new query
+    vector is held by the oracle MATCH at all three SFs (the
+    single-query row documents measured margins ≥ 7.8e-6)."""
+    from overpaint_spark.operators.retrieval import hybrid_rrf_queries
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_BM25_QUERIES)
+    terms_rel = spark.createDataFrame(
+        [(qid, list(_BM25_QUERIES[qid])) for qid in qids],
+        "query_id long, terms array<string>",
+    )
+    qvecs = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    queries = terms_rel.join(qvecs, "query_id")
+    return hybrid_rrf_queries(d, e, queries, k=25, depth=_RRF_DEPTH)
+
+
+def _oracle_retrieval_rrf_queries() -> str:
+    k = float(_RRF_K)
+    depth = _RRF_DEPTH
+    qids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return (
+        f"WITH {_bm25_queries_ctes()}, "
+        "lex AS (SELECT query_id, doc_id, lex_rank FROM ("
+        "SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY bm25_ppm DESC, doc_id) AS BIGINT) AS lex_rank "
+        f"FROM mqscored WHERE bm25_ppm > 0) WHERE lex_rank <= {depth}), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) "
+        f"AS qv FROM embeddings WHERE vec_id IN ({qids})), "
+        "cand AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) "
+        "AS cv FROM embeddings), "
+        "ds AS (SELECT q.query_id, c.doc_id, "
+        "LIST_COSINE_SIMILARITY(q.qv, c.cv) AS sim "
+        "FROM cand c CROSS JOIN q WHERE c.doc_id <> q.query_id), "
+        "den AS (SELECT query_id, doc_id, vec_rank FROM ("
+        "SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank FROM ds) "
+        f"WHERE vec_rank <= {depth}), "
+        "f AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id, "
+        "COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, "
+        "dn.vec_rank FROM lex l FULL OUTER JOIN den dn "
+        "ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id) "
+        "SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppm FROM ("
+        "SELECT query_id, doc_id, lex_rank, vec_rank, "
+        f"CAST(FLOOR((COALESCE(1.0 / ({k!r} + lex_rank), 0.0) + "
+        f"COALESCE(1.0 / ({k!r} + vec_rank), 0.0)) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS rrf_ppm, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        f"CAST(FLOOR((COALESCE(1.0 / ({k!r} + lex_rank), 0.0) + "
+        f"COALESCE(1.0 / ({k!r} + vec_rank), 0.0)) * 1000000.0 + 0.5) "
+        "AS BIGINT) DESC, doc_id) AS rn FROM f) WHERE rn <= 25"
     )
 
 
@@ -8864,9 +8941,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
-    # r7: the multi-query BM25 ranker (query-relation-parameterized
-    # retrieval) as a fully-oracled declared row
+    # r7: the multi-query BM25 ranker and the multi-query hybrid RRF
+    # fusion (query-relation-parameterized retrieval) as fully-oracled
+    # declared rows
     "retrieval_bm25_queries": q_retrieval_bm25_queries,
+    "retrieval_rrf_queries": q_retrieval_rrf_queries,
     # r7: sixth streaming witness — the foreachBatch PSI drift monitor,
     # per-batch integer-ppm PSI vs a frozen reference histogram
     "stream_psi": q_stream_psi,
@@ -9016,6 +9095,7 @@ def oracles() -> dict[str, str]:
         "documents_bm25": _oracle_documents_bm25(),
         "retrieval_hybrid_rrf": _oracle_retrieval_hybrid_rrf(),
         "retrieval_bm25_queries": _oracle_retrieval_bm25_queries(),
+        "retrieval_rrf_queries": _oracle_retrieval_rrf_queries(),
         "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
         "embedding_drift": _oracle_embedding_drift(),
         "quality_dup_lift": _oracle_quality_dup_lift(),

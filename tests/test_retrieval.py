@@ -384,3 +384,19 @@ def test_mmr_queries_traces_are_independent(spark, sf_dir):
             for r in mmr_select_queries(e, solo_rel, k=5).collect()
         }
         assert solo == {kv: v2 for kv, v2 in multi.items() if kv[0] == qid}
+
+
+def test_declared_rrf_queries_q0_equals_single_query_row(spark, sf_dir):
+    """The declared 2-query RRF's query-0 slice must equal the declared
+    single-query retrieval_hybrid_rrf row-for-row (same terms, same
+    query vector, same exclusion rule)."""
+    got = sorted(
+        (r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_ppm"])
+        for r in Q.q_retrieval_rrf_queries(spark, sf_dir).collect()
+        if r["query_id"] == 0
+    )
+    want = sorted(
+        (r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_ppm"])
+        for r in Q.q_retrieval_hybrid_rrf(spark, sf_dir).collect()
+    )
+    assert got == want
