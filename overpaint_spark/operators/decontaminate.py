@@ -213,12 +213,17 @@ def bloom_might_contain(
 ) -> Column:
     """True iff every probe bit for ``shingle`` is set in ``words``.
 
-    The bitset rides into the plan as an ``array<bigint>`` literal
-    (16 KiB at the default geometry — far under broadcast thresholds and
-    shipped once per executor with the serialized plan); ``bit_get``
-    takes a *column* position, which is what lets the probe run inside a
+    The bitset rides into the plan as ONE ``array<bigint>`` Literal
+    node (``F.lit(list)`` — the frozen-NB-model idiom), NOT a
+    ``CreateArray`` of n_bits/64 scalar literals: CreateArray's
+    per-element expression nodes made analysis/codegen cost scale with
+    the bitset (the r7 derived geometry grew a 10× eval set to 2^20
+    bits = 16k elements and the screen's wall time went
+    super-linear — α 0.94 — from plan overhead alone; one Literal
+    restored α to the candidate-bound shape). ``bit_get`` takes a
+    *column* position, which is what lets the probe run inside a
     higher-order lambda with zero UDFs."""
-    wl = F.array(*[F.lit(w).cast("long") for w in words])
+    wl = F.lit([int(w) for w in words]).cast("array<bigint>")
     pos = _bloom_positions(shingle, n_bits, n_hashes)
     return F.forall(
         pos,
