@@ -8648,7 +8648,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the embedding-cosine tier keeps semantic_dedup +
     # decontaminate_semantic as in-window witnesses)
     "split_dedup_leakage": q_split_dedup_leakage,
-    "dedup_clusters": q_dedup_clusters,
+    # r7 rotation #3: dedup_clusters (green r3–r6) hands its slot to
+    # the per-semantic-cluster topic card; the component resolution
+    # stays witnessed by dedup_survivors_longest (which drives the
+    # same union-find/star machinery end-to-end)
+    "corpus_cluster_topics": q_corpus_cluster_topics,
     # late-r6 rotation: the Bloom-gated decontaminator takes
     # dedup_survivors' slot (dedup keeps six in-window witnesses;
     # survivors stays declared + locally oracle-checked)
@@ -8684,7 +8688,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked locally; dataset_dsir_resample extends it)
     # r6 rotation: the IEEE-exact temperature-mixture weights
     "dataset_mixture_temperature": q_dataset_mixture_temperature,
-    "corpus_clean_v3": q_corpus_clean_v3,
+    # r7 rotation #3: corpus_clean_v3 (green r5–r6) hands its slot to
+    # the multi-query BM25 ranker; the v3 predicate chain stays
+    # witnessed by corpus_funnel (whose last row equals clean_v3's
+    # survivor count) and corpus_pipeline (which runs it as stage 1)
+    "retrieval_bm25_queries": q_retrieval_bm25_queries,
     # r7 rotation: the per-stage retention funnel over the clean_v3
     # predicate chain — the cleaning audit a curation run publishes
     # (last row cross-checked == clean_v3's survivor count in tests)
@@ -8748,7 +8756,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row witnesses the round-trip; the live tier keeps the residual
     # variant + recall report in-window
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
-    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+    # r7 rotation #3: ann_topk_ivfpq_residual (green r5–r6) hands its
+    # slot to the multi-query RRF fusion; the residual coding stays
+    # witnessed by ann_ivfpq_recall (which scores the residual tier
+    # inside its recall relation) and local oracle runs
+    "retrieval_rrf_queries": q_retrieval_rrf_queries,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     # late-r6 rotation #3: the label-based kNN evaluation and the IVF
     # probe/recall curve take the multimodal_metadata and
@@ -8767,7 +8779,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SQL-expressible) — takes stream_corpus_stats' slot (driver-green
     # since r3; the windowed-agg math stays declared + checked locally)
     "stream_sessionize": q_stream_sessionize,
-    "stream_lm_score": q_stream_lm_score,
+    # r7 rotation #3: stream_lm_score (green r5–r6) hands its slot to
+    # the sixth streaming witness — the per-batch integer-ppm PSI
+    # drift monitor; frozen-model LM scoring stays pinned by its
+    # batch/stream equivalence test and local oracle runs
+    "stream_psi": q_stream_psi,
     # late-r6 rotation #2: the fourth streaming witness (frozen-NB
     # argmax; takes profile_minmax_temporal's slot — the numeric twin
     # of the same operator family stays in-window)
@@ -8923,9 +8939,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_survivors_longest + shard_balance rotated INTO the window
     # in r7
     "corpus_langid_agreement": q_corpus_langid_agreement,
-    # r7: per-semantic-cluster topic card (seeded-IVF assignment ×
-    # tf·idf) — what each cluster contains, next to purity's coherence
-    "corpus_cluster_topics": q_corpus_cluster_topics,
     "profile_ddsketch_quantiles": q_profile_ddsketch_quantiles,
     # oracle-checked approximate ops (fixture margins measured) and
     # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
@@ -8941,14 +8954,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
-    # r7: the multi-query BM25 ranker and the multi-query hybrid RRF
-    # fusion (query-relation-parameterized retrieval) as fully-oracled
-    # declared rows
-    "retrieval_bm25_queries": q_retrieval_bm25_queries,
-    "retrieval_rrf_queries": q_retrieval_rrf_queries,
-    # r7: sixth streaming witness — the foreachBatch PSI drift monitor,
-    # per-batch integer-ppm PSI vs a frozen reference histogram
-    "stream_psi": q_stream_psi,
+    # (r7 rotation #3 moved corpus_cluster_topics,
+    # retrieval_bm25_queries, retrieval_rrf_queries, and stream_psi
+    # INTO the window; ejected for them — each with ≥ 2 prior green
+    # rounds and its math re-witnessed by a surviving row:)
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_clean_v3": q_corpus_clean_v3,
+    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+    "stream_lm_score": q_stream_lm_score,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # (the image perceptual-hash family — incl. the r7-new bytes front
     # and ingest-gate relation — plus stream_sessionize,

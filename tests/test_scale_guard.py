@@ -74,6 +74,12 @@ GUARD_QUERIES = [
     # cluster). The steady-state search phase is benched separately
     # (bench.py prepare_extra_timers: 'ann_ivfpq_persisted:search').
     "ann_topk_ivfpq_persisted",
+    # r7: the cluster-topics audit chains the N·C assignment with a
+    # corpus token explode — the cross-stage shape the guard watches
+    "corpus_cluster_topics",
+    # r7: multi-query BM25 — the postings sliver (map-side term filter
+    # before the explode) is its sub-linearity claim
+    "retrieval_bm25_queries",
 ]
 ALPHA_MAX = 1.0
 

@@ -69,13 +69,12 @@ def test_window_contains_the_flagship_operators():
         # dedup_substring_spans, and multimodal_video_frames rotated
         # back out in r7 after three green rounds each)
         "bpe_merge_pairs",
-        # r5 flagships: the upgraded residual oracle, the PQ-tier
-        # recall report, the third streaming witness, the all-integer
-        # binary-sketch tier, and the five-predicate cleaner
-        "ann_topk_ivfpq_residual",
+        # r5 flagships (ann_topk_ivfpq_residual / stream_lm_score /
+        # corpus_clean_v3 rotated back out in r7 rotation #3 after two
+        # green rounds each; their math is re-witnessed by
+        # ann_ivfpq_recall, the LM equivalence tests, and
+        # corpus_funnel + corpus_pipeline respectively)
         "ann_ivfpq_recall",
-        "stream_lm_score",
-        "corpus_clean_v3",
         # r6 rotation: the three r5 orphans the judge asked to see
         # driver-green (VERDICT r5, next-round #2)
         "corpus_span_scrubbed",
@@ -117,7 +116,6 @@ def test_window_contains_the_flagship_operators():
         "embedding_centroid_purity",
         "ann_knn_accuracy",
         "ann_ivf_probe_curve",
-        "dedup_clusters",
         "semantic_dedup",
         "curriculum_stages",
         # late-r6 rotation #4: the hybrid retrieval fusion and the
@@ -161,6 +159,16 @@ def test_window_contains_the_flagship_operators():
         "multimodal_phash_gate",
         "dedup_survivors_longest",
         "shard_balance",
+        # r7 rotation #3: the round's own oracled additions — the
+        # sixth streaming witness (per-batch PSI drift), the two
+        # multi-query retrieval rows, and the cluster topic card.
+        # Ejected (each ≥ 2 green rounds; math re-witnessed by
+        # surviving rows as documented in the manifest): dedup_clusters,
+        # corpus_clean_v3, ann_topk_ivfpq_residual, stream_lm_score.
+        "stream_psi",
+        "retrieval_bm25_queries",
+        "retrieval_rrf_queries",
+        "corpus_cluster_topics",
     }
     missing = sorted(flagships - window)
     assert not missing, f"flagships outside the driver window: {missing}"
