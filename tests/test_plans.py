@@ -199,6 +199,16 @@ _CROSS_OK = {
     # tf-idf: the 1-row corpus doc count crossed into the vocab-bounded
     # scoring relation
     "source_tfidf_terms",
+    # cluster topics: the same 1-row doc-count scalar broadcast as
+    # source_tfidf_terms, into the vocab-bounded scoring relation
+    "corpus_cluster_topics",
+    # multi-query BM25: the 1-row corpus-stats scalar broadcast into
+    # the postings-sliver scorer (documents_bm25's shape, per query)
+    "retrieval_bm25_queries",
+    # multi-query RRF: inherits the BM25 stats scalar + the BOUNDED
+    # |Q|-row query-vector broadcast on the dense side (the
+    # brute_force_topk asymmetry)
+    "retrieval_rrf_queries",
 }
 
 
