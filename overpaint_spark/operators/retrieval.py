@@ -29,6 +29,15 @@ Scale shape (100 TB corpus, bounded query batch):
   rows each), so a thousand queries fan out across executors instead
   of serializing through the driver the way the single-query
   ``mmr_select`` does.
+- **Per-query rank windows are NOT corpus-sized sorts**: every
+  ``row_number ≤ k`` filter here plans as Partial+Final
+  ``WindowGroupLimit`` (Spark 3.5 InferWindowGroupLimit) — each map
+  partition keeps a bounded top-k heap per query BEFORE the exchange,
+  so the shuffle carries ≤ k·partitions rows per query, the
+  multi-query analogue of the single-query tier's
+  TakeOrderedAndProject. Verified in the executed plans
+  (tests/test_plans.py sweeps the declared rows; the rrf plan shows
+  six WindowGroupLimit operators).
 """
 
 from __future__ import annotations

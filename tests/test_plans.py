@@ -301,3 +301,20 @@ def test_dataset_shuffle_prefix_width_equivalence(spark):
     three = {r.doc_id: (r.position, r.shard)
              for r in q_dataset_shuffle(spark, SF, prefix_hex=3).collect()}
     assert two == three
+
+
+def test_multiquery_rank_windows_use_group_limit(spark):
+    """The multi-query retrieval tiers' per-query row_number filters
+    must plan as WindowGroupLimit (bounded per-partition top-k heaps
+    BEFORE the exchange — the multi-query analogue of
+    TakeOrderedAndProject), never a full per-query sort: a refactor
+    that defeats InferWindowGroupLimit (e.g. selecting extra window
+    functions or a non-rank filter) turns each rank window into a
+    corpus-sized sort per query at 100 TB."""
+    for name, min_hits in [
+        ("retrieval_rrf_queries", 3),  # lex depth + dense depth + final top-k
+        ("retrieval_bm25_queries", 1),
+    ]:
+        plan = plan_of(spark, name)
+        hits = plan.count("WindowGroupLimit")
+        assert hits >= min_hits, f"{name}: {hits} WindowGroupLimit in plan"
