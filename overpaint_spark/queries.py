@@ -2273,6 +2273,27 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_select(e, query_vec_id=0, k=10, shortlist=_RRF_DEPTH)
 
 
+def q_retrieval_mmr_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-QUERY MMR diversified selection (operators/retrieval.py
+    mmr_select_queries): the greedy top-10 trace PER QUERY for a
+    2-query batch (embeddings 0 and 1 as query vectors) — the same
+    integer recurrence as retrieval_mmr, but each query's trace runs
+    vectorized inside its own ``applyInPandas`` group so query fan-in
+    parallelizes across executors. Rows-only like its single-query
+    twin (the greedy recurrence has no non-recursive SQL form); the
+    query-0 slice is pinned equal to mmr_select's trace and the
+    per-query independence property is pinned in
+    tests/test_retrieval.py."""
+    from overpaint_spark.operators.retrieval import mmr_select_queries
+
+    e = _t(spark, sf_dir, "embeddings")
+    qids = sorted(_BM25_QUERIES)
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return mmr_select_queries(e, queries, k=10, shortlist=_RRF_DEPTH)
+
+
 # --- data-constrained epoch planning (Muennighoff et al. 2023) -------------
 
 _EPOCH_BUDGET_MULT = 3  # train budget = 3× the unique corpus tokens
@@ -8954,6 +8975,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MMR diversified selection — rows-only by design (greedy
     # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
+    # r7: the multi-query MMR twin — rows-only like retrieval_mmr (the
+    # greedy recurrence), one applyInPandas trace per query
+    "retrieval_mmr_queries": q_retrieval_mmr_queries,
     # (r7 rotation #3 moved corpus_cluster_topics,
     # retrieval_bm25_queries, retrieval_rrf_queries, and stream_psi
     # INTO the window; ejected for them — each with ≥ 2 prior green
