@@ -214,16 +214,21 @@ def bloom_might_contain(
     """True iff every probe bit for ``shingle`` is set in ``words``.
 
     The bitset rides into the plan as ONE ``array<bigint>`` Literal
-    node (``F.lit(list)`` — the frozen-NB-model idiom), NOT a
-    ``CreateArray`` of n_bits/64 scalar literals: CreateArray's
-    per-element expression nodes made analysis/codegen cost scale with
-    the bitset (the r7 derived geometry grew a 10× eval set to 2^20
-    bits = 16k elements and the screen's wall time went
-    super-linear — α 0.94 — from plan overhead alone; one Literal
-    restored α to the candidate-bound shape). ``bit_get`` takes a
-    *column* position, which is what lets the probe run inside a
-    higher-order lambda with zero UDFs."""
-    wl = F.lit([int(w) for w in words]).cast("array<bigint>")
+    node, NOT a ``CreateArray`` of n_bits/64 scalar literals:
+    CreateArray's per-element expression nodes made analysis/codegen
+    cost scale with the bitset (the r7 derived geometry grew a 10× eval
+    set to 2^20 bits = 16k elements and the screen's wall time went
+    super-linear — α 0.94 — from plan overhead alone). NOTE the idiom:
+    ``F.lit(python_list)`` still expands to ``array(lit(x)...)`` —a
+    CreateArray that only folds to a Literal in the optimizer, after
+    analysis has paid per-element cost; ``F.lit(numpy_int64_array)``
+    takes the ndarray fast path in ``lit()`` and constructs a genuine
+    single ArrayType Literal JVM-side. ``bit_get`` takes a *column*
+    position, which is what lets the probe run inside a higher-order
+    lambda with zero UDFs."""
+    import numpy as np
+
+    wl = F.lit(np.asarray([int(w) for w in words], dtype=np.int64))
     pos = _bloom_positions(shingle, n_bits, n_hashes)
     return F.forall(
         pos,
@@ -262,10 +267,17 @@ def decontaminated_bloom(
 
     Steps 3–4 touch only the candidate sliver, so the full corpus is
     read once and shuffled never."""
+    # cached: three jobs read this relation (the geometry count, the
+    # bloom-build collect, the exact-confirm broadcast) — without the
+    # cache the eval corpus is re-shingled for each, contradicting
+    # build_gram_bloom's never-re-shingle purpose. Matches the
+    # streaming twin (write_decontaminate_stream); eval suites are
+    # bounded so the cached footprint is KBs–MBs.
     ev_exact = (
         distinct_shingles(eval_docs, id_col, text_col, k)
         .select("shingle")
         .distinct()
+        .cache()
     )
     if n_bits is None:
         n_bits = bloom_geometry(ev_exact.count())

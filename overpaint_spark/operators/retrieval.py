@@ -72,9 +72,12 @@ def bm25_scores_queries(
     form. Terms appearing in several queries are scored once and fan
     out through the broadcast (term → query) map.
     """
+    # distinct BEFORE the broadcast join: a term duplicated inside one
+    # query's array must score once, not fan the same posting out twice
+    # (the single-query twin and the declared oracle score distinct terms)
     term_rows = queries.select(
         F.explode(F.col(terms_col)).alias("term"), F.col(query_id_col)
-    )
+    ).distinct()
     all_terms = sorted(
         {r["term"] for r in term_rows.select("term").distinct().collect()}
     )
@@ -138,13 +141,27 @@ def bm25_topk_queries(
     docs: DataFrame,
     queries: DataFrame,
     k: int = 25,
-    **kwargs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Per-query BM25 top-``k``: (query_id, doc_id, rank, bm25_ppm),
-    rank dense over (bm25_ppm desc, doc_id) — the partitioned-window
-    form of ``documents_bm25``'s global TakeOrderedAndProject."""
-    query_id_col = kwargs.get("query_id_col", "query_id")
-    scores = bm25_scores_queries(docs, queries, **kwargs)
+    rank = row_number over (bm25_ppm desc, doc_id) — the
+    partitioned-window form of ``documents_bm25``'s global
+    TakeOrderedAndProject."""
+    scores = bm25_scores_queries(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        terms_col=terms_col,
+        k1=k1,
+        b=b,
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("bm25_ppm").desc(), F.col("doc_id")
     )

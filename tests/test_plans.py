@@ -209,6 +209,11 @@ _CROSS_OK = {
     # |Q|-row query-vector broadcast on the dense side (the
     # brute_force_topk asymmetry)
     "retrieval_rrf_queries",
+    # multi-query MMR: the only nested-loop join is the BOUNDED |Q|-row
+    # broadcast query relation crossed into the shortlist builder
+    # (operators/retrieval.py: c.crossJoin(F.broadcast(q)) — the exact
+    # asymmetric shape of its whitelisted twins above)
+    "retrieval_mmr_queries",
 }
 
 
