@@ -2869,6 +2869,120 @@ def _oracle_multimodal_phash_neardups() -> str:
     )
 
 
+# --- real-photo lake table (committed binary fixture) -----------------------
+#
+# fixtures/photos.parquet: 16 REAL photo payloads — the four Spark-bundled
+# kitten JPEGs plus, per photo, a repo-encoder q=60 JPEG re-encode (a lossy
+# planted near-dup) and lossless PPM/BMP re-packs (exact phash dups). Built
+# by tools/gen_photo_fixture.py; the _PHOTO_EXPECTED constants below were
+# computed there ONCE through the same pure-numpy decoder the operators
+# use, so the declared relations — which recompute everything from the raw
+# committed bytes — are held to a VALUES-literal oracle: decode is
+# deterministic, so a MATCH witnesses the full JPEG/PPM/BMP decoder stack
+# plus the integer aHash, cross-engine (the ann_topk_ivfpq_persisted proof
+# shape: the round-trip IS the oracle-level claim). The near-dup oracle is
+# NOT a golden copy: it re-derives the pair set brute-force in SQL from the
+# signature literals, so the banded Spark plan's pigeonhole exactness is
+# value-checked, like _oracle_multimodal_phash_neardups.
+
+#: (asset_id, w0, w1, width, height, byte_len) — tools/gen_photo_fixture.py
+_PHOTO_EXPECTED = [
+    (1, 3284326400, 4291019651, 300, 200, 27295),
+    (101, 2210584576, 4291019651, 300, 200, 9302),
+    (201, 3284326400, 4291019651, 300, 200, 180015),
+    (301, 3284326400, 4291019651, 300, 200, 180054),
+    (2, 3824287743, 4219568515, 300, 311, 35914),
+    (102, 3824287743, 4219568515, 300, 311, 11489),
+    (202, 3824287743, 4219568515, 300, 311, 279915),
+    (302, 3824287743, 4219568515, 300, 311, 279954),
+    (3, 2172748287, 4286677377, 300, 296, 26354),
+    (103, 2172748287, 4286677377, 300, 296, 10285),
+    (203, 2172748287, 4286677377, 300, 296, 266415),
+    (303, 2172748287, 4286677377, 300, 296, 266454),
+    (4, 2441200639, 4294935427, 199, 313, 30432),
+    (104, 2172765183, 4294935427, 199, 313, 18006),
+    (204, 2441200639, 4294935427, 199, 313, 186876),
+    (304, 2441200639, 4294935427, 199, 313, 187854),
+]
+
+_PHOTO_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "photos.parquet"
+)
+
+
+def _photo_assets(spark: SparkSession) -> DataFrame:
+    """The committed photo BLOB table: (asset_id, photo, variant, fmt,
+    payload binary). At production scale this is any parquet/binaryFile
+    image lake — the payloads stay executor-side through every operator
+    below (one mapInPandas scan pass each, no shuffle of bytes)."""
+    return spark.read.parquet(_PHOTO_FIXTURE)
+
+
+def q_multimodal_photo_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset 64-bit aHash over REAL photo bytes from the committed
+    lake table — JPEG originals, repo-encoder re-encodes, and lossless
+    PPM/BMP re-packs all flow through image_phash_bytes' full decoder
+    stack. Oracle: the _PHOTO_EXPECTED signature literals (decode is
+    deterministic; see the fixture block comment)."""
+    return MM.image_phash_bytes(_photo_assets(spark))
+
+
+def _oracle_multimodal_photo_phash() -> str:
+    vals = ", ".join(f"({a}, {w0}, {w1})" for a, w0, w1, *_ in _PHOTO_EXPECTED)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(asset_id, w0, w1)"
+    )
+
+
+def q_multimodal_photo_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset metadata over the real photo bytes: byte length plus
+    width/height from the REAL decoder (extract_metadata — every
+    fixture format decodes for real, the stub path is unreachable
+    here). Oracle: the recorded dimensions/lengths as VALUES literals;
+    sha256 is dropped from the declared projection only to keep the
+    oracle row compact (it is pinned in tests/test_multimodal.py)."""
+    return MM.extract_metadata(_photo_assets(spark)).select(
+        "asset_id", "byte_len", "width", "height"
+    )
+
+
+def _oracle_multimodal_photo_metadata() -> str:
+    vals = ", ".join(
+        f"({a}, {bl}, {w}, {h})" for a, _w0, _w1, w, h, bl in _PHOTO_EXPECTED
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(asset_id, byte_len, width, height)"
+    )
+
+
+def q_multimodal_photo_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate REAL-photo pairs at Hamming ≤ 3 via the banded
+    postings plan (phash_neardup_pairs) over signatures recomputed from
+    the raw committed bytes. Expected: exactly the 24 within-photo
+    pairs (lossless re-packs at distance 0, q=60 re-encodes at ≤ 1;
+    distinct kittens sit ≥ 11 apart — measured in
+    tests/test_multimodal.py). The oracle re-derives the pair set
+    brute-force from the signature literals, so both the decoder stack
+    AND the pigeonhole-banding logic are value-checked."""
+    hashes = MM.image_phash_bytes(_photo_assets(spark))
+    return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
+
+
+def _oracle_multimodal_photo_neardups() -> str:
+    vals = ", ".join(f"({a}, {w0}, {w1})" for a, w0, w1, *_ in _PHOTO_EXPECTED)
+    return (
+        f"WITH ph AS (SELECT * FROM (VALUES {vals}) AS t(asset_id, w0, w1)) "
+        "SELECT a.asset_id AS a_id, b.asset_id AS b_id, "
+        "CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) "
+        "AS INT) AS hamming "
+        "FROM ph a JOIN ph b ON a.asset_id < b.asset_id "
+        f"WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) "
+        f"<= {_PHASH_MAX_HAMMING}"
+    )
+
+
 # --- duplicate-vs-unique quality lift ---------------------------------------
 
 
@@ -8998,6 +9112,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "corpus_dataset_card": q_corpus_dataset_card,
     "multimodal_video_frames": q_multimodal_video_frames,
+    # r8: the real-photo lake table relations (committed binary
+    # fixture; kitten JPEGs + encoder-derived variants) — VALUES-literal
+    # oracles over decode-deterministic expected values
+    "multimodal_photo_phash": q_multimodal_photo_phash,
+    "multimodal_photo_metadata": q_multimodal_photo_metadata,
+    "multimodal_photo_neardups": q_multimodal_photo_neardups,
     # DSIR resample (weights → corpus) and the distance-to-own-centroid
     # outlier audit — full SQL oracles
     "dataset_dsir_resample": q_dataset_dsir_resample,
@@ -9143,6 +9263,12 @@ def oracles() -> dict[str, str]:
         "multimodal_phash_gate": _oracle_multimodal_phash_gate(),
         "multimodal_phash_neardups": _oracle_multimodal_phash_neardups(),
         "multimodal_phash_clusters": _oracle_multimodal_phash_clusters(),
+        # real-photo lake relations: recompute-from-raw-bytes held to
+        # the decode-deterministic VALUES literals (+ a brute-force
+        # pair re-derivation for the banded near-dup plan)
+        "multimodal_photo_phash": _oracle_multimodal_photo_phash(),
+        "multimodal_photo_metadata": _oracle_multimodal_photo_metadata(),
+        "multimodal_photo_neardups": _oracle_multimodal_photo_neardups(),
         "stream_sessionize": _oracle_stream_sessionize(),
         "stream_psi": _oracle_stream_psi(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),

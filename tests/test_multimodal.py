@@ -676,3 +676,48 @@ def test_phash_bytes_format_invariance_and_undecodable_dropped(spark):
     }
     want = MM.ahash_words(arr)
     assert got == {1: want, 2: want}  # id 3 dropped: no signature
+
+
+# --- the committed real-photo lake fixture ----------------------------------
+
+
+def test_photo_fixture_payloads_decode_for_real_and_match_expected():
+    """Every committed fixture payload must decode through the REAL
+    decoder (never _fake_decode_dims), carry a distinct sha256 (the
+    variants are different byte streams of the same rasters), and
+    reproduce the _PHOTO_EXPECTED constants when rehashed directly in
+    numpy — the same recompute the declared relations run on Spark."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators import multimodal as MM
+
+    t = pq.read_table(Q._PHOTO_FIXTURE).to_pylist()
+    assert len(t) == 16
+    want = {a: (w0, w1, w, h, bl) for a, w0, w1, w, h, bl in Q._PHOTO_EXPECTED}
+    digests = set()
+    for row in t:
+        payload = row["payload"]
+        arr = MM.decode_image(payload)
+        assert arr is not None, f"asset {row['asset_id']} hit the stub path"
+        w0, w1 = MM.ahash_words(arr)
+        h, w = arr.shape[:2]
+        assert (w0, w1, w, h, len(payload)) == want[row["asset_id"]]
+        digests.add(hashlib.sha256(payload).hexdigest())
+    assert len(digests) == 16  # all byte streams distinct
+
+
+def test_photo_neardups_are_exactly_the_within_photo_pairs(spark):
+    """The banded near-dup plan over the real-photo table must surface
+    ALL 24 within-photo pairs (lossless re-packs at Hamming 0, q=60
+    re-encodes at <= 1) and ZERO cross-photo pairs (distinct kittens
+    measured >= 11 apart)."""
+    from overpaint_spark import queries as Q
+
+    rows = Q.q_multimodal_photo_neardups(spark, "unused").collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r["a_id"] % 100 == r["b_id"] % 100, f"cross-photo pair: {r}"
+        assert r["hamming"] <= 1
