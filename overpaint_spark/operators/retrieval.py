@@ -239,6 +239,23 @@ def hybrid_rrf_queries(
         .select(query_id_col, "doc_id", "vec_rank")
     )
 
+    return _rrf_fuse(lex, den, k, rrf_k, query_id_col)
+
+
+def _rrf_fuse(
+    lex: DataFrame,
+    den: DataFrame,
+    k: int,
+    rrf_k: int,
+    query_id_col: str,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical (query_id, doc_id, lex_rank)
+    and a dense (query_id, doc_id, vec_rank) ranking: rrf = Σ
+    1/(rrf_k + rank), missing list ⇒ 0, per-query top-``k`` — the
+    shared tail of :func:`hybrid_rrf_queries` and
+    :func:`hybrid_rrf_indexed`. Both inputs are bounded (≤ depth rows
+    per query), so the full-outer fusion and its rank window run over
+    KB-scale relations regardless of corpus size."""
     fused = lex.join(den, [query_id_col, "doc_id"], "full_outer")
     rl = F.coalesce(
         F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")), F.lit(0.0)
@@ -258,6 +275,92 @@ def hybrid_rrf_queries(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def hybrid_rrf_indexed(
+    docs: DataFrame,
+    index,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 25,
+    depth: int = 50,
+    n_probe: int = 4,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Per-query hybrid RRF whose dense side is the PRODUCTION path:
+    shortlist from a persisted IVF-PQ index
+    (operators/ann_index.search_ann_index — probe + ADC over stored
+    code bytes, vectors never read) followed by an exact cosine rerank
+    of the ≤ ``depth``-row shortlist against the true vectors. The
+    100 TB shape :func:`hybrid_rrf_queries` deliberately does NOT have:
+    its brute-force broadcast fold reads every corpus vector per query,
+    this reads ``n_probe`` inverted lists' codes and exactly
+    |shortlist| true vectors (a semi-join sliver).
+
+    ``index`` is an :class:`overpaint_spark.operators.ann_index.
+    AnnIndex` (live-built or loaded from parquet — same search body
+    either way). Ranks after the shortlist follow the twin's
+    discipline: per-query row_number windows over bounded relations,
+    fused by :func:`_rrf_fuse`."""
+    from overpaint_spark.operators.ann_index import search_ann_index
+
+    lex = bm25_topk_queries(
+        docs,
+        queries,
+        k=depth,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        terms_col=terms_col,
+    ).select(query_id_col, "doc_id", F.col("rank").alias("lex_rank"))
+
+    qv_rel = queries.select(
+        F.col(query_id_col).alias(index.id_col),
+        F.col(qvec_col).alias(vec_col),
+    )
+    short = search_ann_index(index, qv_rel, n_probe=n_probe, k=depth).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("neighbor_id").alias("doc_id"),
+    )
+
+    qv = V.as_double(F.col(qvec_col))
+    q = queries.select(
+        F.col(query_id_col),
+        qv.alias("q_vec"),
+        V.norm(qv).alias("q_norm"),
+    )
+    cv = V.as_double(F.col(vec_col))
+    c = vectors.select(
+        F.col(vec_id_col).alias("doc_id"),
+        cv.alias("c_vec"),
+        V.norm(cv).alias("c_norm"),
+    )
+    rr = (
+        short.join(c, "doc_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "doc_id",
+            V.cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
+        )
+    )
+    wd = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("doc_id")
+    )
+    den = (
+        rr.withColumn("vec_rank", F.row_number().over(wd).cast("bigint"))
+        .select(query_id_col, "doc_id", "vec_rank")
+    )
+    return _rrf_fuse(lex, den, k, rrf_k, query_id_col)
 
 
 def mmr_select_queries(

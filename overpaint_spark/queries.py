@@ -2147,6 +2147,93 @@ def q_retrieval_rrf_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf_queries(d, e, queries, k=25, depth=_RRF_DEPTH)
 
 
+def q_retrieval_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query hybrid RRF on the PRODUCTION dense path (VERDICT r7
+    #4): the dense shortlist comes from the persisted IVF-PQ index —
+    build → write parquet → load → probe+ADC over stored code bytes —
+    then an exact cosine rerank of the ≤ depth-row shortlist against
+    the true vectors, fused with the BM25 lexical ranks by the shared
+    _rrf_fuse tail (operators/retrieval.hybrid_rrf_indexed). At 100 TB
+    this replaces retrieval_rrf_queries' brute-force corpus fold with
+    n_probe inverted-list code reads + a |shortlist| semi-join sliver
+    of true vectors. Full SQL oracle: the _bm25_queries_ctes lexical
+    chain composed with the _ivfpq_adc_ctes search chain (the
+    persisted-index proof shape — stored artifact ≡ live semantics) +
+    a LIST_COSINE_SIMILARITY rerank, so index build, probe, ADC,
+    rerank, and fusion are ALL value-checked cross-engine."""
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+    from overpaint_spark.operators.retrieval import hybrid_rrf_indexed
+
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    path = tempfile.mkdtemp(prefix=f"overpaint_rrfidx_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    qids = sorted(_BM25_QUERIES)
+    terms_rel = spark.createDataFrame(
+        [(qid, list(_BM25_QUERIES[qid])) for qid in qids],
+        "query_id long, terms array<string>",
+    )
+    qvecs = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    queries = terms_rel.join(qvecs, "query_id")
+    return hybrid_rrf_indexed(
+        d, loaded, queries, e, k=25, depth=_RRF_DEPTH, n_probe=n_probe
+    )
+
+
+def _oracle_retrieval_rrf_indexed() -> str:
+    k = float(_RRF_K)
+    depth = _RRF_DEPTH
+    qids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return (
+        f"WITH {_bm25_queries_ctes()}, "
+        f"{_ivfpq_adc_ctes(f'vec_id IN ({qids})')}, "
+        "lex AS (SELECT query_id, doc_id, lex_rank FROM ("
+        "SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY bm25_ppm DESC, doc_id) AS BIGINT) AS lex_rank "
+        f"FROM mqscored WHERE bm25_ppm > 0) WHERE lex_rank <= {depth}), "
+        f"short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {depth}), "
+        "rr AS (SELECT s.query_id, s.neighbor_id AS doc_id, "
+        "LIST_COSINE_SIMILARITY(qq.v, ee.v) AS sim FROM short s "
+        "JOIN e ee ON ee.vec_id = s.neighbor_id "
+        "JOIN e qq ON qq.vec_id = s.query_id), "
+        "den AS (SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank FROM rr), "
+        "f AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id, "
+        "COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, "
+        "dn.vec_rank FROM lex l FULL OUTER JOIN den dn "
+        "ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id) "
+        "SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppm FROM ("
+        "SELECT query_id, doc_id, lex_rank, vec_rank, "
+        f"CAST(FLOOR((COALESCE(1.0 / ({k!r} + lex_rank), 0.0) + "
+        f"COALESCE(1.0 / ({k!r} + vec_rank), 0.0)) * 1000000.0 + 0.5) "
+        "AS BIGINT) AS rrf_ppm, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        f"CAST(FLOOR((COALESCE(1.0 / ({k!r} + lex_rank), 0.0) + "
+        f"COALESCE(1.0 / ({k!r} + vec_rank), 0.0)) * 1000000.0 + 0.5) "
+        "AS BIGINT) DESC, doc_id) AS rn FROM f) WHERE rn <= 25"
+    )
+
+
 def _oracle_retrieval_rrf_queries() -> str:
     k = float(_RRF_K)
     depth = _RRF_DEPTH
@@ -4208,7 +4295,13 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_topk_ivfpq() -> str:
+def _ivfpq_adc_ctes(qpred: str = "vec_id < 10") -> str:
+    """CTE chain ``e … r`` of the raw-coded IVF-PQ probe-and-ADC search
+    (``r`` = (query_id, neighbor_id, dist, rank)), parameterized by the
+    query predicate — shared by the ivfpq / persisted-index oracles
+    (``vec_id < 10``) and the index-backed RRF oracle (the _BM25_QUERIES
+    ids). No name collisions with _bm25_queries_ctes (base/stats/
+    mqscored), so the two chains compose under one WITH."""
     dsub = _QUANT_DIM // _PQ_M
     subs = []
     for m in range(_PQ_M):
@@ -4230,7 +4323,7 @@ def _oracle_ann_topk_ivfpq() -> str:
     )
     cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         # seeded lowest-id vectors serve as PQ codebook sources (cent:
         # fixed K codes — the code BUDGET never scales with N) and as
         # coarse IVF centroids (ccent: C = GREATEST(16, N/125), the
@@ -4246,18 +4339,24 @@ def _oracle_ann_topk_ivfpq() -> str:
         "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
         "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
         "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS prk "
-        "FROM e CROSS JOIN ccent WHERE e.vec_id < 10) WHERE prk <= "
+        f"FROM e CROSS JOIN ccent WHERE e.{qpred}) WHERE prk <= "
         f"(SELECT LEAST(GREATEST({_IVF_PROBE}, COUNT(*) // 4), {_IVF_PROBE_CAP}) FROM ccent)), "
         + ", ".join(subs)
         + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins}), "
-        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10), "
+        f"q AS (SELECT vec_id AS q_id, v FROM e WHERE {qpred}), "
         "s AS (SELECT q.q_id AS query_id, cd.vec_id AS neighbor_id, "
         f"{dterms} AS dist "
         "FROM probes p JOIN casg ON casg.cid = p.cid "
         "JOIN cd ON cd.vec_id = casg.vec_id AND cd.vec_id <> p.q_id "
         f"JOIN q ON q.q_id = p.q_id {cjoins}), "
         "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
-        "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s) "
+        "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s)"
+    )
+
+
+def _oracle_ann_topk_ivfpq() -> str:
+    return (
+        f"WITH {_ivfpq_adc_ctes()} "
         "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
         "FROM r WHERE rank <= 5"
     )
@@ -8577,6 +8676,64 @@ def _oracle_stream_psi() -> str:
     )
 
 
+def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running corpus-frequency leaderboard by STRUCTURED STREAMING —
+    seventh oracle-verified streaming query, and the bounded-state
+    heavy-hitters family's declared witness (streaming/topk.py:
+    per-batch Arrow-side partial counts → crc32-bucketed
+    applyInPandasWithState Misra-Gries summaries → versioned append
+    emission; total state = n_buckets × capacity rows, independent of
+    stream length AND vocabulary). The documents arrive as TWO files
+    (doc_id % 2) → two micro-batches, so the snapshot genuinely merges
+    cross-batch versioned state. With capacity (10k) ≫ the fixture
+    vocabulary the Misra-Gries summary never truncates, so
+    :func:`top_k_snapshot` over the accumulated sink is EXACTLY the
+    batch top-25 — the oracle is the exact text_top_tokens SQL
+    verbatim (the text_top_tokens_approx proof shape, streamed). The
+    deliberate small-capacity divergence case stays pinned in
+    tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.topk import (
+        streaming_top_tokens,
+        top_k_snapshot,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_topk_src_{run}"
+    out_dir = f"{base}/stream_topk_out_{run}"
+    ckpt_dir = f"{base}/stream_topk_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = (
+        streaming_top_tokens(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_top_tokens: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return top_k_snapshot(spark.read.parquet(out_dir), k=25)
+
+
 def q_stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NB classification by STRUCTURED STREAMING — fourth oracle-
     verified streaming query: a stateless per-row ARGMAX against the
@@ -8760,208 +8917,128 @@ def _oracle_events_funnel() -> str:
 # is equally maintained and verified by tools/oracle_check.py;
 # tests/test_window_contract.py pins this contract.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- dedup family ------------------------------------------------
-    # r7 rotation: dedup_exact ejected after three driver-green rounds
-    # (its hash-groupBy core is re-witnessed inside split_dedup_leakage
-    # and dedup_clusters); the family keeps six in-window witnesses
-    # r7 rotation #2: dedup_substring_spans (green r4–r6) hands its
-    # slot to dedup_survivors_longest — the keep-longest cluster
-    # resolution that has never had a driver row; the span math stays
-    # witnessed by corpus_span_scrubbed + corpus_pipeline's scrub stage
+    # ------------------------------------------------------------------
+    # DRIVER WINDOW (first 50 entries — the driver's correctness gate
+    # hashes exactly these; tests/test_window_contract.py pins the set,
+    # every entry's oracle, and the no-orphan invariant below).
+    #
+    # r8 re-curation (VERDICT r7 next-round #2): the 26 oracle-able
+    # relations that had NEVER had a driver row — the r1-era analytics
+    # family (pricing/customer/events/users) plus ten pipeline audits —
+    # rotate in together with the four r8-new relations (the real-photo
+    # lake trio and index-backed RRF), retiring the never-witnessed
+    # list entirely: every declared oracle-able query is now either
+    # driver-witnessed in a past round or sits in this window
+    # (tests/test_window_contract.py::test_no_oracleable_query_stays_unwitnessed).
+    # Kept in-window: every r7 first-time witness (single green round)
+    # plus the three family anchors semantic_dedup / curriculum_stages /
+    # bpe_merge_pairs. Ejected to make room (each ≥ 2 driver-green
+    # rounds, family witness kept, still declared + locally
+    # oracle-checked every round): corpus_span_scrubbed, dedup_lsh_recall,
+    # split_dedup_leakage, decontaminate_bloom, dataset_budget_select,
+    # documents_bm25, quality_calibration, langid_nb_confusion,
+    # dataset_mixture_temperature, corpus_pipeline, corpus_heaps_curve,
+    # documents_ngram_novelty, retrieval_hybrid_rrf, decontaminate_semantic,
+    # source_tfidf_terms, quality_dup_lift, dataset_epoch_plan,
+    # embedding_centroid_purity, embedding_drift, ann_ivfpq_recall,
+    # ann_knn_accuracy, ann_ivf_probe_curve, ann_topk_hamming_rerank,
+    # stream_nb_classify, and the six 7×-green profiler rows
+    # (profile_tables/columns/bool_histogram/rowcounts_exact/
+    # incremental/key_skew) + priority_line_counts, whose reference-
+    # surface math is re-witnessed every session by the golden tests +
+    # live CLI runs; profile_entropy keeps the profiler family's
+    # driver witness.
+    # ------------------------------------------------------------------
+    # -- r7 first-time witnesses kept for a second green round -------
     "dedup_survivors_longest": q_dedup_survivors_longest,
-    # r6 rotation: the span SCRUBBER (remediation twin of the span
-    # detector above) earns a driver row next to it
-    "corpus_span_scrubbed": q_corpus_span_scrubbed,
-    # late-r6 rotation #2: the LSH recall/precision report takes the
-    # raw candidate relation's slot (the banding math is re-witnessed
-    # INSIDE the report's candidate CTE, and dedup_minhash_verified
-    # keeps the verified-pair witness)
-    "dedup_lsh_recall": q_dedup_lsh_recall,
-    # late-r6 rotation #3: the train/test-leakage-through-duplicates
-    # audit takes dedup_minhash_verified's slot (the banded pipeline's
-    # verified pairs are re-witnessed inside dedup_lsh_recall's CTEs;
-    # the embedding-cosine tier keeps semantic_dedup +
-    # decontaminate_semantic as in-window witnesses)
-    "split_dedup_leakage": q_split_dedup_leakage,
-    # r7 rotation #3: dedup_clusters (green r3–r6) hands its slot to
-    # the per-semantic-cluster topic card; the component resolution
-    # stays witnessed by dedup_survivors_longest (which drives the
-    # same union-find/star machinery end-to-end)
     "corpus_cluster_topics": q_corpus_cluster_topics,
-    # late-r6 rotation: the Bloom-gated decontaminator takes
-    # dedup_survivors' slot (dedup keeps six in-window witnesses;
-    # survivors stays declared + locally oracle-checked)
-    "decontaminate_bloom": q_decontaminate_bloom,
-    # r7 rotation #2: dedup_incremental (green r3–r6) hands its slot to
-    # shard_balance — the training-shard size-skew audit, never
-    # driver-witnessed; the incremental gate's admission math stays
-    # witnessed by its streaming equivalence test and local oracle runs
     "shard_balance": q_shard_balance,
     "semantic_dedup": q_semantic_dedup,
-    # -- text analysis ----------------------------------------------
-    # late-r6 rotation: budget selection + BM25 take the text_stats /
-    # text_quality slots (both simple projections whose family keeps
-    # text_lm_score as the in-window witness; quality math is ALSO
-    # re-witnessed inside dataset_budget_select's binning)
-    "dataset_budget_select": q_dataset_budget_select,
-    "documents_bm25": q_documents_bm25,
-    # r7 rotation: the Misra-Gries heavy-hitters twin (held to the
-    # EXACT top-tokens oracle — M ≫ vocab is lossless) takes
-    # text_lm_score's slot after four driver-green rounds; the LM
-    # scoring math keeps stream_lm_score as its in-window witness
     "text_top_tokens_approx": q_text_top_tokens_approx,
-    # late-r6 rotation #2: the per-doc quality-percentile calibration
-    # (bounded-bin CDF) and the trained NB confusion matrix take the
-    # embedding_quantize / ann_topk_pq slots — quantization keeps
-    # sq8_error + pq_codes, ANN keeps six witnesses incl. the recall
-    # report that embeds the PQ tier
-    "quality_calibration": q_quality_calibration,
-    "langid_nb_confusion": q_langid_nb_confusion,
-    # -- corpus / dataset pipeline -----------------------------------
-    # r7 rotation: dataset_dsir_weights ejected after three
-    # driver-green rounds (the DSIR ppm math stays declared +
-    # oracle-checked locally; dataset_dsir_resample extends it)
-    # r6 rotation: the IEEE-exact temperature-mixture weights
-    "dataset_mixture_temperature": q_dataset_mixture_temperature,
-    # r7 rotation #3: corpus_clean_v3 (green r5–r6) hands its slot to
-    # the multi-query BM25 ranker; the v3 predicate chain stays
-    # witnessed by corpus_funnel (whose last row equals clean_v3's
-    # survivor count) and corpus_pipeline (which runs it as stage 1)
     "retrieval_bm25_queries": q_retrieval_bm25_queries,
-    # r7 rotation: the per-stage retention funnel over the clean_v3
-    # predicate chain — the cleaning audit a curation run publishes
-    # (last row cross-checked == clean_v3's survivor count in tests)
-    "corpus_funnel": q_corpus_funnel,
-    # r6: the end-to-end five-stage pipeline witness (clean → scrub →
-    # OOV → shuffle/shard → pack); subsumes dataset_shuffle's window
-    # slot (seeded_shuffle runs inside it)
-    "corpus_pipeline": q_corpus_pipeline,
-    # late-r6 rotation #3: the Heaps vocabulary-growth curve and the
-    # first-occurrence n-gram novelty report take the corpus_clean_v2
-    # and dedup_embedding_cosine slots (cleaning keeps v3 + the
-    # pipeline witness, which embeds the v2 predicate core)
-    "corpus_heaps_curve": q_corpus_heaps_curve,
-    "documents_ngram_novelty": q_documents_ngram_novelty,
-    # late-r6 rotation #4: the hybrid RRF fusion takes
-    # decontaminate_overlap's slot (the exact-gram anti-join math is
-    # re-witnessed bit-identically inside decontaminate_bloom, and the
-    # family keeps the semantic tier in-window too)
-    "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
-    # late-r6 rotation #2: the embedding-space decontamination tier
-    # joins its gram-probe siblings (takes profile_null_distinct's
-    # slot; the profiler keeps seven in-window witnesses)
-    "decontaminate_semantic": q_decontaminate_semantic,
-    # late-r6 rotation #2: per-source TF-IDF distinctive terms (takes
-    # ann_topk_lsh's slot)
-    "source_tfidf_terms": q_source_tfidf_terms,
-    # late-r6 rotation #4: the dup-quality audit takes
-    # corpus_vocabulary's slot (the vocabulary CTEs are re-witnessed
-    # inside corpus_pipeline's OOV stage, and heaps_curve +
-    # source_tfidf_terms keep the vocab-df math in-window)
-    "quality_dup_lift": q_quality_dup_lift,
-    # late-r6 rotation #4: the data-constrained epoch plan takes
-    # documents_tokenized's slot (tokenization is re-witnessed inside
-    # corpus_pipeline's tokenize→pack stages and budget_select's
-    # n_words accounting; curriculum keeps its only family witness)
-    "dataset_epoch_plan": q_dataset_epoch_plan,
-    "curriculum_stages": q_curriculum_stages,
-    # r7 rotation #2: corpus_dataset_card (green r4–r6) hands its slot
-    # to the streaming image-ingest gate's batch-equivalent relation
-    # (multimodal_phash_gate, below) — the card's aggregate shapes stay
-    # witnessed by corpus_source_stats-family local oracle runs
-    # -- tokenizer training statistics -------------------------------
-    "bpe_merge_pairs": q_bpe_merge_pairs,
-    # -- embedding quantization --------------------------------------
-    # late-r6 rotation #3: per-cluster label purity takes the PQ-codes
-    # slot (PQ encoding stays witnessed by ann_topk_ivfpq + the recall
-    # report, which re-derive the codes inside their oracles)
-    "embedding_centroid_purity": q_embedding_centroid_purity,
-    # r7 rotation: embedding_sq8_error ejected after three driver-green
-    # rounds (the SQ8 digest stays declared + oracle-checked locally;
-    # quantization keeps purity/drift/ivfpq-recall in-window)
-    # -- similarity search -------------------------------------------
-    # late-r6 rotation #4: the encoder-drift audit takes
-    # ann_topk_ivf's slot (the IVF search math is re-witnessed
-    # verbatim inside ann_ivf_probe_curve's shared parameterized
-    # oracle body, and the family keeps six other witnesses)
-    "embedding_drift": q_embedding_drift,
-    # r7 rotation: the PERSISTED IVF-PQ index (build → parquet write →
-    # load → search through the live search body) takes ann_topk_ivfpq's
-    # slot — the oracle is the live query's SQL verbatim, so the driver
-    # row witnesses the round-trip; the live tier keeps the residual
-    # variant + recall report in-window
-    "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
-    # r7 rotation #3: ann_topk_ivfpq_residual (green r5–r6) hands its
-    # slot to the multi-query RRF fusion; the residual coding stays
-    # witnessed by ann_ivfpq_recall (which scores the residual tier
-    # inside its recall relation) and local oracle runs
     "retrieval_rrf_queries": q_retrieval_rrf_queries,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    # late-r6 rotation #3: the label-based kNN evaluation and the IVF
-    # probe/recall curve take the multimodal_metadata and
-    # profile_percentiles slots (multimodal keeps the video-decode
-    # witness; the profiler keeps seven in-window rows)
-    "ann_knn_accuracy": q_ann_knn_accuracy,
-    "ann_ivf_probe_curve": q_ann_ivf_probe_curve,
-    # r7 rotation: ann_topk_hamming ejected (two driver-green rounds;
-    # the hamming shortlist runs verbatim inside the rerank twin below)
-    # r6 rotation: the two-stage hamming-shortlist + cosine rerank
-    "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
-    # -- streaming ---------------------------------------------------
-    # r7 rotation: the applyInPandasWithState stateful sessionizer —
-    # the fifth streaming witness and the only custom stateful
-    # operator with an oracle (the closed-sessions cut IS
-    # SQL-expressible) — takes stream_corpus_stats' slot (driver-green
-    # since r3; the windowed-agg math stays declared + checked locally)
+    "corpus_funnel": q_corpus_funnel,
+    "curriculum_stages": q_curriculum_stages,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
     "stream_sessionize": q_stream_sessionize,
-    # r7 rotation #3: stream_lm_score (green r5–r6) hands its slot to
-    # the sixth streaming witness — the per-batch integer-ppm PSI
-    # drift monitor; frozen-model LM scoring stays pinned by its
-    # batch/stream equivalence test and local oracle runs
     "stream_psi": q_stream_psi,
-    # late-r6 rotation #2: the fourth streaming witness (frozen-NB
-    # argmax; takes profile_minmax_temporal's slot — the numeric twin
-    # of the same operator family stays in-window)
-    "stream_nb_classify": q_stream_nb_classify,
-    # -- multimodal --------------------------------------------------
-    # r7 rotation #2: multimodal_video_frames (the real MJPEG-in-AVI
-    # decode witness, green r4–r6) hands its slot to the r7 phash
-    # additions; the video decoder stays pinned by tests/test_jpeg.py
-    # + tests/test_multimodal.py round-trips and local oracle runs.
-    # In: the real-bytes phash front and the ingest gate's
-    # batch-equivalent relation
+    "stream_top_tokens": q_stream_top_tokens,
     "multimodal_phash_bytes": q_multimodal_phash_bytes,
     "multimodal_phash_gate": q_multimodal_phash_gate,
-    # r7 rotation: the image perceptual-hash family — per-asset 64-bit
-    # aHash through the real P5 decode path, the 4×16-bit banded
-    # near-dup pair plan (pigeonhole-exact at Hamming ≤ 3), and the
-    # duplicate-cluster resolution — takes the slots of three
-    # multi-round-green rows (dedup_exact / ann_topk_hamming /
-    # profile_minmax_numeric)
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_neardups": q_multimodal_phash_neardups,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
-    # -- profiler (the reference surface) ----------------------------
+    "profile_entropy": q_profile_entropy,
+    # -- r8-new relations (each fully oracled) -----------------------
+    "retrieval_rrf_indexed": q_retrieval_rrf_indexed,
+    "multimodal_photo_phash": q_multimodal_photo_phash,
+    "multimodal_photo_metadata": q_multimodal_photo_metadata,
+    "multimodal_photo_neardups": q_multimodal_photo_neardups,
+    # -- the never-witnessed r1-era analytics family (VERDICT r7 #2) -
+    "pricing_cube": q_pricing_cube,
+    "pricing_grouping_sets": q_pricing_grouping_sets,
+    "customer_balance_quartiles": q_customer_balance_quartiles,
+    "customer_balance_rank": q_customer_balance_rank,
+    "events_rolling_value": q_events_rolling_value,
+    "events_trailing_hour": q_events_trailing_hour,
+    "events_next_gap": q_events_next_gap,
+    "events_type_pivot": q_events_type_pivot,
+    "events_type_value_salted": q_events_type_value_salted,
+    "events_user_retention": q_events_user_retention,
+    "events_value_histogram": q_events_value_histogram,
+    "events_funnel": q_events_funnel,
+    "users_click_no_purchase": q_users_click_no_purchase,
+    "users_click_and_purchase": q_users_click_and_purchase,
+    "users_conversion_lag": q_users_conversion_lag,
+    # -- never-witnessed pipeline audits (VERDICT r7 #2, cont.) ------
+    "ann_topk_numpy": q_ann_topk_numpy,
+    "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
+    "corpus_langid_agreement": q_corpus_langid_agreement,
+    "corpus_length_histogram": q_corpus_length_histogram,
+    "corpus_token_fertility": q_corpus_token_fertility,
+    "dataset_dsir_resample": q_dataset_dsir_resample,
+    "dataset_interleave": q_dataset_interleave,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "embedding_outliers": q_embedding_outliers,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
+    "corpus_span_scrubbed": q_corpus_span_scrubbed,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "split_dedup_leakage": q_split_dedup_leakage,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "dataset_budget_select": q_dataset_budget_select,
+    "documents_bm25": q_documents_bm25,
+    "quality_calibration": q_quality_calibration,
+    "langid_nb_confusion": q_langid_nb_confusion,
+    "dataset_mixture_temperature": q_dataset_mixture_temperature,
+    "corpus_pipeline": q_corpus_pipeline,
+    "corpus_heaps_curve": q_corpus_heaps_curve,
+    "documents_ngram_novelty": q_documents_ngram_novelty,
+    "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "source_tfidf_terms": q_source_tfidf_terms,
+    "quality_dup_lift": q_quality_dup_lift,
+    "dataset_epoch_plan": q_dataset_epoch_plan,
+    "embedding_centroid_purity": q_embedding_centroid_purity,
+    "embedding_drift": q_embedding_drift,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_knn_accuracy": q_ann_knn_accuracy,
+    "ann_ivf_probe_curve": q_ann_ivf_probe_curve,
+    "ann_topk_hamming_rerank": q_ann_topk_hamming_rerank,
+    "stream_nb_classify": q_stream_nb_classify,
     "profile_tables": q_profile_tables,
     "profile_columns": q_profile_columns,
-    # r7 rotation: profile_minmax_numeric ejected after six
-    # driver-green rounds (it remains entry()'s flagship smoke query
-    # every round); the per-column Shannon-entropy channel takes its
-    # slot
-    "profile_entropy": q_profile_entropy,
     "profile_bool_histogram": q_profile_bool_histogram,
     "profile_rowcounts_exact": q_profile_rowcounts_exact,
     "profile_incremental": q_profile_incremental,
     "profile_key_skew": q_profile_key_skew,
-    # -- repaired oracle shapes (window SUM / range join / JSON agg /
-    #    conditional agg) --------------------------------------------
     "priority_line_counts": q_priority_line_counts,
-    # ---------------- entries below are outside the driver's 50-query
-    # window (all still oracle-checked locally) ----------------------
-    # r7-ejected (every ejectee has ≥ 2 prior driver-green rounds, its
-    # family keeps an in-window witness, and its math is re-witnessed
-    # inside a surviving row — see the per-slot notes above; all eight
-    # stay declared + oracle-checked locally every round)
+    # ------------------------------------------------------------------
+    # DECLARED BEYOND THE WINDOW — all still oracle-checked locally
+    # every round (tools/oracle_check.py); entries keep their last
+    # driver-green standing. Order here is not contractual.
+    # ------------------------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "text_lm_score": q_text_lm_score,
     "dataset_dsir_weights": q_dataset_dsir_weights,
@@ -8970,30 +9047,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_hamming": q_ann_topk_hamming,
     "stream_corpus_stats": q_stream_corpus_stats,
     "profile_minmax_numeric": q_profile_minmax_numeric,
-    # r6-ejected (families keep in-window witnesses; rotated out for
-    # the three r5 orphans — span scrubber, hamming rerank,
-    # temperature mixture; all three ejectees stay oracle-checked
-    # locally every round)
     "text_top_tokens": q_text_top_tokens,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "stream_length_histogram": q_stream_length_histogram,
     "dataset_shuffle": q_dataset_shuffle,
-    # r5-ejected (families keep in-window witnesses; rotated out for
-    # the four r4 operators + the three new r5 flagships — residual
-    # oracle, recall report, streaming LM scorer)
     "profile_correlations": q_profile_correlations,
     "profile_functional_deps": q_profile_functional_deps,
     "profile_top_values": q_profile_top_values,
     "events_sessionize": q_events_sessionize,
     "corpus_clean": q_corpus_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "corpus_token_fertility": q_corpus_token_fertility,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    # late-r6-rotation-#2-ejected (families keep in-window witnesses;
-    # rotated out for the six newest flagships — LSH recall report,
-    # semantic decontamination, NB confusion, quality calibration,
-    # TF-IDF terms, streaming NB; all six ejectees stay oracle-checked
-    # locally every round)
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "embedding_quantize": q_embedding_quantize,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -9050,34 +9113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_value_share": q_part_value_share,
     "part_supplier_variety": q_part_supplier_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
-    "events_user_retention": q_events_user_retention,
-    "pricing_cube": q_pricing_cube,
-    "pricing_grouping_sets": q_pricing_grouping_sets,
-    "customer_balance_quartiles": q_customer_balance_quartiles,
-    "customer_balance_rank": q_customer_balance_rank,
-    "events_type_value_salted": q_events_type_value_salted,
-    "events_value_histogram": q_events_value_histogram,
-    "events_rolling_value": q_events_rolling_value,
-    "events_trailing_hour": q_events_trailing_hour,
-    "users_click_no_purchase": q_users_click_no_purchase,
-    "users_click_and_purchase": q_users_click_and_purchase,
-    "users_conversion_lag": q_users_conversion_lag,
-    "events_next_gap": q_events_next_gap,
-    "events_type_pivot": q_events_type_pivot,
-    "dataset_interleave": q_dataset_interleave,
-    "embedding_label_centroids": q_embedding_label_centroids,
-    "corpus_length_histogram": q_corpus_length_histogram,
-    "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
-    "events_funnel": q_events_funnel,
-    # r6 additions (appended after the window; oracle-checked locally)
-    # — corpus_funnel, ann_topk_ivfpq_persisted, and (rotation #2)
-    # dedup_survivors_longest + shard_balance rotated INTO the window
-    # in r7
-    "corpus_langid_agreement": q_corpus_langid_agreement,
     "profile_ddsketch_quantiles": q_profile_ddsketch_quantiles,
-    # oracle-checked approximate ops (fixture margins measured) and
-    # rows-only ops (dataset_pack_ffd: first-fit recurrence has no
-    # non-recursive SQL form — invariants pinned in tests instead)
     "profile_approx_distinct": q_profile_approx_distinct,
     "dataset_pack_ffd": q_dataset_pack_ffd,
     "bpe_learned_merges": q_bpe_learned_merges,
@@ -9085,59 +9121,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_bpe_segmented": q_documents_bpe_segmented,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
-    "ann_topk_numpy": q_ann_topk_numpy,
-    # MMR diversified selection — rows-only by design (greedy
-    # recurrence; pinned vs an independent python reference MMR)
     "retrieval_mmr": q_retrieval_mmr,
-    # r7: the multi-query MMR twin — rows-only like retrieval_mmr (the
-    # greedy recurrence), one applyInPandas trace per query
     "retrieval_mmr_queries": q_retrieval_mmr_queries,
-    # (r7 rotation #3 moved corpus_cluster_topics,
-    # retrieval_bm25_queries, retrieval_rrf_queries, and stream_psi
-    # INTO the window; ejected for them — each with ≥ 2 prior green
-    # rounds and its math re-witnessed by a surviving row:)
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean_v3": q_corpus_clean_v3,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "stream_lm_score": q_stream_lm_score,
-    "multimodal_audio_windows": q_multimodal_audio_windows,
-    # (the image perceptual-hash family — incl. the r7-new bytes front
-    # and ingest-gate relation — plus stream_sessionize,
-    # text_top_tokens_approx, and profile_entropy rotated INTO the
-    # window in r7)
-    # r7 rotation #2 ejections — still declared, still oracle-checked
-    # locally every round (in: dedup_survivors_longest, shard_balance,
-    # multimodal_phash_bytes, multimodal_phash_gate)
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_incremental": q_dedup_incremental,
     "corpus_dataset_card": q_corpus_dataset_card,
     "multimodal_video_frames": q_multimodal_video_frames,
-    # r8: the real-photo lake table relations (committed binary
-    # fixture; kitten JPEGs + encoder-derived variants) — VALUES-literal
-    # oracles over decode-deterministic expected values
-    "multimodal_photo_phash": q_multimodal_photo_phash,
-    "multimodal_photo_metadata": q_multimodal_photo_metadata,
-    "multimodal_photo_neardups": q_multimodal_photo_neardups,
-    # DSIR resample (weights → corpus) and the distance-to-own-centroid
-    # outlier audit — full SQL oracles
-    "dataset_dsir_resample": q_dataset_dsir_resample,
-    "embedding_outliers": q_embedding_outliers,
-    # PCA variance curve — rows-only by design (eigendecomposition;
-    # pinned vs direct numpy PCA in tests/test_quantization.py)
     "embedding_pca_variance": q_embedding_pca_variance,
-    # late-r6 rotation #4 ejections — still declared, still
-    # oracle-checked locally every round (in: retrieval_hybrid_rrf,
-    # dataset_epoch_plan, embedding_drift, quality_dup_lift)
     "ann_topk_ivf": q_ann_topk_ivf,
     "decontaminate_overlap": q_decontaminate_overlap,
     "corpus_vocabulary": q_corpus_vocabulary,
     "documents_tokenized": q_documents_tokenized,
-    # late-r6 rotation ejections — still declared, still oracle-checked
     "dedup_survivors": q_dedup_survivors,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
-    # late-r6 rotation #3 ejections — still declared, still
-    # oracle-checked locally every round
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "corpus_clean_v2": q_corpus_clean_v2,
@@ -9253,6 +9254,7 @@ def oracles() -> dict[str, str]:
         "retrieval_hybrid_rrf": _oracle_retrieval_hybrid_rrf(),
         "retrieval_bm25_queries": _oracle_retrieval_bm25_queries(),
         "retrieval_rrf_queries": _oracle_retrieval_rrf_queries(),
+        "retrieval_rrf_indexed": _oracle_retrieval_rrf_indexed(),
         "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
         "embedding_drift": _oracle_embedding_drift(),
         "quality_dup_lift": _oracle_quality_dup_lift(),
@@ -9271,6 +9273,9 @@ def oracles() -> dict[str, str]:
         "multimodal_photo_neardups": _oracle_multimodal_photo_neardups(),
         "stream_sessionize": _oracle_stream_sessionize(),
         "stream_psi": _oracle_stream_psi(),
+        # capacity ≫ vocab ⇒ Misra-Gries is lossless ⇒ the streamed
+        # leaderboard snapshot equals the exact batch top-25
+        "stream_top_tokens": _oracle_text_top_tokens(),
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "text_top_tokens_approx": _oracle_text_top_tokens_approx(),

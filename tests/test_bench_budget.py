@@ -39,7 +39,10 @@ def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
         },
         capture_output=True,
         text=True,
-        timeout=BUDGET_S + 300,
+        # subprocess wall ≫ reported sum-of-medians: n_runs per query
+        # plus the r8 adaptive warm-up run on the heavy tail (observed
+        # ~12 min at sf0.01 for 189 timed entries)
+        timeout=BUDGET_S + 780,
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]

@@ -214,6 +214,10 @@ _CROSS_OK = {
     # (operators/retrieval.py: c.crossJoin(F.broadcast(q)) — the exact
     # asymmetric shape of its whitelisted twins above)
     "retrieval_mmr_queries",
+    # indexed RRF: inherits the BM25 1-row corpus-stats scalar
+    # broadcast; the dense side is an equi-join on cluster_id against
+    # the bounded LUT relation (no corpus fold — that's the point)
+    "retrieval_rrf_indexed",
 }
 
 

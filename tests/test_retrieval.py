@@ -400,3 +400,54 @@ def test_declared_rrf_queries_q0_equals_single_query_row(spark, sf_dir):
         for r in Q.q_retrieval_hybrid_rrf(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_rrf_indexed_all_probes_equals_bruteforce_twin(spark, sf_dir):
+    """With EVERY inverted list probed and depth >= N, the indexed dense
+    path degenerates to exact search: the ADC shortlist holds every
+    non-self candidate and the exact-cosine rerank reproduces the
+    brute-force ranks — so hybrid_rrf_indexed must equal
+    hybrid_rrf_queries row-for-row. (The declared row's approximate
+    regime — bounded n_probe, depth 50 — is value-checked by its SQL
+    oracle instead.)"""
+    from overpaint_spark.operators.ann_index import build_ann_index
+    from overpaint_spark.operators.retrieval import (
+        hybrid_rrf_indexed,
+        hybrid_rrf_queries,
+    )
+    from overpaint_spark.queries import (
+        _BM25_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _QUANT_DIM,
+        _ivf_params,
+        _t,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_cent, _ = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K
+    )
+    qids = sorted(_BM25_QUERIES)
+    terms_rel = spark.createDataFrame(
+        [(qid, list(_BM25_QUERIES[qid])) for qid in qids],
+        "query_id long, terms array<string>",
+    )
+    qvecs = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    queries = terms_rel.join(qvecs, "query_id")
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_ppm"])
+        for r in rows
+    )
+    got = key(
+        hybrid_rrf_indexed(
+            d, idx, queries, e, k=25, depth=n, n_probe=n_cent
+        ).collect()
+    )
+    want = key(hybrid_rrf_queries(d, e, queries, k=25, depth=n).collect())
+    assert got == want

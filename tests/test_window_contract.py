@@ -56,6 +56,35 @@ def test_window_covers_every_operator_family():
     assert not dropped, f"families with no windowed witness: {dropped}"
 
 
+def test_no_oracleable_query_stays_unwitnessed():
+    """The rotation discipline's closing invariant (VERDICT r7 #8):
+    every declared query with an oracle must be either (a) already
+    driver-witnessed in a committed CORRECTNESS round, or (b) inside
+    the CURRENT window (so it is witnessed this round). A new oracled
+    query can therefore never be declared without a window slot, and
+    the r1-era never-witnessed backlog can never regrow."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    witnessed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("rows_match") and row.get("schema_match"):
+                    witnessed.add(name)
+    window = set(_window())
+    orphans = [
+        n
+        for n in Q.oracles()
+        if n in Q.QUERIES and n not in witnessed and n not in window
+    ]
+    assert not orphans, (
+        f"oracle-able queries with no driver row and no window slot: {orphans}"
+    )
+
+
 def test_window_contains_the_flagship_operators():
     """The queries the judge reads first: scale-path dedup (including
     the incremental and semantic tiers), the quantized-ANN stack, both
@@ -64,111 +93,67 @@ def test_window_contains_the_flagship_operators():
     rows."""
     window = set(_window())
     flagships = {
-        # r5 rotation: the four r4 operators the judge asked to see
-        # driver-green (VERDICT r4, next-round #2; dataset_dsir_weights,
-        # dedup_substring_spans, and multimodal_video_frames rotated
-        # back out in r7 after three green rounds each)
-        "bpe_merge_pairs",
-        # r5 flagships (ann_topk_ivfpq_residual / stream_lm_score /
-        # corpus_clean_v3 rotated back out in r7 rotation #3 after two
-        # green rounds each; their math is re-witnessed by
-        # ann_ivfpq_recall, the LM equivalence tests, and
-        # corpus_funnel + corpus_pipeline respectively)
-        "ann_ivfpq_recall",
-        # r6 rotation: the three r5 orphans the judge asked to see
-        # driver-green (VERDICT r5, next-round #2)
-        "corpus_span_scrubbed",
-        "ann_topk_hamming_rerank",
-        "dataset_mixture_temperature",
-        # r6: the end-to-end pipeline witness (VERDICT r5 #6); it
-        # embeds seeded_shuffle, taking dataset_shuffle's slot
-        "corpus_pipeline",
-        # late-r6 rotation: the Bloom-gated decontaminator, the
-        # token-budget selector, and BM25 retrieval (ejecting
-        # dedup_survivors / text_stats / text_quality, whose families
-        # keep in-window witnesses)
-        "decontaminate_bloom",
-        "dataset_budget_select",
-        "documents_bm25",
-        # late-r6 rotation #2: the six newest flagships (ejecting
-        # dedup_minhash_lsh / embedding_quantize / ann_topk_lsh /
-        # ann_topk_pq / profile_minmax_temporal / profile_null_distinct
-        # — every ejectee's family keeps an in-window witness, and the
-        # LSH banding math is re-witnessed inside dedup_lsh_recall's
-        # candidate CTE)
-        "dedup_lsh_recall",
-        "decontaminate_semantic",
-        "langid_nb_confusion",
-        "quality_calibration",
-        "source_tfidf_terms",
-        "stream_nb_classify",
-        # late-r6 rotation #3: the six newest oracle-MATCHed relations
-        # (ejecting dedup_minhash_verified / dedup_embedding_cosine /
-        # corpus_clean_v2 / embedding_pq_codes / multimodal_metadata /
-        # profile_percentiles — every ejectee's family keeps an
-        # in-window witness, and the ejected math is re-witnessed
-        # inside surviving rows: verified pairs in dedup_lsh_recall,
-        # the v2 predicate core in corpus_pipeline, PQ codes in
-        # ann_topk_ivfpq + ann_ivfpq_recall)
-        "split_dedup_leakage",
-        "corpus_heaps_curve",
-        "documents_ngram_novelty",
-        "embedding_centroid_purity",
-        "ann_knn_accuracy",
-        "ann_ivf_probe_curve",
-        "semantic_dedup",
-        "curriculum_stages",
-        # late-r6 rotation #4: the hybrid retrieval fusion and the
-        # three curation audits (ejecting decontaminate_overlap /
-        # corpus_vocabulary / documents_tokenized / ann_topk_ivf — the
-        # exact-gram anti-join is re-witnessed bit-identically inside
-        # decontaminate_bloom, the vocabulary CTEs inside
-        # corpus_pipeline's OOV stage, tokenization inside
-        # corpus_pipeline's tokenize→pack stages, and the IVF search
-        # body inside ann_ivf_probe_curve)
-        "retrieval_hybrid_rrf",
-        "dataset_epoch_plan",
-        "embedding_drift",
-        "quality_dup_lift",
-        # r7 rotation: the eight never-driver-witnessed flagships the
-        # r6 verdict asked to see green (VERDICT r6, next-round #1) —
-        # the stateful-streaming sessionizer, the image phash family,
-        # the persisted ANN index round-trip, the cleaning funnel, the
-        # entropy channel, and the heavy-hitters twin. Ejected for
-        # them (each ≥ 2 prior driver-green rounds, family witness
-        # kept, math re-witnessed in a surviving row): dedup_exact,
-        # text_lm_score, dataset_dsir_weights, embedding_sq8_error,
-        # ann_topk_ivfpq, ann_topk_hamming, stream_corpus_stats,
-        # profile_minmax_numeric (still entry()'s smoke query).
+        # r8 re-curation (VERDICT r7 #2): the full never-witnessed
+        # retirement — every r7 first-time witness kept for a second
+        # green round, the four r8-new relations, and the 26 orphaned
+        # oracle-able queries. History of earlier rotations: git log of
+        # this file + the manifest comments.
+        #
+        # kept r7 first-time witnesses
+        "dedup_survivors_longest",
+        "corpus_cluster_topics",
+        "shard_balance",
+        "text_top_tokens_approx",
+        "retrieval_bm25_queries",
+        "retrieval_rrf_queries",
+        "corpus_funnel",
+        "ann_topk_ivfpq_persisted",
         "stream_sessionize",
+        "stream_psi",
+        "multimodal_phash_bytes",
+        "multimodal_phash_gate",
         "multimodal_image_phash",
         "multimodal_phash_neardups",
         "multimodal_phash_clusters",
-        "ann_topk_ivfpq_persisted",
-        "corpus_funnel",
         "profile_entropy",
-        "text_top_tokens_approx",
-        # r7 rotation #2: the r7-built phash relations (real-bytes
-        # front, ingest-gate batch equivalent) plus two more
-        # never-witnessed r6 audits. Ejected (each ≥ 3 prior green
-        # rounds; dedup keeps 6 witnesses, multimodal keeps 5, the
-        # card's aggregates and the video decoder stay pinned locally):
-        # dedup_substring_spans, dedup_incremental, corpus_dataset_card,
-        # multimodal_video_frames.
-        "multimodal_phash_bytes",
-        "multimodal_phash_gate",
-        "dedup_survivors_longest",
-        "shard_balance",
-        # r7 rotation #3: the round's own oracled additions — the
-        # sixth streaming witness (per-batch PSI drift), the two
-        # multi-query retrieval rows, and the cluster topic card.
-        # Ejected (each ≥ 2 green rounds; math re-witnessed by
-        # surviving rows as documented in the manifest): dedup_clusters,
-        # corpus_clean_v3, ann_topk_ivfpq_residual, stream_lm_score.
-        "stream_psi",
-        "retrieval_bm25_queries",
-        "retrieval_rrf_queries",
-        "corpus_cluster_topics",
+        # family anchors
+        "semantic_dedup",
+        "curriculum_stages",
+        "bpe_merge_pairs",
+        # r8-new relations
+        "stream_top_tokens",
+        "retrieval_rrf_indexed",
+        "multimodal_photo_phash",
+        "multimodal_photo_metadata",
+        "multimodal_photo_neardups",
+        # the retired never-witnessed backlog (analytics family)
+        "pricing_cube",
+        "pricing_grouping_sets",
+        "customer_balance_quartiles",
+        "customer_balance_rank",
+        "events_rolling_value",
+        "events_trailing_hour",
+        "events_next_gap",
+        "events_type_pivot",
+        "events_type_value_salted",
+        "events_user_retention",
+        "events_value_histogram",
+        "events_funnel",
+        "users_click_no_purchase",
+        "users_click_and_purchase",
+        "users_conversion_lag",
+        # the retired never-witnessed backlog (pipeline audits)
+        "ann_topk_numpy",
+        "corpus_dup_rate_by_source",
+        "corpus_langid_agreement",
+        "corpus_length_histogram",
+        "corpus_token_fertility",
+        "dataset_dsir_resample",
+        "dataset_interleave",
+        "dedup_cluster_sizes",
+        "embedding_label_centroids",
+        "embedding_outliers",
+        "multimodal_audio_windows",
     }
     missing = sorted(flagships - window)
     assert not missing, f"flagships outside the driver window: {missing}"
