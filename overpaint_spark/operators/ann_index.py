@@ -134,6 +134,60 @@ def load_ann_index(
     return AnnIndex(coarse, cb, indexed, n_sub * dsub, id_col)
 
 
+def add_to_ann_index(
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    persist_path: str | None = None,
+) -> AnnIndex:
+    """FAISS ``add``: encode NEW vectors against the FROZEN coarse
+    centroids and PQ codebooks (no retrain — the index geometry is
+    immutable after build, exactly like a written FAISS index) and
+    union their code rows into the inverted lists.
+
+    Raw coding makes per-vector encode independent of every other
+    vector, so an index grown incrementally is BIT-IDENTICAL to one
+    built in a single pass over the union — provided the frozen
+    geometry matches (the declared ``ann_topk_ivfpq_incremental``
+    relation holds exactly that to the live query's SQL oracle). At
+    100 TB this is the ingest cadence that makes a persisted index
+    viable: a daily batch pays one assignment GEMM + one encode pass
+    over the NEW rows only, never a rebuild.
+
+    ``persist_path``: when given, the delta's code rows are ALSO
+    appended to the stored index at that path (same
+    repartition-by-cluster layout as :func:`persist_ann_index`;
+    centroid/codebook relations are immutable and untouched), so a
+    subsequent :func:`load_ann_index` sees the grown index."""
+    from overpaint_spark.operators.quantization import pq_encode
+    from overpaint_spark.operators.similarity import assign_to_centroids
+
+    n_sub = len(index.codebook)
+    n_codes = index.codebook[0].shape[0]
+    assigned = assign_to_centroids(
+        new_vectors, index.coarse, 1, index.id_col, vec_col
+    ).select(index.id_col, "cluster_id")
+    codes = pq_encode(
+        new_vectors, index.dim, n_sub, n_codes, index.id_col, vec_col,
+        codebook=index.codebook,
+    )
+    delta = codes.join(assigned, index.id_col)
+    if persist_path is not None:
+        (
+            delta.repartition(F.col("cluster_id"))
+            .sortWithinPartitions("cluster_id", index.id_col)
+            .write.mode("append")
+            .parquet(f"{persist_path}/codes")
+        )
+    return AnnIndex(
+        index.coarse,
+        index.codebook,
+        index.indexed.unionByName(delta),
+        index.dim,
+        index.id_col,
+    )
+
+
 def search_ann_index(
     index: AnnIndex,
     queries: DataFrame,

@@ -76,3 +76,53 @@ def test_ann_index_trained_centroids_build(spark, tmp_path):
     assert set(per_q) == {0, 1, 2, 3}
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_incremental_add_is_bit_identical_to_bulk_build(spark, tmp_path):
+    """FAISS-add semantics: an index grown in TWO increments against the
+    frozen geometry must hold exactly the bulk build's code rows (raw
+    coding is per-vector independent), and the appended STORED index
+    must search identically to the bulk index after reload."""
+    from overpaint_spark.operators.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    a, b = n // 2, (3 * n) // 4
+    # seeds (lowest 16 centroid ids + lowest 16 codebook ids) all live
+    # in the first slice, so the frozen geometries coincide
+    idx0 = build_ann_index(
+        e.filter(F.col("vec_id") < a),
+        dim=64, n_centroids=16, n_subspaces=8, n_codes=16,
+    )
+    path = str(tmp_path / "grown_index")
+    persist_ann_index(idx0, path)
+    loaded = load_ann_index(spark, path)
+    step1 = add_to_ann_index(
+        loaded,
+        e.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b)),
+        persist_path=path,
+    )
+    add_to_ann_index(
+        step1, e.filter(F.col("vec_id") >= b), persist_path=path
+    )
+    grown = load_ann_index(spark, path)
+    bulk = build_ann_index(
+        e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.vec_id, tuple(r.codes), r.cluster_id) for r in df.collect()
+    )
+    assert rows(grown.indexed) == rows(bulk.indexed)
+    q = e.filter(F.col("vec_id") < 4)
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert key(search_ann_index(grown, q, n_probe=4, k=5)) == key(
+        search_ann_index(bulk, q, n_probe=4, k=5)
+    )

@@ -80,6 +80,16 @@ GUARD_QUERIES = [
     # r7: multi-query BM25 — the postings sliver (map-side term filter
     # before the explode) is its sub-linearity claim
     "retrieval_bm25_queries",
+    # r8: index-backed RRF — shortlist + rerank must scale with the
+    # index build (one assignment GEMM + one encode pass), never with
+    # a per-query corpus fold; the steady-state search phase is benched
+    # separately ('retrieval_rrf_indexed:search')
+    "retrieval_rrf_indexed",
+    # r8: the FAISS-add cadence — the grown index pays one frozen-
+    # geometry encode of the NEW half plus the bulk-build cost of the
+    # first half; its claim is the same lifecycle scaling as
+    # ann_topk_ivfpq_persisted
+    "ann_topk_ivfpq_incremental",
 ]
 ALPHA_MAX = 1.0
 

@@ -112,7 +112,9 @@ def test_window_contains_the_flagship_operators():
         "stream_psi",
         "multimodal_phash_bytes",
         "multimodal_phash_gate",
-        "multimodal_image_phash",
+        # (multimodal_image_phash, green r7, ejected late-r8 for
+        # ann_topk_ivfpq_incremental; its math is re-witnessed by
+        # multimodal_phash_bytes, whose oracle is its SQL verbatim)
         "multimodal_phash_neardups",
         "multimodal_phash_clusters",
         "profile_entropy",
@@ -123,6 +125,7 @@ def test_window_contains_the_flagship_operators():
         # r8-new relations
         "stream_top_tokens",
         "retrieval_rrf_indexed",
+        "ann_topk_ivfpq_incremental",
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
