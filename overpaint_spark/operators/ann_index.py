@@ -131,6 +131,14 @@ def load_ann_index(
     for r in cbr:
         cb[r.subspace][r.code] = r.center
     indexed = spark.read.parquet(f"{path}/codes")
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except Exception:
+        tomb = None
+    if tomb is not None:
+        # un-compacted tombstones: exclude at load so every reader sees
+        # delete semantics regardless of compaction cadence
+        indexed = indexed.join(F.broadcast(tomb), id_col, "left_anti")
     return AnnIndex(coarse, cb, indexed, n_sub * dsub, id_col)
 
 
@@ -186,6 +194,59 @@ def add_to_ann_index(
         index.dim,
         index.id_col,
     )
+
+
+def delete_from_ann_index(
+    index: AnnIndex,
+    ids: DataFrame,
+    persist_path: str | None = None,
+) -> AnnIndex:
+    """Tombstone deletion — the Lucene/Milvus cadence, not FAISS's
+    rewrite-the-lists ``remove_ids``: deleting from an immutable
+    parquet index must not rewrite the data-sized codes relation, so
+    the delete is an O(|ids|) tombstone append and search-side
+    exclusion (a broadcast anti-join against the bounded tombstone
+    set), amortized away by :func:`compact_ann_index` when the set has
+    grown. ``ids`` is a one-column DataFrame of ``index.id_col``
+    values; geometry (centroids/codebooks) is frozen and untouched —
+    deletion changes the CANDIDATE set only."""
+    tomb = ids.select(F.col(ids.columns[0]).alias(index.id_col))
+    if persist_path is not None:
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{persist_path}/tombstones"
+        )
+    return AnnIndex(
+        index.coarse,
+        index.codebook,
+        index.indexed.join(F.broadcast(tomb), index.id_col, "left_anti"),
+        index.dim,
+        index.id_col,
+    )
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Fold the tombstone set into the codes relation (one anti-join
+    rewrite, re-laid-out by cluster like :func:`persist_ann_index`)
+    and clear it — the compaction that bounds tombstone growth. A
+    no-op when no tombstones exist."""
+    import shutil
+
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except Exception:
+        return
+    codes = spark.read.parquet(f"{path}/codes")
+    id_col = [c for c in codes.columns if c not in ("codes", "cluster_id")][0]
+    kept = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    (
+        kept.repartition(F.col("cluster_id"))
+        .sortWithinPartitions("cluster_id", id_col)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes_compacted")
+    )
+    shutil.rmtree(f"{path}/codes")
+    shutil.move(f"{path}/codes_compacted", f"{path}/codes")
+    shutil.rmtree(f"{path}/tombstones")
 
 
 def search_ann_index(

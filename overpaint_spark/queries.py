@@ -4318,6 +4318,67 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_DELETE_PRED = "vec_id % 7 = 3"  # the tombstoned slice
+
+
+def q_ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone DELETION on the persisted index (the CRUD story's last
+    leg after build/persist/load/search/add): build on the full corpus,
+    persist, delete the ``vec_id % 7 = 3`` slice as an O(|ids|)
+    tombstone append (delete_from_ann_index — geometry frozen, codes
+    relation untouched), COMPACT the store (anti-join rewrite, clears
+    the tombstone set), reload, search. Oracle: the live ivfpq chain
+    with the deleted slice excluded from the CANDIDATE set only
+    (geometry CTEs stay full-corpus, exactly like the frozen index) —
+    a MATCH witnesses tombstone semantics, compaction, and that
+    deletion never perturbs the untouched neighbors' distances."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, n_probe = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    path = tempfile.mkdtemp(prefix=f"overpaint_anndel_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    delete_from_ann_index(
+        loaded,
+        e.filter(F.expr(_ANN_DELETE_PRED)).select("vec_id"),
+        persist_path=path,
+    )
+    compact_ann_index(spark, path)
+    reloaded = load_ann_index(spark, path)
+    out = search_ann_index(
+        reloaded, e.filter(F.col("vec_id") < 10), n_probe=n_probe, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
+def _oracle_ann_topk_ivfpq_deleted() -> str:
+    return (
+        f"WITH {_ivfpq_adc_ctes(cand_pred=f'NOT ({_ANN_DELETE_PRED})')} "
+        "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
+        "FROM r WHERE rank <= 5"
+    )
+
+
 def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-coded IVF-PQ top-5 (FAISS ``by_residual=true``, the
     production default): identical index shape to ann_topk_ivfpq but
@@ -4346,13 +4407,17 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_ctes(qpred: str = "vec_id < 10") -> str:
+def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
     """CTE chain ``e … r`` of the raw-coded IVF-PQ probe-and-ADC search
     (``r`` = (query_id, neighbor_id, dist, rank)), parameterized by the
-    query predicate — shared by the ivfpq / persisted-index oracles
-    (``vec_id < 10``) and the index-backed RRF oracle (the _BM25_QUERIES
-    ids). No name collisions with _bm25_queries_ctes (base/stats/
-    mqscored), so the two chains compose under one WITH."""
+    query predicate — shared by the ivfpq / persisted-index /
+    incremental oracles (``vec_id < 10``) and the index-backed RRF
+    oracle (the _BM25_QUERIES ids) — and by a CANDIDATE predicate
+    (``cand_pred`` on ``cd.vec_id``, the tombstone-deletion oracle's
+    exclusion; geometry CTEs stay over the FULL relation because
+    deletion never retrains). No name collisions with
+    _bm25_queries_ctes (base/stats/mqscored), so the chains compose
+    under one WITH."""
     dsub = _QUANT_DIM // _PQ_M
     subs = []
     for m in range(_PQ_M):
@@ -4399,6 +4464,7 @@ def _ivfpq_adc_ctes(qpred: str = "vec_id < 10") -> str:
         f"{dterms} AS dist "
         "FROM probes p JOIN casg ON casg.cid = p.cid "
         "JOIN cd ON cd.vec_id = casg.vec_id AND cd.vec_id <> p.q_id "
+        f"AND ({cand_pred.replace('vec_id', 'cd.vec_id')}) "
         f"JOIN q ON q.q_id = p.q_id {cjoins}), "
         "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s)"
@@ -9023,11 +9089,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # re-witnessed by multimodal_phash_bytes, whose oracle is its SQL
     # verbatim)
     "multimodal_phash_neardups": q_multimodal_phash_neardups,
-    "multimodal_phash_clusters": q_multimodal_phash_clusters,
+    # (multimodal_phash_clusters, green r7, handed its slot to the
+    # late-r8 ann_topk_ivfpq_deleted below — the banded pair plan it
+    # clusters stays witnessed by multimodal_phash_neardups +
+    # multimodal_photo_neardups, and the union-find resolution by
+    # dedup_survivors_longest)
     "profile_entropy": q_profile_entropy,
     # -- r8-new relations (each fully oracled) -----------------------
     "retrieval_rrf_indexed": q_retrieval_rrf_indexed,
     "ann_topk_ivfpq_incremental": q_ann_topk_ivfpq_incremental,
+    "ann_topk_ivfpq_deleted": q_ann_topk_ivfpq_deleted,
     "multimodal_photo_phash": q_multimodal_photo_phash,
     "multimodal_photo_metadata": q_multimodal_photo_metadata,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
@@ -9096,8 +9167,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-green standing. Order here is not contractual.
     # ------------------------------------------------------------------
     "dedup_exact": q_dedup_exact,
-    # late-r8 ejection (green r7; slot handed to ann_topk_ivfpq_incremental)
+    # late-r8 ejections (green r7; slots handed to the index CRUD rows)
     "multimodal_image_phash": q_multimodal_image_phash,
+    "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "text_lm_score": q_text_lm_score,
     "dataset_dsir_weights": q_dataset_dsir_weights,
     "embedding_sq8_error": q_embedding_sq8_error,
@@ -9379,6 +9451,7 @@ def oracles() -> dict[str, str]:
         # level (raw coding is per-vector independent; seeds live in
         # the first half)
         "ann_topk_ivfpq_incremental": _oracle_ann_topk_ivfpq(),
+        "ann_topk_ivfpq_deleted": _oracle_ann_topk_ivfpq_deleted(),
         "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),
         "ann_ivfpq_recall": _oracle_ann_ivfpq_recall(),
         # streaming twin: identical SQL oracle as the batch histogram

@@ -126,3 +126,51 @@ def test_incremental_add_is_bit_identical_to_bulk_build(spark, tmp_path):
     assert key(search_ann_index(grown, q, n_probe=4, k=5)) == key(
         search_ann_index(bulk, q, n_probe=4, k=5)
     )
+
+
+def test_tombstone_delete_and_compaction_semantics(spark, tmp_path):
+    """Delete semantics must be visible at EVERY stage: the returned
+    handle, a fresh load with un-compacted tombstones, and a fresh load
+    after compaction must all exclude the deleted ids; compaction must
+    physically shrink the codes relation and be a no-op when re-run."""
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ann_index(
+        e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16
+    )
+    path = str(tmp_path / "del_index")
+    persist_ann_index(idx, path)
+    n_all = spark.read.parquet(f"{path}/codes").count()
+    loaded = load_ann_index(spark, path)
+    dead = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    handle = delete_from_ann_index(loaded, dead, persist_path=path)
+    dead_ids = {r.vec_id for r in dead.collect()}
+
+    def ids_of(index):
+        return {r.vec_id for r in index.indexed.select("vec_id").collect()}
+
+    assert ids_of(handle) & dead_ids == set()
+    # un-compacted: a fresh load must already exclude (load-side anti-join)
+    assert ids_of(load_ann_index(spark, path)) & dead_ids == set()
+    # physical file still holds every row until compaction
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    compact_ann_index(spark, path)
+    assert spark.read.parquet(f"{path}/codes").count() == n_all - n_dead
+    compact_ann_index(spark, path)  # idempotent no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n_all - n_dead
+    # deleted ids never appear as neighbors
+    out = search_ann_index(
+        load_ann_index(spark, path), e.filter(F.col("vec_id") < 4),
+        n_probe=16, k=10,
+    )
+    assert {r.neighbor_id for r in out.collect()} & dead_ids == set()

@@ -112,11 +112,11 @@ def test_window_contains_the_flagship_operators():
         "stream_psi",
         "multimodal_phash_bytes",
         "multimodal_phash_gate",
-        # (multimodal_image_phash, green r7, ejected late-r8 for
-        # ann_topk_ivfpq_incremental; its math is re-witnessed by
-        # multimodal_phash_bytes, whose oracle is its SQL verbatim)
+        # (multimodal_image_phash and multimodal_phash_clusters, both
+        # green r7, ejected late-r8 for the index CRUD rows; their math
+        # stays re-witnessed by multimodal_phash_bytes — oracle is
+        # image_phash's SQL verbatim — and by the neardup/survivor rows)
         "multimodal_phash_neardups",
-        "multimodal_phash_clusters",
         "profile_entropy",
         # family anchors
         "semantic_dedup",
@@ -126,6 +126,7 @@ def test_window_contains_the_flagship_operators():
         "stream_top_tokens",
         "retrieval_rrf_indexed",
         "ann_topk_ivfpq_incremental",
+        "ann_topk_ivfpq_deleted",
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
