@@ -3133,6 +3133,90 @@ def _oracle_quality_dup_lift() -> str:
     )
 
 
+# --- corpus snapshot diff ----------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """What changed between two corpus snapshots: per doc present in
+    either, ``status`` ∈ added / removed / changed (+ the per-side
+    token counts, NULL on the absent side); unchanged docs are dropped
+    — the diff IS the interesting sliver. The audit a curation run
+    publishes next to a dataset-version bump ("v2 = v1 + 1,204 docs −
+    356 docs, 89 edited").
+
+    Scale shape: both sides project to (id, 16-byte content hash,
+    token count) MAP-SIDE, so the full-outer join — the one
+    unavoidable shuffle of a diff — carries ~24 bytes/doc, never the
+    text payload; the status CASE and the unchanged-filter run in the
+    join's output stage. Content equality by MD5, the exact-dedup key
+    (functions/text.md5_fingerprint), bit-identical cross-engine."""
+    o = old.select(
+        F.col(id_col),
+        TX.md5_fingerprint(F.col(text_col)).alias("h_old"),
+        TX.n_words(F.col(text_col)).cast("bigint").alias("old_tokens"),
+    )
+    n = new.select(
+        F.col(id_col),
+        TX.md5_fingerprint(F.col(text_col)).alias("h_new"),
+        TX.n_words(F.col(text_col)).cast("bigint").alias("new_tokens"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .filter(
+            F.col("h_old").isNull()
+            | F.col("h_new").isNull()
+            | (F.col("h_old") != F.col("h_new"))
+        )
+        .select(id_col, status.alias("status"), "old_tokens", "new_tokens")
+    )
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff on deterministically derived v1/v2 views of the
+    documents fixture: v1 = doc_id % 11 ≠ 5, v2 = doc_id % 13 ≠ 7 with
+    the doc_id % 17 = 2 slice edited (a ' v2' suffix) — so all three
+    statuses occur. Full SQL oracle (MD5 + FULL OUTER JOIN mirror the
+    operator 1:1)."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 5)
+    new = d.filter(F.col("doc_id") % 13 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def _oracle_corpus_snapshot_diff() -> str:
+    return (
+        "WITH o AS (SELECT doc_id, MD5(text) AS h_old, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS old_tokens "
+        "FROM documents WHERE doc_id % 11 <> 5), "
+        "nb AS (SELECT doc_id, CASE WHEN doc_id % 17 = 2 "
+        "THEN text || ' v2' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 13 <> 7), "
+        "n AS (SELECT doc_id, MD5(text) AS h_new, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS new_tokens FROM nb), "
+        "f AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, h_old, h_new, "
+        "old_tokens, new_tokens FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+        "SELECT doc_id, CASE WHEN h_old IS NULL THEN 'added' "
+        "WHEN h_new IS NULL THEN 'removed' ELSE 'changed' END AS status, "
+        "old_tokens, new_tokens FROM f "
+        "WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new"
+    )
+
+
 def _oracle_retrieval_hybrid_rrf() -> str:
     k = float(_RRF_K)
     depth = _RRF_DEPTH
@@ -9074,7 +9158,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_tokens_approx": q_text_top_tokens_approx,
     "retrieval_bm25_queries": q_retrieval_bm25_queries,
     "retrieval_rrf_queries": q_retrieval_rrf_queries,
-    "corpus_funnel": q_corpus_funnel,
+    # (corpus_funnel, green r7, handed its slot to the late-r8
+    # snapshot-diff audit below; its cumulative predicate chain stays
+    # locally oracle-checked and shares the clean_v3 core that
+    # corpus_pipeline re-witnesses)
     "curriculum_stages": q_curriculum_stages,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
@@ -9099,6 +9186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_rrf_indexed": q_retrieval_rrf_indexed,
     "ann_topk_ivfpq_incremental": q_ann_topk_ivfpq_incremental,
     "ann_topk_ivfpq_deleted": q_ann_topk_ivfpq_deleted,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "multimodal_photo_phash": q_multimodal_photo_phash,
     "multimodal_photo_metadata": q_multimodal_photo_metadata,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
@@ -9167,9 +9255,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-green standing. Order here is not contractual.
     # ------------------------------------------------------------------
     "dedup_exact": q_dedup_exact,
-    # late-r8 ejections (green r7; slots handed to the index CRUD rows)
+    # late-r8 ejections (green r7; slots handed to the index CRUD rows
+    # and the snapshot-diff audit)
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
+    "corpus_funnel": q_corpus_funnel,
     "text_lm_score": q_text_lm_score,
     "dataset_dsir_weights": q_dataset_dsir_weights,
     "embedding_sq8_error": q_embedding_sq8_error,
@@ -9452,6 +9542,7 @@ def oracles() -> dict[str, str]:
         # the first half)
         "ann_topk_ivfpq_incremental": _oracle_ann_topk_ivfpq(),
         "ann_topk_ivfpq_deleted": _oracle_ann_topk_ivfpq_deleted(),
+        "corpus_snapshot_diff": _oracle_corpus_snapshot_diff(),
         "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),
         "ann_ivfpq_recall": _oracle_ann_ivfpq_recall(),
         # streaming twin: identical SQL oracle as the batch histogram

@@ -225,3 +225,24 @@ def test_cluster_topics_shape_and_ordering(spark, sf_dir):
         # no duplicate tokens within a cluster's card
         toks = [t for _, t in items]
         assert len(toks) == len(set(toks)), f"cluster {cid} repeats a token"
+
+
+def test_snapshot_diff_statuses_and_unchanged_dropped(spark, sf_dir):
+    """All three statuses occur on the derived v1/v2 fixture views;
+    unchanged docs never leak a row; token deltas line up with the
+    planted ' v2' suffix edit (+1 token on every changed doc)."""
+    from overpaint_spark import queries as Q
+
+    rows = Q.q_corpus_snapshot_diff(spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) == {"added", "removed", "changed"}
+    for r in by_status["added"]:
+        assert r["old_tokens"] is None and r["new_tokens"] is not None
+        assert r["doc_id"] % 11 == 5  # absent from v1, present in v2
+    for r in by_status["removed"]:
+        assert r["new_tokens"] is None and r["doc_id"] % 13 == 7
+    for r in by_status["changed"]:
+        assert r["doc_id"] % 17 == 2
+        assert r["new_tokens"] == r["old_tokens"] + 1

@@ -106,7 +106,8 @@ def test_window_contains_the_flagship_operators():
         "text_top_tokens_approx",
         "retrieval_bm25_queries",
         "retrieval_rrf_queries",
-        "corpus_funnel",
+        # (corpus_funnel, green r7, ejected late-r8 for the
+        # snapshot-diff audit)
         "ann_topk_ivfpq_persisted",
         "stream_sessionize",
         "stream_psi",
@@ -127,6 +128,7 @@ def test_window_contains_the_flagship_operators():
         "retrieval_rrf_indexed",
         "ann_topk_ivfpq_incremental",
         "ann_topk_ivfpq_deleted",
+        "corpus_snapshot_diff",
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
