@@ -104,6 +104,6 @@ def test_bench_extra_names_disjoint_from_manifest():
 
     # static check on the known extras (building the index just to list
     # keys would boot Spark; the name contract is what matters here)
-    extras = {"ann_ivfpq_persisted:search"}
+    extras = {"ann_ivfpq_persisted:search", "retrieval_rrf_indexed:search"}
     assert all(":" in n for n in extras)
     assert extras.isdisjoint(set(Q.QUERIES))
