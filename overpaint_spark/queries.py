@@ -3634,6 +3634,87 @@ def q_ann_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    each probe vector (the knn row's held-out ``vec_id % 25 = 0``
+    set), its top-5 nearest CROSS-LABEL neighbors by exact cosine —
+    the most-confusable wrong-label examples a triplet/InfoNCE
+    trainer wants as negatives. Output: (query_id, neighbor_id, rank,
+    cos_r, neg_label).
+
+    Plan: the ann_knn_accuracy shape — the bounded probe set (|N|/25
+    rows) broadcasts against one candidate scan with the label
+    mismatch filtered INSIDE the fused stage (the filter only shrinks
+    the per-probe candidate set; no second scan, no shuffle of
+    vectors), then per-query WindowGroupLimit rank windows. Rank ties
+    break neighbor_id-ascending; cos_r is ROUND(cos, 4) — the
+    decontaminate_semantic pairing whose cross-engine parity is
+    already established. Full SQL oracle, MATCH at all three SFs."""
+    from overpaint_spark.functions import vectors as VX
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = VX.as_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("q_vec"),
+        VX.norm(qv).alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        qv.alias("c_vec"),
+        VX.norm(qv).alias("c_norm"),
+        F.col("label").alias("neg_label"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            VX.cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 4).alias("cos_r"),
+            "neg_label",
+        )
+    )
+
+
+def _oracle_embedding_hard_negatives() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v, label FROM e "
+        "WHERE vec_id % 25 = 0), "
+        "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        "c.label AS neg_label, LIST_COSINE_SIMILARITY(q.v, c.v) AS sim "
+        "FROM e c CROSS JOIN q "
+        "WHERE c.vec_id <> q.query_id AND c.label <> q.label), "
+        "r AS (SELECT query_id, neighbor_id, neg_label, sim, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cos_r, "
+        "neg_label FROM r WHERE rank <= 5"
+    )
+
+
 def _oracle_ann_knn_accuracy() -> str:
     return (
         "WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
@@ -9153,7 +9234,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r7 first-time witnesses kept for a second green round -------
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "corpus_cluster_topics": q_corpus_cluster_topics,
-    "shard_balance": q_shard_balance,
+    # (shard_balance, green r7, handed its slot to the late-r8
+    # hard-negative miner below; the token-balance audit stays locally
+    # oracle-checked every round)
     "semantic_dedup": q_semantic_dedup,
     "text_top_tokens_approx": q_text_top_tokens_approx,
     "retrieval_bm25_queries": q_retrieval_bm25_queries,
@@ -9187,6 +9270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivfpq_incremental": q_ann_topk_ivfpq_incremental,
     "ann_topk_ivfpq_deleted": q_ann_topk_ivfpq_deleted,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
     "multimodal_photo_phash": q_multimodal_photo_phash,
     "multimodal_photo_metadata": q_multimodal_photo_metadata,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
@@ -9260,6 +9344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_phash": q_multimodal_image_phash,
     "multimodal_phash_clusters": q_multimodal_phash_clusters,
     "corpus_funnel": q_corpus_funnel,
+    "shard_balance": q_shard_balance,
     "text_lm_score": q_text_lm_score,
     "dataset_dsir_weights": q_dataset_dsir_weights,
     "embedding_sq8_error": q_embedding_sq8_error,
@@ -9543,6 +9628,7 @@ def oracles() -> dict[str, str]:
         "ann_topk_ivfpq_incremental": _oracle_ann_topk_ivfpq(),
         "ann_topk_ivfpq_deleted": _oracle_ann_topk_ivfpq_deleted(),
         "corpus_snapshot_diff": _oracle_corpus_snapshot_diff(),
+        "embedding_hard_negatives": _oracle_embedding_hard_negatives(),
         "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),
         "ann_ivfpq_recall": _oracle_ann_ivfpq_recall(),
         # streaming twin: identical SQL oracle as the batch histogram

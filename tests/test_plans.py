@@ -218,6 +218,10 @@ _CROSS_OK = {
     # broadcast; the dense side is an equi-join on cluster_id against
     # the bounded LUT relation (no corpus fold — that's the point)
     "retrieval_rrf_indexed",
+    # hard-negative mining: the bounded probe set (|N|/25 rows)
+    # broadcast against the candidate scan — the ann_knn_accuracy
+    # asymmetry with the cross-label filter fused into the same stage
+    "embedding_hard_negatives",
 }
 
 

@@ -443,3 +443,36 @@ def test_hamming_topk_works_at_dim_128(spark):
     for r in out:
         want = int((bits[r.query_id] ^ bits[r.neighbor_id]).sum())
         assert r.hamming == want
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
+    """Every mined negative carries a label different from its probe's,
+    ranks are dense 1..5 per probe, and the rank-1 negative's cosine is
+    the max over that probe's cross-label candidates (verified against
+    a direct numpy recompute for the first probe)."""
+    import numpy as np
+
+    from overpaint_spark import queries as Q
+
+    rows = Q.q_embedding_hard_negatives(spark, sf_dir).collect()
+    e = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+         for r in Q._t(spark, sf_dir, "embeddings").collect()}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        for x in rs:
+            assert e[x.neighbor_id][1] != e[qid][1]
+            assert x.neg_label == e[x.neighbor_id][1]
+    qid = min(by_q)
+    qv, ql = e[qid]
+    best = max(
+        (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), nid)
+        for nid, (v, lbl) in e.items()
+        if nid != qid and lbl != ql
+    )
+    top = min(by_q[qid], key=lambda x: x.rank)
+    assert top.neighbor_id == best[1]
+    assert abs(top.cos_r - round(best[0], 4)) <= 1e-9

@@ -102,7 +102,8 @@ def test_window_contains_the_flagship_operators():
         # kept r7 first-time witnesses
         "dedup_survivors_longest",
         "corpus_cluster_topics",
-        "shard_balance",
+        # (shard_balance, green r7, ejected late-r8 for the
+        # hard-negative miner)
         "text_top_tokens_approx",
         "retrieval_bm25_queries",
         "retrieval_rrf_queries",
@@ -129,6 +130,7 @@ def test_window_contains_the_flagship_operators():
         "ann_topk_ivfpq_incremental",
         "ann_topk_ivfpq_deleted",
         "corpus_snapshot_diff",
+        "embedding_hard_negatives",
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
