@@ -174,3 +174,48 @@ def test_tombstone_delete_and_compaction_semantics(spark, tmp_path):
         n_probe=16, k=10,
     )
     assert {r.neighbor_id for r in out.collect()} & dead_ids == set()
+
+
+def test_readd_after_delete_requires_compaction_first(spark, tmp_path):
+    """Tombstone-wins semantics, honestly pinned: a tombstoned id that
+    is re-added BEFORE compaction stays hidden from fresh loads (the
+    load-side anti-join filters the codes relation by id, and the
+    tombstone is still on disk); compacting first folds the tombstone
+    away, after which a re-add is visible. The production cadence is
+    therefore delete → compact → re-ingest, and this test is the
+    documentation of why."""
+    from overpaint_spark.operators.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ann_index(e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16)
+    path = str(tmp_path / "readd_index")
+    persist_ann_index(idx, path)
+    victim = e.orderBy(F.col("vec_id").desc()).limit(1)
+    vid = victim.collect()[0].vec_id
+
+    def visible() -> bool:
+        loaded = load_ann_index(spark, path)
+        return bool(
+            loaded.indexed.filter(F.col("vec_id") == vid).take(1)
+        )
+
+    delete_from_ann_index(load_ann_index(spark, path), victim.select("vec_id"), persist_path=path)
+    assert not visible()
+    # re-add while the tombstone is live: still hidden (tombstone wins)
+    add_to_ann_index(load_ann_index(spark, path), victim, persist_path=path)
+    assert not visible()
+    # compaction folds the tombstone away — but it also removes BOTH
+    # code rows for the victim (the original and the pre-compaction
+    # re-add are the same id, and the tombstone excludes the id)
+    compact_ann_index(spark, path)
+    assert not visible()
+    # the supported cadence: re-ingest AFTER compaction
+    add_to_ann_index(load_ann_index(spark, path), victim, persist_path=path)
+    assert visible()
