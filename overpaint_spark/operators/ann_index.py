@@ -36,6 +36,21 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The tombstones relation is optional (None when never written) —
+    but ONLY path-not-found maps to None; a corrupt file, permission
+    failure, or any other read error propagates, because treating it
+    as "no tombstones" would silently resurrect deleted rows."""
+    try:
+        return spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 @dataclass
@@ -131,10 +146,7 @@ def load_ann_index(
     for r in cbr:
         cb[r.subspace][r.code] = r.center
     indexed = spark.read.parquet(f"{path}/codes")
-    try:
-        tomb = spark.read.parquet(f"{path}/tombstones")
-    except Exception:
-        tomb = None
+    tomb = _read_tombstones(spark, path)
     if tomb is not None:
         # un-compacted tombstones: exclude at load so every reader sees
         # delete semantics regardless of compaction cadence
@@ -228,12 +240,20 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     """Fold the tombstone set into the codes relation (one anti-join
     rewrite, re-laid-out by cluster like :func:`persist_ann_index`)
     and clear it — the compaction that bounds tombstone growth. A
-    no-op when no tombstones exist."""
+    no-op when no tombstones exist (path-not-found only; a failed
+    tombstone READ propagates rather than becoming a silent no-op).
+
+    The swap is rename-aside (codes → codes_old, codes_compacted →
+    codes, then delete codes_old): a crash at any step leaves a full
+    copy of the codes relation on disk under one of the two names, so
+    recovery never needs the tombstone set it just deleted. Renames
+    assume a local/POSIX filesystem (the same assumption the parquet
+    `overwrite` staging itself makes on this deployment); an object-
+    store deployment would swap via a manifest pointer instead."""
     import shutil
 
-    try:
-        tomb = spark.read.parquet(f"{path}/tombstones")
-    except Exception:
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
         return
     codes = spark.read.parquet(f"{path}/codes")
     id_col = [c for c in codes.columns if c not in ("codes", "cluster_id")][0]
@@ -244,8 +264,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/codes_compacted")
     )
-    shutil.rmtree(f"{path}/codes")
+    shutil.move(f"{path}/codes", f"{path}/codes_old")
     shutil.move(f"{path}/codes_compacted", f"{path}/codes")
+    shutil.rmtree(f"{path}/codes_old")
     shutil.rmtree(f"{path}/tombstones")
 
 

@@ -295,7 +295,13 @@ def decontaminated_bloom(
         .join(F.broadcast(ev_exact), "shingle", "left_semi")
         .select(id_col)
         .distinct()
+        # eager: materializes the bounded contaminated-id sliver NOW,
+        # which lets the cached eval grams be released before return —
+        # repeated calls (bench n_runs loops) must not accumulate
+        # cached relations for the session lifetime
+        .localCheckpoint(eager=True)
     )
+    ev_exact.unpersist()
     return train.join(F.broadcast(confirmed), id_col, "left_anti")
 
 

@@ -2096,7 +2096,12 @@ def _bm25_queries_ctes() -> str:
             for t in terms
         )
         + " AS bm25_ppm FROM base, stats"
-        for qid, terms in sorted(_BM25_QUERIES.items())
+        # dict.fromkeys: score DISTINCT terms — structurally matches the
+        # operator's (term, query_id) dedupe (bm25_scores_queries) even
+        # if a future query tuple repeats a term
+        for qid, terms in sorted(
+            (q, tuple(dict.fromkeys(ts))) for q, ts in _BM25_QUERIES.items()
+        )
     )
     return (
         "base AS (SELECT doc_id, "
@@ -4483,7 +4488,10 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_DELETE_PRED = "vec_id % 7 = 3"  # the tombstoned slice
+# the tombstoned slice; the {id} template binds to whatever alias the
+# consuming SQL qualifies the id column with (see _ivfpq_adc_ctes)
+_ANN_DELETE_PRED_T = "{id} % 7 = 3"
+_ANN_DELETE_PRED = _ANN_DELETE_PRED_T.format(id="vec_id")
 
 
 def q_ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4538,7 +4546,7 @@ def q_ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ann_topk_ivfpq_deleted() -> str:
     return (
-        f"WITH {_ivfpq_adc_ctes(cand_pred=f'NOT ({_ANN_DELETE_PRED})')} "
+        f"WITH {_ivfpq_adc_ctes(cand_pred=f'NOT ({_ANN_DELETE_PRED_T})')} "
         "SELECT query_id, neighbor_id, rank, ROUND(dist, 4) AS adc_dist_r "
         "FROM r WHERE rank <= 5"
     )
@@ -4578,9 +4586,11 @@ def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
     query predicate — shared by the ivfpq / persisted-index /
     incremental oracles (``vec_id < 10``) and the index-backed RRF
     oracle (the _BM25_QUERIES ids) — and by a CANDIDATE predicate
-    (``cand_pred`` on ``cd.vec_id``, the tombstone-deletion oracle's
-    exclusion; geometry CTEs stay over the FULL relation because
-    deletion never retrains). No name collisions with
+    (``cand_pred``, the tombstone-deletion oracle's exclusion; it
+    templates the id column as ``{id}``, which this builder binds to
+    ``cd.vec_id`` — never substring-rewritten, so predicates referencing
+    other identifiers stay intact; geometry CTEs stay over the FULL
+    relation because deletion never retrains). No name collisions with
     _bm25_queries_ctes (base/stats/mqscored), so the chains compose
     under one WITH."""
     dsub = _QUANT_DIM // _PQ_M
@@ -4629,7 +4639,7 @@ def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
         f"{dterms} AS dist "
         "FROM probes p JOIN casg ON casg.cid = p.cid "
         "JOIN cd ON cd.vec_id = casg.vec_id AND cd.vec_id <> p.q_id "
-        f"AND ({cand_pred.replace('vec_id', 'cd.vec_id')}) "
+        f"AND ({cand_pred.format(id='cd.vec_id')}) "
         f"JOIN q ON q.q_id = p.q_id {cjoins}), "
         "r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM s)"
