@@ -4488,6 +4488,78 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index grown by STRUCTURED STREAMING — eighth
+    oracle-verified streaming query, and ann_topk_ivfpq_incremental's
+    production cadence made literal: build on the FIRST HALF of the
+    corpus, persist, then the second half ARRIVES AS A STREAM (two
+    files → two availableNow micro-batches) through the foreachBatch
+    ingest gate (streaming/ann_ingest.py), each batch encoded against
+    the frozen geometry and appended to the STORED index. Raw coding is
+    per-vector independent, so batch boundaries cannot change a code
+    byte: the stream-grown index is bit-identical to a one-shot build
+    over the full corpus, and the post-stream search is held to the
+    live ann_topk_ivfpq SQL VERBATIM — a MATCH witnesses the whole
+    chain (build-half → persist → stream-encode × 2 batches → append →
+    reload → search) at value level. Batch/stream codes-level identity
+    is additionally pinned in tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+        search_ann_index,
+    )
+    from overpaint_spark.sources.catalog import footer_row_count
+    from overpaint_spark.streaming.ann_ingest import write_ann_ingest_stream
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = footer_row_count(f"{sf_dir}/embeddings.parquet")
+    split = n // 2
+    n_cent, n_probe = _ivf_params(sf_dir)
+    idx0 = build_ann_index(
+        e.filter(F.col("vec_id") < split), dim=_QUANT_DIM,
+        n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    path = f"{base}/stream_annidx_{run}"
+    src = f"{base}/stream_annsrc_{run}"
+    ckpt = f"{base}/stream_annckpt_{run}"
+    for dpath in (path, src, ckpt):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    persist_ann_index(idx0, path)
+    arriving = e.filter(F.col("vec_id") >= split).select("vec_id", "embedding")
+    mid = split + (n - split) // 2
+    arriving.filter(F.col("vec_id") < mid).coalesce(1).write.parquet(f"{src}/a")
+    arriving.filter(F.col("vec_id") >= mid).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_ann_ingest_stream(
+        stream, path, ckpt, trigger_available_now=True
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_ann_ingest: availableNow trigger did not complete "
+            "within 300 s — refusing to search a partially-grown index"
+        )
+    grown = load_ann_index(spark, path)
+    out = search_ann_index(
+        grown, e.filter(F.col("vec_id") < 10), n_probe=n_probe, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adc_dist", 4).alias("adc_dist_r")
+    )
+
+
 # the tombstoned slice; the {id} template binds to whatever alias the
 # consuming SQL qualifies the id column with (see _ivfpq_adc_ctes)
 _ANN_DELETE_PRED_T = "{id} % 7 = 3"
@@ -9258,7 +9330,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_stages": q_curriculum_stages,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
-    "stream_sessionize": q_stream_sessionize,
+    # (stream_sessionize, green r7+r8, handed its slot to the r9
+    # streaming ANN-ingest witness below; the session-window state
+    # machine stays declared + locally oracle-checked and the family
+    # keeps stream_psi/stream_top_tokens/stream_ann_ingest in-window)
+    "stream_ann_ingest": q_stream_ann_ingest,
     "stream_psi": q_stream_psi,
     "stream_top_tokens": q_stream_top_tokens,
     "multimodal_phash_bytes": q_multimodal_phash_bytes,
@@ -9312,6 +9388,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "stream_sessionize": q_stream_sessionize,
     "corpus_span_scrubbed": q_corpus_span_scrubbed,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "split_dedup_leakage": q_split_dedup_leakage,
@@ -9636,6 +9714,10 @@ def oracles() -> dict[str, str]:
         # level (raw coding is per-vector independent; seeds live in
         # the first half)
         "ann_topk_ivfpq_incremental": _oracle_ann_topk_ivfpq(),
+        # stream-grown index ≡ one-shot build (raw coding is batch-
+        # boundary-independent), held at oracle level: the post-stream
+        # search answers the live ivfpq SQL verbatim
+        "stream_ann_ingest": _oracle_ann_topk_ivfpq(),
         "ann_topk_ivfpq_deleted": _oracle_ann_topk_ivfpq_deleted(),
         "corpus_snapshot_diff": _oracle_corpus_snapshot_diff(),
         "embedding_hard_negatives": _oracle_embedding_hard_negatives(),

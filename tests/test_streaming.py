@@ -947,3 +947,60 @@ def test_streaming_psi_empty_and_null_batches_skipped(spark, tmp_path):
             str(tmp_path / "o"), str(tmp_path / "c"),
             column="value", lo=0.0, hi=200.0,
         )
+
+
+def test_streaming_ann_ingest_bit_identical_to_batch(spark, tmp_path):
+    """The foreachBatch ANN-ingest gate must grow the persisted index
+    into EXACTLY the artifact a one-shot build over the union produces:
+    raw coding is per-vector independent and the geometry is frozen at
+    sink construction, so batch boundaries cannot change a code byte.
+    Stream the second half of the corpus in two micro-batches, reload,
+    and compare every (id → codes, cluster_id) row against a single
+    build over the full corpus."""
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+    from overpaint_spark.streaming.ann_ingest import write_ann_ingest_stream
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    split = n // 2
+    idx0 = build_ann_index(
+        e.filter(F.col("vec_id") < split), dim=64, n_centroids=16,
+        n_subspaces=8, n_codes=16,
+    )
+    path = str(tmp_path / "annidx")
+    persist_ann_index(idx0, path)
+
+    arriving = e.filter(F.col("vec_id") >= split)
+    src = str(tmp_path / "src")
+    mid = split + (n - split) // 2
+    arriving.filter(F.col("vec_id") < mid).coalesce(1).write.parquet(f"{src}/a")
+    arriving.filter(F.col("vec_id") >= mid).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = write_ann_ingest_stream(
+        stream, path, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    assert q.awaitTermination(120)
+
+    grown = load_ann_index(spark, path)
+    got = {
+        r.vec_id: (list(r.codes), r.cluster_id)
+        for r in grown.indexed.collect()
+    }
+    oneshot = build_ann_index(
+        e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16
+    )
+    want = {
+        r.vec_id: (list(r.codes), r.cluster_id)
+        for r in oneshot.indexed.collect()
+    }
+    assert got == want and len(got) == n

@@ -110,7 +110,8 @@ def test_window_contains_the_flagship_operators():
         # (corpus_funnel, green r7, ejected late-r8 for the
         # snapshot-diff audit)
         "ann_topk_ivfpq_persisted",
-        "stream_sessionize",
+        # (stream_sessionize, green r7+r8, ejected r9 for the streaming
+        # ANN-ingest witness)
         "stream_psi",
         "multimodal_phash_bytes",
         "multimodal_phash_gate",
@@ -134,6 +135,8 @@ def test_window_contains_the_flagship_operators():
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
+        # r9-new relations
+        "stream_ann_ingest",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
