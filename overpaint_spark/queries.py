@@ -2355,12 +2355,14 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified selection (λ = 0.5):
     the greedy top-10 of vec 0's cosine top-50 shortlist, re-ranked so
     near-duplicate shortlist entries don't crowd out coverage
-    (operators/similarity.mmr_select). Declared WITHOUT a SQL oracle
-    by design: the greedy recurrence (each step's argmax depends on
-    the running selected set) has no non-recursive SQL form — the
-    dataset_pack_ffd / bpe_vocab class. Selection is pure integer
-    arithmetic over half-up ppm-quantized sims, pinned against an
-    independent pure-python reference MMR in tests/test_retrieval.py."""
+    (operators/similarity.mmr_select). FULLY ORACLED since r9: k is a
+    fixed literal (10), so the greedy recurrence unrolls into ten
+    argmax CTEs (``_mmr_ctes`` — the ann_topk_ivfpq_residual
+    retraction precedent applied to the VERDICT r8 #2 finding); the
+    integer-ppm quantization of rel and pairwise sims BEFORE selection
+    is what makes the unrolled trace engine-exact (margins in
+    mmr_select's docstring). Also pinned against an independent
+    pure-python reference MMR in tests/test_retrieval.py."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.mmr_select(e, query_vec_id=0, k=10, shortlist=_RRF_DEPTH)
 
@@ -2371,10 +2373,11 @@ def q_retrieval_mmr_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-query batch (embeddings 0 and 1 as query vectors) — the same
     integer recurrence as retrieval_mmr, but each query's trace runs
     vectorized inside its own ``applyInPandas`` group so query fan-in
-    parallelizes across executors. Rows-only like its single-query
-    twin (the greedy recurrence has no non-recursive SQL form); the
-    query-0 slice is pinned equal to mmr_select's trace and the
-    per-query independence property is pinned in
+    parallelizes across executors. FULLY ORACLED since r9 like its
+    single-query twin: one unrolled ``_mmr_ctes`` chain PER QUERY
+    (prefixed CTE names compose under one WITH), unioned with the
+    query_id column. The query-0 slice is pinned equal to mmr_select's
+    trace and the per-query independence property is pinned in
     tests/test_retrieval.py."""
     from overpaint_spark.operators.retrieval import mmr_select_queries
 
@@ -2384,6 +2387,81 @@ def q_retrieval_mmr_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return mmr_select_queries(e, queries, k=10, shortlist=_RRF_DEPTH)
+
+
+def _mmr_ctes(qid: int, prefix: str, k: int = 10, shortlist: int = _RRF_DEPTH) -> str:
+    """CTE chain ``{prefix}sl … {prefix}trace`` of ONE query's greedy
+    MMR trace, the k-step recurrence UNROLLED (k is a fixed literal in
+    the declared queries, so each greedy step is one argmax CTE over
+    the remaining candidates — the ann_topk_ivfpq_residual precedent:
+    a "no SQL form" claim retracted once the loop bound is a constant).
+    Step CTEs mirror operators/similarity.mmr_greedy_trace exactly:
+    rel and pairwise sims half-up ppm-quantized BEFORE selection, step
+    score = rel_ppm − max-over-selected pair_ppm (λ = 0.5 reduces to
+    the integer difference), ties to the smallest item id; rank 1 pays
+    maxsim_ppm = 0. Expects an ``e(vec_id, v DOUBLE[])`` CTE upstream;
+    the ppm margins that make the integer trace engine-exact are the
+    measured ones in mmr_select's docstring (≥ 8.4e-5 over rel and all
+    shortlist pairs at all three SFs)."""
+    p = prefix
+    ctes = [
+        f"{p}sl AS MATERIALIZED (SELECT item_id, v, "
+        "CAST(FLOOR(rel * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm FROM ("
+        "SELECT e.vec_id AS item_id, e.v, LIST_COSINE_SIMILARITY(e.v, "
+        f"(SELECT v FROM e WHERE vec_id = {qid})) AS rel FROM e "
+        f"WHERE e.vec_id <> {qid}) "
+        f"ORDER BY rel DESC, item_id LIMIT {shortlist})",
+        f"{p}pair AS MATERIALIZED (SELECT a.item_id AS ia, b.item_id AS ib, "
+        "CAST(FLOOR(LIST_COSINE_SIMILARITY(a.v, b.v) * 1000000.0 + 0.5) "
+        f"AS BIGINT) AS p FROM {p}sl a, {p}sl b "
+        "WHERE a.item_id <> b.item_id)",
+        f"{p}s1 AS MATERIALIZED (SELECT item_id, rel_ppm, CAST(0 AS BIGINT) "
+        f"AS maxsim_ppm FROM {p}sl ORDER BY rel_ppm DESC, item_id LIMIT 1)",
+        f"{p}sel1 AS MATERIALIZED (SELECT item_id FROM {p}s1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"{p}s{i} AS MATERIALIZED (SELECT item_id, rel_ppm, maxsim_ppm FROM ("
+            f"SELECT sl.item_id, sl.rel_ppm, MAX(pr.p) AS maxsim_ppm "
+            f"FROM {p}sl sl JOIN {p}pair pr ON pr.ia = sl.item_id "
+            f"JOIN {p}sel{i - 1} s ON pr.ib = s.item_id "
+            f"WHERE sl.item_id NOT IN (SELECT item_id FROM {p}sel{i - 1}) "
+            "GROUP BY sl.item_id, sl.rel_ppm) "
+            "ORDER BY rel_ppm - maxsim_ppm DESC, item_id LIMIT 1)"
+        )
+        ctes.append(
+            f"{p}sel{i} AS MATERIALIZED (SELECT item_id FROM {p}sel{i - 1} "
+            f"UNION ALL SELECT item_id FROM {p}s{i})"
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS select_rank, item_id, rel_ppm, "
+        f"maxsim_ppm FROM {p}s{i}"
+        for i in range(1, k + 1)
+    )
+    ctes.append(f"{p}trace AS ({arms})")
+    return ", ".join(ctes)
+
+
+def _oracle_retrieval_mmr() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"{_mmr_ctes(0, 'm_')} "
+        "SELECT select_rank, item_id, rel_ppm, maxsim_ppm FROM m_trace"
+    )
+
+
+def _oracle_retrieval_mmr_queries() -> str:
+    chains = ", ".join(_mmr_ctes(q, f"m{q}_") for q in sorted(_BM25_QUERIES))
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({q} AS BIGINT) AS query_id, select_rank, item_id, "
+        f"rel_ppm, maxsim_ppm FROM m{q}_trace"
+        for q in sorted(_BM25_QUERIES)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings), {chains} {arms}"
+    )
 
 
 # --- data-constrained epoch planning (Muennighoff et al. 2023) -------------
@@ -9321,8 +9399,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked every round)
     "semantic_dedup": q_semantic_dedup,
     "text_top_tokens_approx": q_text_top_tokens_approx,
-    "retrieval_bm25_queries": q_retrieval_bm25_queries,
-    "retrieval_rrf_queries": q_retrieval_rrf_queries,
+    # (retrieval_bm25_queries + retrieval_rrf_queries, green r7+r8,
+    # handed their slots to the r9 MMR oracle upgrades below; both stay
+    # declared + locally oracle-checked, and the multi-query postings /
+    # fusion math keeps its in-window witness via retrieval_rrf_indexed)
+    "retrieval_mmr": q_retrieval_mmr,
+    "retrieval_mmr_queries": q_retrieval_mmr_queries,
     # (corpus_funnel, green r7, handed its slot to the late-r8
     # snapshot-diff audit below; its cumulative predicate chain stays
     # locally oracle-checked and shares the clean_v3 core that
@@ -9514,8 +9596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_bpe_segmented": q_documents_bpe_segmented,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
-    "retrieval_mmr": q_retrieval_mmr,
-    "retrieval_mmr_queries": q_retrieval_mmr_queries,
+    "retrieval_bm25_queries": q_retrieval_bm25_queries,
+    "retrieval_rrf_queries": q_retrieval_rrf_queries,
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean_v3": q_corpus_clean_v3,
     "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
@@ -9648,6 +9730,11 @@ def oracles() -> dict[str, str]:
         "retrieval_bm25_queries": _oracle_retrieval_bm25_queries(),
         "retrieval_rrf_queries": _oracle_retrieval_rrf_queries(),
         "retrieval_rrf_indexed": _oracle_retrieval_rrf_indexed(),
+        # the greedy MMR recurrence UNROLLED (k = 10 is a fixed
+        # literal): each step an argmax CTE — upgraded from rows-only
+        # in r9, the residual-oracle retraction precedent
+        "retrieval_mmr": _oracle_retrieval_mmr(),
+        "retrieval_mmr_queries": _oracle_retrieval_mmr_queries(),
         "dataset_epoch_plan": _oracle_dataset_epoch_plan(),
         "embedding_drift": _oracle_embedding_drift(),
         "quality_dup_lift": _oracle_quality_dup_lift(),

@@ -105,8 +105,8 @@ def test_window_contains_the_flagship_operators():
         # (shard_balance, green r7, ejected late-r8 for the
         # hard-negative miner)
         "text_top_tokens_approx",
-        "retrieval_bm25_queries",
-        "retrieval_rrf_queries",
+        # (retrieval_bm25_queries + retrieval_rrf_queries, green r7+r8,
+        # ejected r9 for the MMR oracle upgrades)
         # (corpus_funnel, green r7, ejected late-r8 for the
         # snapshot-diff audit)
         "ann_topk_ivfpq_persisted",
@@ -135,8 +135,10 @@ def test_window_contains_the_flagship_operators():
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
         "multimodal_photo_neardups",
-        # r9-new relations
+        # r9-new relations + oracle upgrades
         "stream_ann_ingest",
+        "retrieval_mmr",
+        "retrieval_mmr_queries",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
