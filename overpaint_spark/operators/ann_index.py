@@ -270,6 +270,104 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     shutil.rmtree(f"{path}/tombstones")
 
 
+def ann_index_stats(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-inverted-list health of a persisted index — the relation an
+    operator reads BEFORE every maintenance decision (FAISS has no
+    stored-stats equivalent; Lucene/Milvus expose segment stats for
+    exactly this cadence): one row per cluster present in the codes
+    relation, ``(cluster_id, n_codes, n_tombstoned, load_pml,
+    mean_self_adc_dmm)``.
+
+    - ``n_codes`` / ``n_tombstoned``: live vs tombstoned rows per list
+      — the tombstone fraction is the COMPACTION trigger.
+    - ``load_pml``: live rows as permille of the mean live list size
+      (1000 = perfectly balanced) — inverted-list skew is the
+      RE-TRAINING trigger: a hot list makes every probe that hits it
+      scan-heavy, and probing can't fix geometry.
+    - ``mean_self_adc_dmm``: mean ADC distance between each live
+      vector's PQ code and ITS OWN coarse centroid, in half-up 1e-4
+      units (the proven ROUND(dist, 4) stability domain of the search
+      oracles), integer-divided per list — ASSIGNMENT DRIFT: rising
+      self-distance means new data no longer resembles the frozen
+      geometry. NULL for a fully-tombstoned list.
+
+    Plan shape: the only data-sized input is one scan of the codes
+    relation; the self-ADC LUT is C bounded rows (each cluster's
+    centroid against the K×M codebook — the exact ``lut_for`` fold the
+    live search broadcasts per query) broadcast-joined on cluster_id,
+    the per-cluster aggregate map-side combines, and the balance
+    window runs over the BOUNDED C-row relation. Thresholds →
+    cadence mapping lives in DEPLOY.md."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from overpaint_spark.operators.quantization import _adc_dist_expr
+
+    idx = load_ann_index(spark, path, id_col=id_col)  # geometry only used
+    raw = spark.read.parquet(f"{path}/codes")
+    tomb = _read_tombstones(spark, path)
+    n_sub = len(idx.codebook)
+    dsub = idx.dim // n_sub
+
+    def lut_for(tv):
+        return [
+            [
+                float(((tv[mi * dsub : (mi + 1) * dsub] - idx.codebook[mi][ki]) ** 2).sum())
+                for ki in range(idx.codebook[mi].shape[0])
+            ]
+            for mi in range(n_sub)
+        ]
+
+    lut_rows = [
+        (int(c), lut_for(np.asarray(idx.coarse[c], dtype=np.float64)))
+        for c in range(len(idx.coarse))
+    ]
+    lut_df = spark.createDataFrame(
+        lut_rows, "cluster_id int, lut array<array<double>>"
+    )
+    if tomb is not None:
+        flagged = raw.join(
+            F.broadcast(tomb.select(F.col(id_col)).withColumn("_tomb", F.lit(True))),
+            id_col,
+            "left",
+        ).withColumn("_tomb", F.coalesce(F.col("_tomb"), F.lit(False)))
+    else:
+        flagged = raw.withColumn("_tomb", F.lit(False))
+    dist = _adc_dist_expr(n_sub)
+    dmm = F.floor(dist * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    per = (
+        flagged.join(F.broadcast(lut_df), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count_if(~F.col("_tomb")).cast("bigint").alias("n_codes"),
+            F.count_if(F.col("_tomb")).cast("bigint").alias("n_tombstoned"),
+            F.sum(F.when(~F.col("_tomb"), dmm).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("_sum_dmm"),
+        )
+    )
+    w = Window.partitionBy()  # C bounded rows — never data-sized
+    return (
+        per.withColumn("_n_lists", F.count("*").over(w).cast("bigint"))
+        .withColumn("_total_live", F.sum("n_codes").over(w).cast("bigint"))
+        .select(
+            "cluster_id",
+            "n_codes",
+            "n_tombstoned",
+            # exact integer division (div), never a double round-trip
+            F.expr("(n_codes * 1000 * _n_lists) div _total_live").alias(
+                "load_pml"
+            ),
+            F.when(
+                F.col("n_codes") > 0, F.expr("_sum_dmm div n_codes")
+            ).alias("mean_self_adc_dmm"),
+        )
+    )
+
+
 def search_ann_index(
     index: AnnIndex,
     queries: DataFrame,

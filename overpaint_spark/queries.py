@@ -4702,6 +4702,85 @@ def _oracle_ann_topk_ivfpq_deleted() -> str:
     )
 
 
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH over the persisted store (VERDICT r8 #3): build on
+    the full corpus, persist, tombstone the ``vec_id % 7 = 3`` slice
+    WITHOUT compacting (so the tombstone columns are live data), then
+    read operators/ann_index.ann_index_stats — per inverted list, the
+    three maintenance signals an operator checks before every
+    compact/re-train decision: live size + tombstone count (compaction
+    trigger), live load as permille of the mean list (re-train
+    trigger), and mean code-to-own-centroid ADC distance in half-up
+    1e-4 units (assignment drift). Fully oracled: the SQL twin
+    re-derives assignments and codes from the shared geometry CTEs and
+    aggregates with the same integer idioms (FILTER counts, half-up
+    dmm, integer division). Thresholds → cadence mapping: DEPLOY.md."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.ann_index import (
+        ann_index_stats,
+        build_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cent, _ = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    path = tempfile.mkdtemp(prefix=f"overpaint_annstat_{uuid.uuid4().hex[:8]}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    loaded = load_ann_index(spark, path)
+    delete_from_ann_index(
+        loaded,
+        e.filter(F.expr(_ANN_DELETE_PRED)).select("vec_id"),
+        persist_path=path,
+    )
+    return ann_index_stats(spark, path)
+
+
+def _oracle_ann_index_stats() -> str:
+    dsub = _QUANT_DIM // _PQ_M
+    selfterms = " + ".join(
+        f"POWER(LIST_DISTANCE(ccent.cv[{m * dsub + 1}:{(m + 1) * dsub}], "
+        f"c{m}.cv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
+        for m in range(_PQ_M)
+    )
+    cjoins = " ".join(
+        f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M)
+    )
+    tomb = _ANN_DELETE_PRED_T.format(id="casg.vec_id")
+    return (
+        f"WITH {_ivfpq_geometry_ctes()}, "
+        f"lutd AS (SELECT casg.vec_id, casg.cid, {selfterms} AS dist, "
+        f"({tomb}) AS tomb FROM casg "
+        "JOIN cd ON cd.vec_id = casg.vec_id "
+        f"JOIN ccent ON ccent.k = casg.cid {cjoins}), "
+        "per AS (SELECT cid, "
+        "CAST(COUNT(*) FILTER (WHERE NOT tomb) AS BIGINT) AS n_codes, "
+        "CAST(COUNT(*) FILTER (WHERE tomb) AS BIGINT) AS n_tombstoned, "
+        "CAST(SUM(CASE WHEN NOT tomb THEN "
+        "CAST(FLOOR(dist * 10000.0 + 0.5) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sum_dmm "
+        "FROM lutd GROUP BY cid), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists, "
+        "CAST(SUM(n_codes) AS BIGINT) AS total_live FROM per) "
+        "SELECT CAST(cid AS INTEGER) AS cluster_id, n_codes, n_tombstoned, "
+        "CAST((n_codes * 1000 * tot.n_lists) // tot.total_live AS BIGINT) "
+        "AS load_pml, "
+        "CASE WHEN n_codes > 0 THEN CAST(sum_dmm // n_codes AS BIGINT) "
+        "END AS mean_self_adc_dmm "
+        "FROM per, tot"
+    )
+
+
 def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-coded IVF-PQ top-5 (FAISS ``by_residual=true``, the
     production default): identical index shape to ann_topk_ivfpq but
@@ -4730,19 +4809,15 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
-    """CTE chain ``e … r`` of the raw-coded IVF-PQ probe-and-ADC search
-    (``r`` = (query_id, neighbor_id, dist, rank)), parameterized by the
-    query predicate — shared by the ivfpq / persisted-index /
-    incremental oracles (``vec_id < 10``) and the index-backed RRF
-    oracle (the _BM25_QUERIES ids) — and by a CANDIDATE predicate
-    (``cand_pred``, the tombstone-deletion oracle's exclusion; it
-    templates the id column as ``{id}``, which this builder binds to
-    ``cd.vec_id`` — never substring-rewritten, so predicates referencing
-    other identifiers stay intact; geometry CTEs stay over the FULL
-    relation because deletion never retrains). No name collisions with
-    _bm25_queries_ctes (base/stats/mqscored), so the chains compose
-    under one WITH."""
+def _ivfpq_geometry_ctes() -> str:
+    """CTE chain ``e … cd`` deriving the raw-coded IVF-PQ index
+    geometry in SQL — embeddings, seeded PQ codebook sources (cent),
+    coarse IVF centroids (ccent, C = GREATEST(16, N/125) — the same
+    C ∝ N formula as the Spark side's _ivf_params), per-vector coarse
+    assignment (casg), and per-subspace PQ codes (cd). Shared by the
+    search oracles (:func:`_ivfpq_adc_ctes` appends probe/ADC CTEs)
+    and the index-health oracle (_oracle_ann_index_stats aggregates
+    casg × cd directly)."""
     dsub = _QUANT_DIM // _PQ_M
     subs = []
     for m in range(_PQ_M):
@@ -4757,18 +4832,11 @@ def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
         for m in range(_PQ_M)
     )
     codecols = ", ".join(f"a_{m}.k AS pq_{m}" for m in range(_PQ_M))
-    dterms = " + ".join(
-        f"POWER(LIST_DISTANCE(q.v[{m * dsub + 1}:{(m + 1) * dsub}], "
-        f"c{m}.cv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
-        for m in range(_PQ_M)
-    )
-    cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
     return (
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         # seeded lowest-id vectors serve as PQ codebook sources (cent:
         # fixed K codes — the code BUDGET never scales with N) and as
-        # coarse IVF centroids (ccent: C = GREATEST(16, N/125), the
-        # same C ∝ N formula as the Spark side's _ivf_params)
+        # coarse IVF centroids (ccent)
         "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS cv FROM e), "
         f"cent AS (SELECT k, cv FROM ranked WHERE k < {_PQ_K}), "
         "ccent AS (SELECT k, cv FROM ranked WHERE k < "
@@ -4777,13 +4845,38 @@ def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
         "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
         "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS crk "
         "FROM e CROSS JOIN ccent) WHERE crk = 1), "
+        + ", ".join(subs)
+        + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins})"
+    )
+
+
+def _ivfpq_adc_ctes(qpred: str = "vec_id < 10", cand_pred: str = "TRUE") -> str:
+    """CTE chain ``e … r`` of the raw-coded IVF-PQ probe-and-ADC search
+    (``r`` = (query_id, neighbor_id, dist, rank)), parameterized by the
+    query predicate — shared by the ivfpq / persisted-index /
+    incremental / stream-ingest oracles (``vec_id < 10``) and the
+    index-backed RRF oracle (the _BM25_QUERIES ids) — and by a
+    CANDIDATE predicate (``cand_pred``, the tombstone-deletion oracle's
+    exclusion; it templates the id column as ``{id}``, which this
+    builder binds to ``cd.vec_id`` — never substring-rewritten, so
+    predicates referencing other identifiers stay intact; geometry CTEs
+    stay over the FULL relation because deletion never retrains). No
+    name collisions with _bm25_queries_ctes (base/stats/mqscored), so
+    the chains compose under one WITH."""
+    dsub = _QUANT_DIM // _PQ_M
+    dterms = " + ".join(
+        f"POWER(LIST_DISTANCE(q.v[{m * dsub + 1}:{(m + 1) * dsub}], "
+        f"c{m}.cv[{m * dsub + 1}:{(m + 1) * dsub}]), 2)"
+        for m in range(_PQ_M)
+    )
+    cjoins = " ".join(f"JOIN cent c{m} ON c{m}.k = cd.pq_{m}" for m in range(_PQ_M))
+    return (
+        f"{_ivfpq_geometry_ctes()}, "
         "probes AS (SELECT vec_id AS q_id, cid FROM (SELECT e.vec_id, ccent.k AS cid, "
         "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
         "LIST_COSINE_SIMILARITY(e.v, ccent.cv) DESC, ccent.k) AS prk "
         f"FROM e CROSS JOIN ccent WHERE e.{qpred}) WHERE prk <= "
         f"(SELECT LEAST(GREATEST({_IVF_PROBE}, COUNT(*) // 4), {_IVF_PROBE_CAP}) FROM ccent)), "
-        + ", ".join(subs)
-        + f", cd AS (SELECT e.vec_id, {codecols} FROM e {joins}), "
         f"q AS (SELECT vec_id AS q_id, v FROM e WHERE {qpred}), "
         "s AS (SELECT q.q_id AS query_id, cd.vec_id AS neighbor_id, "
         f"{dterms} AS dist "
@@ -9411,7 +9504,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus_pipeline re-witnesses)
     "curriculum_stages": q_curriculum_stages,
     "bpe_merge_pairs": q_bpe_merge_pairs,
-    "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
+    # (ann_topk_ivfpq_persisted, green r7+r8, handed its slot to the r9
+    # index-health relation below; the persisted-lifecycle proof stays
+    # declared + locally oracle-checked and keeps in-window witnesses
+    # via ann_topk_ivfpq_incremental/_deleted/stream_ann_ingest)
+    "ann_index_stats": q_ann_index_stats,
     # (stream_sessionize, green r7+r8, handed its slot to the r9
     # streaming ANN-ingest witness below; the session-window state
     # machine stays declared + locally oracle-checked and the family
@@ -9472,6 +9569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
     "stream_sessionize": q_stream_sessionize,
+    "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
     "corpus_span_scrubbed": q_corpus_span_scrubbed,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "split_dedup_leakage": q_split_dedup_leakage,
@@ -9806,6 +9904,9 @@ def oracles() -> dict[str, str]:
         # search answers the live ivfpq SQL verbatim
         "stream_ann_ingest": _oracle_ann_topk_ivfpq(),
         "ann_topk_ivfpq_deleted": _oracle_ann_topk_ivfpq_deleted(),
+        # index health: assignments + codes re-derived from the shared
+        # geometry CTEs, aggregated with the same integer idioms
+        "ann_index_stats": _oracle_ann_index_stats(),
         "corpus_snapshot_diff": _oracle_corpus_snapshot_diff(),
         "embedding_hard_negatives": _oracle_embedding_hard_negatives(),
         "ann_topk_ivfpq_residual": _oracle_ann_topk_ivfpq_residual(),

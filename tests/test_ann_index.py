@@ -219,3 +219,58 @@ def test_readd_after_delete_requires_compaction_first(spark, tmp_path):
     # the supported cadence: re-ingest AFTER compaction
     add_to_ann_index(load_ann_index(spark, path), victim, persist_path=path)
     assert visible()
+
+
+def test_ann_index_stats_health_signals(spark, tmp_path):
+    """The health relation's three signals against a hand-checkable
+    store: per-list counts reconcile with the raw codes + tombstone
+    relations, load_pml sums to ~1000·C (integer-division slack only),
+    a fully-tombstoned list reports n_codes=0 with a NULL drift mean,
+    and every live list's self-ADC mean is a non-negative integer."""
+    from overpaint_spark.operators.ann_index import (
+        ann_index_stats,
+        build_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ann_index(e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16)
+    path = str(tmp_path / "stats_index")
+    persist_ann_index(idx, path)
+
+    raw = spark.read.parquet(f"{path}/codes")
+    # tombstone one whole inverted list plus a scattered slice
+    victim = raw.groupBy("cluster_id").count().orderBy("count", "cluster_id").first()
+    full_list_ids = raw.filter(F.col("cluster_id") == victim.cluster_id).select("vec_id")
+    scattered = e.filter(F.expr("vec_id % 11 = 5")).select("vec_id")
+    loaded = load_ann_index(spark, path)
+    delete_from_ann_index(
+        loaded, full_list_ids.union(scattered).distinct(), persist_path=path
+    )
+
+    rows = {r.cluster_id: r for r in ann_index_stats(spark, path).collect()}
+    tomb_ids = {
+        r.vec_id for r in spark.read.parquet(f"{path}/tombstones").collect()
+    }
+    per_raw = {
+        r.cluster_id: r.ids
+        for r in raw.groupBy("cluster_id").agg(F.collect_list("vec_id").alias("ids")).collect()
+    }
+    assert set(rows) == set(per_raw)
+    for cid, ids in per_raw.items():
+        live = [i for i in ids if i not in tomb_ids]
+        assert rows[cid].n_codes == len(live)
+        assert rows[cid].n_tombstoned == len(ids) - len(live)
+        if live:
+            assert rows[cid].mean_self_adc_dmm is not None
+            assert rows[cid].mean_self_adc_dmm >= 0
+        else:
+            assert rows[cid].mean_self_adc_dmm is None
+            assert rows[cid].load_pml == 0
+    assert rows[victim.cluster_id].n_codes == 0
+    # permille loads sum to 1000·C minus only integer-floor slack
+    c = len(per_raw)
+    total_pml = sum(r.load_pml for r in rows.values())
+    assert 1000 * c - c <= total_pml <= 1000 * c

@@ -109,9 +109,9 @@ def test_window_contains_the_flagship_operators():
         # ejected r9 for the MMR oracle upgrades)
         # (corpus_funnel, green r7, ejected late-r8 for the
         # snapshot-diff audit)
-        "ann_topk_ivfpq_persisted",
-        # (stream_sessionize, green r7+r8, ejected r9 for the streaming
-        # ANN-ingest witness)
+        # (ann_topk_ivfpq_persisted, green r7+r8, ejected r9 for the
+        # index-health relation; stream_sessionize, green r7+r8,
+        # ejected r9 for the streaming ANN-ingest witness)
         "stream_psi",
         "multimodal_phash_bytes",
         "multimodal_phash_gate",
@@ -139,6 +139,7 @@ def test_window_contains_the_flagship_operators():
         "stream_ann_ingest",
         "retrieval_mmr",
         "retrieval_mmr_queries",
+        "ann_index_stats",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
