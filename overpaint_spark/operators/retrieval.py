@@ -384,10 +384,6 @@ def mmr_select_queries(
     rows — queries parallelize across executors; the driver never
     sees a vector. Self-matches are excluded on ``item_id ==
     query_id`` (the brute_force_topk convention)."""
-    import pandas as pd
-
-    from overpaint_spark.operators.similarity import mmr_greedy_trace
-
     qv = V.as_double(F.col(qvec_col))
     q = queries.select(
         F.col(query_id_col),
@@ -418,6 +414,19 @@ def mmr_select_queries(
         .filter(F.col("_rn") <= shortlist)
         .drop("_rn")
     )
+    return _mmr_trace_groups(pool, k, query_id_col)
+
+
+def _mmr_trace_groups(pool: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Shared trace tail of :func:`mmr_select_queries` and
+    :func:`mmr_select_indexed`: ``pool`` is the per-query candidate
+    relation (query_id, item_id, vec, rel); one ``applyInPandas`` group
+    per query runs the integer greedy core
+    (``similarity.mmr_greedy_trace``) over its bounded rows."""
+    import pandas as pd
+
+    from overpaint_spark.operators.similarity import mmr_greedy_trace
+
     out_schema = (
         f"{query_id_col} long, select_rank int, item_id long, "
         "rel_ppm long, maxsim_ppm long"
@@ -445,3 +454,66 @@ def mmr_select_queries(
         )
 
     return pool.groupBy(query_id_col).applyInPandas(run, out_schema)
+
+
+def mmr_select_indexed(
+    index,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Per-query MMR whose shortlist is the PRODUCTION dense path —
+    the :func:`hybrid_rrf_indexed` discipline applied to diversified
+    selection: candidates come from a persisted IVF-PQ index
+    (operators/ann_index.search_ann_index, ADC top-``shortlist`` per
+    query over stored code bytes), their TRUE vectors are fetched as a
+    |shortlist| semi-join sliver, exact-cosine relevance is recomputed
+    on that sliver, and the SAME integer greedy core re-ranks it
+    (:func:`_mmr_trace_groups`). At 100 TB this replaces
+    :func:`mmr_select_queries`' brute-force corpus fold with
+    ``n_probe`` inverted-list code reads per query; the greedy step
+    stays O(k·shortlist) by construction. When the index shortlist
+    agrees with the brute-force top-``shortlist`` set, the traces are
+    IDENTICAL (rel is recomputed exactly; the recurrence sees the same
+    candidate set) — pinned in tests/test_retrieval.py."""
+    from overpaint_spark.operators.ann_index import search_ann_index
+
+    qv_rel = queries.select(
+        F.col(query_id_col).alias(index.id_col),
+        F.col(qvec_col).alias(vec_col),
+    )
+    short = search_ann_index(index, qv_rel, n_probe=n_probe, k=shortlist).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("neighbor_id").alias("item_id"),
+    )
+    qv = V.as_double(F.col(qvec_col))
+    q = queries.select(
+        F.col(query_id_col),
+        qv.alias("q_vec"),
+        V.norm(qv).alias("q_norm"),
+    )
+    cv = V.as_double(F.col(vec_col))
+    c = vectors.select(
+        F.col(vec_id_col).alias("item_id"),
+        cv.alias("c_vec"),
+        V.norm(cv).alias("c_norm"),
+    )
+    pool = (
+        short.join(c, "item_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "item_id",
+            F.col("c_vec").alias("vec"),
+            V.cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("rel"),
+        )
+    )
+    return _mmr_trace_groups(pool, k, query_id_col)

@@ -451,3 +451,49 @@ def test_rrf_indexed_all_probes_equals_bruteforce_twin(spark, sf_dir):
     )
     want = key(hybrid_rrf_queries(d, e, queries, k=25, depth=n).collect())
     assert got == want
+
+
+def test_mmr_indexed_all_probes_equals_bruteforce_twin(spark, sf_dir):
+    """The hybrid_rrf_indexed degeneracy argument applied to MMR: with
+    every inverted list probed and shortlist >= N the ADC shortlist is
+    every non-self candidate, relevance is recomputed exactly on the
+    true vectors by both paths, and the integer greedy core sees the
+    SAME candidate set — so mmr_select_indexed must reproduce
+    mmr_select_queries' traces tuple-for-tuple. (The declared row's
+    approximate regime — bounded n_probe, shortlist 50 — is
+    value-checked by its SQL oracle instead.)"""
+    from overpaint_spark.operators.ann_index import build_ann_index
+    from overpaint_spark.operators.retrieval import (
+        mmr_select_indexed,
+        mmr_select_queries,
+    )
+    from overpaint_spark.queries import (
+        _BM25_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _QUANT_DIM,
+        _ivf_params,
+        _t,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_cent, _ = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K
+    )
+    qids = sorted(_BM25_QUERIES)
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["select_rank"], r["item_id"], r["rel_ppm"], r["maxsim_ppm"])
+        for r in rows
+    )
+    got = key(
+        mmr_select_indexed(
+            idx, queries, e, k=10, shortlist=n, n_probe=n_cent
+        ).collect()
+    )
+    want = key(mmr_select_queries(e, queries, k=10, shortlist=n).collect())
+    assert got == want

@@ -114,7 +114,8 @@ def test_window_contains_the_flagship_operators():
         # ejected r9 for the streaming ANN-ingest witness)
         "stream_psi",
         "multimodal_phash_bytes",
-        "multimodal_phash_gate",
+        # (multimodal_phash_gate, green r7+r8, ejected r9 for the
+        # indexed-MMR production path)
         # (multimodal_image_phash and multimodal_phash_clusters, both
         # green r7, ejected late-r8 for the index CRUD rows; their math
         # stays re-witnessed by multimodal_phash_bytes — oracle is
@@ -139,6 +140,7 @@ def test_window_contains_the_flagship_operators():
         "stream_ann_ingest",
         "retrieval_mmr",
         "retrieval_mmr_queries",
+        "retrieval_mmr_indexed",
         "ann_index_stats",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
