@@ -747,6 +747,92 @@ def image_phash_bytes(
     ).mapInPandas(_phash_map("asset_id", "payload"), _PHASH_SCHEMA)
 
 
+# the perturbation classes the repo's numpy stack can synthesize
+# deterministically — the honest-limits probe of the aHash gate: which
+# edits survive Hamming ≤ 3 dedup (brightness/scale, by construction)
+# and which evade it (any geometric re-layout)
+PERTURB_KINDS = (
+    "brighten",
+    "contrast",
+    "crop10",
+    "flip_h",
+    "rotate90",
+    "rotate180",
+    "scale_half",
+)
+
+
+def perturb_raster(arr, kind: str):
+    """Deterministic pure-numpy perturbation of a decoded raster —
+    integer-safe (uint8 in, uint8 out), no resampling kernels, no RNG,
+    so the perturbed aHash is a platform-independent constant of the
+    input bytes (the _PHOTO_EXPECTED provenance requirement)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if kind == "brighten":  # uniform +20, saturating — aHash-invariant
+        return np.clip(a.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    if kind == "contrast":  # 1.25× gain, saturating (integer 5/4)
+        return np.clip((a.astype(np.int32) * 5) // 4, 0, 255).astype(np.uint8)
+    if kind == "crop10":  # drop a 10% margin on every side
+        h, w = a.shape[0], a.shape[1]
+        return a[h // 10 : h - h // 10, w // 10 : w - w // 10]
+    if kind == "flip_h":
+        return a[:, ::-1]
+    if kind == "rotate90":
+        return np.rot90(a)
+    if kind == "rotate180":
+        return np.rot90(a, 2)
+    if kind == "scale_half":  # 2× decimation (no kernel — deterministic)
+        return a[::2, ::2]
+    raise ValueError(f"unknown perturbation kind: {kind}")
+
+
+def phash_perturbed(
+    assets: DataFrame,
+    kinds: tuple = PERTURB_KINDS,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per (asset, perturbation): the 64-bit aHash of the PERTURBED
+    raster — each payload decoded ONCE per Arrow batch row, every
+    perturbation hashed from the same in-memory array (never a
+    re-decode, never a re-encode). One ``mapInPandas`` pass like
+    :func:`image_phash_bytes`; undecodable payloads yield no rows
+    (the documented unhashable-asset posture). The declared
+    ``multimodal_photo_robustness`` relation joins this against the
+    original hashes and aggregates the Hamming distribution per class
+    — the "when does phash dedup miss" card."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ks, w0s, w1s = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(p))
+                if arr is None:
+                    continue
+                for kind in kinds:
+                    w0, w1 = ahash_words(perturb_raster(arr, kind))
+                    ids.append(int(i))
+                    ks.append(kind)
+                    w0s.append(w0)
+                    w1s.append(w1)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "perturbation": pd.Series(ks, dtype="object"),
+                    "p_w0": pd.Series(w0s, dtype="int64"),
+                    "p_w1": pd.Series(w1s, dtype="int64"),
+                }
+            )
+
+    return assets.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(
+        run, "asset_id long, perturbation string, p_w0 long, p_w1 long"
+    )
+
+
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs by signature Hamming distance ≤
     ``max_hamming``, WITHOUT an all-pairs join: the 64-bit signature is

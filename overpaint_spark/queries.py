@@ -3244,6 +3244,190 @@ def _oracle_multimodal_photo_neardups() -> str:
     )
 
 
+# perturbed-raster aHash constants for the robustness card, computed
+# ONCE by the repo's own decode → perturb_raster → ahash_words stack
+# over the committed fixture bytes (the _PHOTO_EXPECTED provenance:
+# decode and perturbation are deterministic pure-integer numpy, so
+# these are platform-independent constants of fixtures/photos.parquet;
+# regenerate with tools/gen_photo_robust.py if the fixture changes).
+# The oracle does NOT take the Hamming distribution on faith — it
+# re-derives every distance (bit_count ∘ xor) and the per-class
+# aggregation from these hash literals cross-engine.
+_PHOTO_ROBUST_EXPECTED = [
+    (1, "brighten", 3284326400, 4291019651),
+    (1, "contrast", 3286424576, 4291019651),
+    (1, "crop10", 3086999551, 3787555201),
+    (1, "flip_h", 3275954944, 4291019713),
+    (1, "rotate180", 3250832383, 1786819),
+    (1, "rotate90", 2189487870, 4177297538),
+    (1, "scale_half", 3284326400, 4291019651),
+    (2, "brighten", 3824287743, 4219568515),
+    (2, "contrast", 3824287743, 4219568515),
+    (2, "crop10", 3791256063, 2164261315),
+    (2, "flip_h", 3348103167, 3749806529),
+    (2, "rotate180", 3246490079, 4294938567),
+    (2, "rotate90", 2274332671, 4288349059),
+    (2, "scale_half", 3824287743, 4219568515),
+    (3, "brighten", 2172748287, 4286677377),
+    (3, "contrast", 2172748287, 4253122945),
+    (3, "crop10", 3773889019, 2162226930),
+    (3, "flip_h", 2172748287, 4286677377),
+    (3, "rotate180", 2172748287, 4286677377),
+    (3, "rotate90", 2172748287, 4286677377),
+    (3, "scale_half", 2172748287, 4253122945),
+    (4, "brighten", 2172765183, 4294935427),
+    (4, "contrast", 2441200639, 4294935459),
+    (4, "crop10", 830570979, 4293337393),
+    (4, "flip_h", 2306982911, 4294951297),
+    (4, "rotate180", 2176974847, 4291002761),
+    (4, "rotate90", 3384919039, 4293116353),
+    (4, "scale_half", 2441200639, 4294935427),
+    (101, "brighten", 3284326400, 4291019651),
+    (101, "contrast", 3286424576, 4291019651),
+    (101, "crop10", 3019890687, 3787555201),
+    (101, "flip_h", 3275954944, 4291019713),
+    (101, "rotate180", 3250832383, 1786819),
+    (101, "rotate90", 2189487870, 4177297538),
+    (101, "scale_half", 3284326400, 4291019651),
+    (102, "brighten", 3824287743, 4219568515),
+    (102, "contrast", 3824287743, 4219568515),
+    (102, "crop10", 3791256063, 2164261315),
+    (102, "flip_h", 3348103167, 3749806529),
+    (102, "rotate180", 3246490079, 4294938567),
+    (102, "rotate90", 2274332671, 4288349059),
+    (102, "scale_half", 3824287743, 4219568515),
+    (103, "brighten", 2172748287, 4286677377),
+    (103, "contrast", 2172748287, 4253122945),
+    (103, "crop10", 3773889019, 2162226930),
+    (103, "flip_h", 2172748287, 4286677377),
+    (103, "rotate180", 2172748287, 4286677377),
+    (103, "rotate90", 2172748287, 4286677377),
+    (103, "scale_half", 2172748287, 4253122945),
+    (104, "brighten", 2172765183, 4294935427),
+    (104, "contrast", 2441200639, 4294935459),
+    (104, "crop10", 830570979, 4293337393),
+    (104, "flip_h", 2306982911, 4294951297),
+    (104, "rotate180", 2176974847, 4291002761),
+    (104, "rotate90", 3384919039, 4293116353),
+    (104, "scale_half", 2441200639, 4294935427),
+    (201, "brighten", 3284326400, 4291019651),
+    (201, "contrast", 3286424576, 4291019651),
+    (201, "crop10", 3086999551, 3787555201),
+    (201, "flip_h", 3275954944, 4291019713),
+    (201, "rotate180", 3250832383, 1786819),
+    (201, "rotate90", 2189487870, 4177297538),
+    (201, "scale_half", 3284326400, 4291019651),
+    (202, "brighten", 3824287743, 4219568515),
+    (202, "contrast", 3824287743, 4219568515),
+    (202, "crop10", 3791256063, 2164261315),
+    (202, "flip_h", 3348103167, 3749806529),
+    (202, "rotate180", 3246490079, 4294938567),
+    (202, "rotate90", 2274332671, 4288349059),
+    (202, "scale_half", 3824287743, 4219568515),
+    (203, "brighten", 2172748287, 4286677377),
+    (203, "contrast", 2172748287, 4253122945),
+    (203, "crop10", 3773889019, 2162226930),
+    (203, "flip_h", 2172748287, 4286677377),
+    (203, "rotate180", 2172748287, 4286677377),
+    (203, "rotate90", 2172748287, 4286677377),
+    (203, "scale_half", 2172748287, 4253122945),
+    (204, "brighten", 2172765183, 4294935427),
+    (204, "contrast", 2441200639, 4294935459),
+    (204, "crop10", 830570979, 4293337393),
+    (204, "flip_h", 2306982911, 4294951297),
+    (204, "rotate180", 2176974847, 4291002761),
+    (204, "rotate90", 3384919039, 4293116353),
+    (204, "scale_half", 2441200639, 4294935427),
+    (301, "brighten", 3284326400, 4291019651),
+    (301, "contrast", 3286424576, 4291019651),
+    (301, "crop10", 3086999551, 3787555201),
+    (301, "flip_h", 3275954944, 4291019713),
+    (301, "rotate180", 3250832383, 1786819),
+    (301, "rotate90", 2189487870, 4177297538),
+    (301, "scale_half", 3284326400, 4291019651),
+    (302, "brighten", 3824287743, 4219568515),
+    (302, "contrast", 3824287743, 4219568515),
+    (302, "crop10", 3791256063, 2164261315),
+    (302, "flip_h", 3348103167, 3749806529),
+    (302, "rotate180", 3246490079, 4294938567),
+    (302, "rotate90", 2274332671, 4288349059),
+    (302, "scale_half", 3824287743, 4219568515),
+    (303, "brighten", 2172748287, 4286677377),
+    (303, "contrast", 2172748287, 4253122945),
+    (303, "crop10", 3773889019, 2162226930),
+    (303, "flip_h", 2172748287, 4286677377),
+    (303, "rotate180", 2172748287, 4286677377),
+    (303, "rotate90", 2172748287, 4286677377),
+    (303, "scale_half", 2172748287, 4253122945),
+    (304, "brighten", 2172765183, 4294935427),
+    (304, "contrast", 2441200639, 4294935459),
+    (304, "crop10", 830570979, 4293337393),
+    (304, "flip_h", 2306982911, 4294951297),
+    (304, "rotate180", 2176974847, 4291002761),
+    (304, "rotate90", 3384919039, 4293116353),
+    (304, "scale_half", 2441200639, 4294935427),
+]
+
+
+def q_multimodal_photo_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aHash HONEST-LIMITS card (VERDICT r8 #5): the Hamming
+    distribution per perturbation class over the real-photo lake —
+    every committed payload decoded, perturbed seven deterministic
+    ways (operators/multimodal.perturb_raster), re-hashed, and the
+    per-class distance distribution aggregated. This is the "when does
+    phash dedup miss" relation an operator reads before trusting the
+    Hamming ≤ 3 gate: brightness/contrast/half-scale survive it by
+    construction (block means move together), geometric re-layouts
+    (crop, flip, rotate) blow straight past it — aHash has NO
+    geometric invariance and this relation MEASURES that instead of
+    footnoting it. Oracle: perturbed-hash constants (decode-
+    deterministic, _PHOTO_EXPECTED provenance) with every Hamming
+    distance and the full aggregation re-derived in SQL. FIXTURES.md
+    documents the per-class readings."""
+    orig = MM.image_phash_bytes(_photo_assets(spark))
+    pert = MM.phash_perturbed(_photo_assets(spark))
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("p_w0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("p_w1")))
+    ).cast("bigint")
+    j = pert.join(orig, "asset_id").withColumn("hamming", ham)
+    return (
+        j.groupBy("perturbation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assets"),
+            F.min("hamming").alias("min_hamming"),
+            F.max("hamming").alias("max_hamming"),
+            F.sum("hamming").cast("bigint").alias("sum_hamming"),
+            F.count_if(F.col("hamming") <= _PHASH_MAX_HAMMING)
+            .cast("bigint")
+            .alias("n_within_gate"),
+        )
+        .orderBy("perturbation")
+    )
+
+
+def _oracle_multimodal_photo_robustness() -> str:
+    ovals = ", ".join(f"({a}, {w0}, {w1})" for a, w0, w1, *_ in _PHOTO_EXPECTED)
+    pvals = ", ".join(
+        f"({a}, '{k}', {w0}, {w1})" for a, k, w0, w1 in _PHOTO_ROBUST_EXPECTED
+    )
+    return (
+        f"WITH op AS (SELECT * FROM (VALUES {ovals}) AS t(asset_id, w0, w1)), "
+        f"pp AS (SELECT * FROM (VALUES {pvals}) "
+        "AS t(asset_id, perturbation, p_w0, p_w1)), "
+        "h AS (SELECT pp.perturbation, "
+        "CAST(bit_count(xor(op.w0, pp.p_w0)) + bit_count(xor(op.w1, pp.p_w1)) "
+        "AS BIGINT) AS ham FROM pp JOIN op ON op.asset_id = pp.asset_id) "
+        "SELECT perturbation, CAST(COUNT(*) AS BIGINT) AS n_assets, "
+        "CAST(MIN(ham) AS BIGINT) AS min_hamming, "
+        "CAST(MAX(ham) AS BIGINT) AS max_hamming, "
+        "CAST(SUM(ham) AS BIGINT) AS sum_hamming, "
+        f"CAST(COUNT(*) FILTER (WHERE ham <= {_PHASH_MAX_HAMMING}) AS BIGINT) "
+        "AS n_within_gate "
+        "FROM h GROUP BY perturbation ORDER BY perturbation"
+    )
+
+
 # --- duplicate-vs-unique quality lift ---------------------------------------
 
 
@@ -9618,7 +9802,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window witnesses and the text-render phash math stays
     # re-witnessed by multimodal_phash_bytes, whose oracle is its SQL
     # verbatim)
-    "multimodal_phash_neardups": q_multimodal_phash_neardups,
+    # (multimodal_phash_neardups, green r7+r8, handed its slot to the
+    # r9 robustness card below; the banded pair plan keeps its in-window
+    # witness via multimodal_photo_neardups)
+    "multimodal_photo_robustness": q_multimodal_photo_robustness,
     # (multimodal_phash_clusters, green r7, handed its slot to the
     # late-r8 ann_topk_ivfpq_deleted below — the banded pair plan it
     # clusters stays witnessed by multimodal_phash_neardups +
@@ -9666,6 +9853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": q_stream_sessionize,
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
     "multimodal_phash_gate": q_multimodal_phash_gate,
+    "multimodal_phash_neardups": q_multimodal_phash_neardups,
     "corpus_span_scrubbed": q_corpus_span_scrubbed,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "split_dedup_leakage": q_split_dedup_leakage,
@@ -9948,6 +10136,9 @@ def oracles() -> dict[str, str]:
         "multimodal_photo_phash": _oracle_multimodal_photo_phash(),
         "multimodal_photo_metadata": _oracle_multimodal_photo_metadata(),
         "multimodal_photo_neardups": _oracle_multimodal_photo_neardups(),
+        # honest-limits card: Hamming distances + per-class
+        # distribution re-derived in SQL from the hash literals
+        "multimodal_photo_robustness": _oracle_multimodal_photo_robustness(),
         "stream_sessionize": _oracle_stream_sessionize(),
         "stream_psi": _oracle_stream_psi(),
         # capacity ≫ vocab ⇒ Misra-Gries is lossless ⇒ the streamed

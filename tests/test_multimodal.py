@@ -721,3 +721,43 @@ def test_photo_neardups_are_exactly_the_within_photo_pairs(spark):
     for r in rows:
         assert r["a_id"] % 100 == r["b_id"] % 100, f"cross-photo pair: {r}"
         assert r["hamming"] <= 1
+
+
+def test_photo_robustness_constants_and_invariance_classes():
+    """The robustness card's constants must reproduce from the raw
+    fixture bytes through decode → perturb_raster → ahash_words (the
+    _PHOTO_EXPECTED recompute discipline), and the invariance story
+    they tell must hold: photometric edits (brighten/contrast/
+    scale_half) stay within the Hamming ≤ 3 gate for EVERY payload,
+    a 10% crop evades it for every payload, and each perturbation
+    yields a VALID perturbed raster (non-empty, uint8-ranged)."""
+    import pyarrow.parquet as pq
+
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators import multimodal as MM
+
+    orig = {a: (w0, w1) for a, w0, w1, *_ in Q._PHOTO_EXPECTED}
+    want = {
+        (a, k): (w0, w1) for a, k, w0, w1 in Q._PHOTO_ROBUST_EXPECTED
+    }
+    assert len(want) == 16 * len(MM.PERTURB_KINDS)
+
+    t = pq.read_table(Q._PHOTO_FIXTURE).to_pylist()
+    ham = {}
+    for row in t:
+        arr = MM.decode_image(row["payload"])
+        assert arr is not None
+        for kind in MM.PERTURB_KINDS:
+            p = MM.perturb_raster(arr, kind)
+            assert p.size > 0 and int(p.max()) <= 255 and int(p.min()) >= 0
+            w0, w1 = MM.ahash_words(p)
+            assert (w0, w1) == want[(row["asset_id"], kind)], (
+                row["asset_id"], kind,
+            )
+            o0, o1 = orig[row["asset_id"]]
+            ham[(row["asset_id"], kind)] = bin(o0 ^ w0).count("1") + bin(
+                o1 ^ w1
+            ).count("1")
+    for kind in ("brighten", "contrast", "scale_half"):
+        assert all(ham[(a, kind)] <= 3 for a in orig), kind
+    assert all(ham[(a, "crop10")] > 3 for a in orig)

@@ -117,10 +117,10 @@ def test_window_contains_the_flagship_operators():
         # (multimodal_phash_gate, green r7+r8, ejected r9 for the
         # indexed-MMR production path)
         # (multimodal_image_phash and multimodal_phash_clusters, both
-        # green r7, ejected late-r8 for the index CRUD rows; their math
-        # stays re-witnessed by multimodal_phash_bytes — oracle is
-        # image_phash's SQL verbatim — and by the neardup/survivor rows)
-        "multimodal_phash_neardups",
+        # green r7, ejected late-r8 for the index CRUD rows;
+        # multimodal_phash_neardups, green r7+r8, ejected r9 for the
+        # robustness card — the banded pair plan keeps its witness via
+        # multimodal_photo_neardups)
         "profile_entropy",
         # family anchors
         "semantic_dedup",
@@ -142,6 +142,7 @@ def test_window_contains_the_flagship_operators():
         "retrieval_mmr_queries",
         "retrieval_mmr_indexed",
         "ann_index_stats",
+        "multimodal_photo_robustness",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
