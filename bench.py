@@ -122,9 +122,31 @@ def prepare_extra_timers(Q, spark, sf_dir) -> dict:
             n_probe=n_probe,
         ).write.mode("overwrite").format("noop").save()
 
+    # retrieval_mmr_indexed:search — steady-state indexed MMR (probe +
+    # ADC shortlist + exact rerank + greedy trace) against the same
+    # already-persisted index; the declared row times the lifecycle.
+    from overpaint_spark.operators.retrieval import mmr_select_indexed
+
+    def mmr_search_only():
+        mmr_select_indexed(
+            loaded, qvecs, e, k=10, shortlist=_RRF_DEPTH, n_probe=n_probe
+        ).write.mode("overwrite").format("noop").save()
+
+    # ann_index_stats:stats — the health read alone (one codes scan +
+    # C-row LUT join + per-cluster aggregate) against the persisted
+    # index; the declared row also pays build/persist/tombstone setup.
+    from overpaint_spark.operators.ann_index import ann_index_stats
+
+    def stats_only():
+        ann_index_stats(spark, path).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     return {
         "ann_ivfpq_persisted:search": search_only,
         "retrieval_rrf_indexed:search": rrf_search_only,
+        "retrieval_mmr_indexed:search": mmr_search_only,
+        "ann_index_stats:stats": stats_only,
     }
 
 

@@ -90,6 +90,20 @@ GUARD_QUERIES = [
     # first half; its claim is the same lifecycle scaling as
     # ann_topk_ivfpq_persisted
     "ann_topk_ivfpq_incremental",
+    # r9: the streaming ingest gate — per-batch cost is the frozen-
+    # geometry encode of the BATCH's rows; the whole lifecycle (bulk
+    # build of one half + two micro-batch encodes of the other) must
+    # scale like its batch twin above
+    "stream_ann_ingest",
+    # r9: indexed MMR — probe + ADC shortlist + |shortlist| true-vector
+    # sliver + O(k·shortlist) greedy; per-query work is corpus-size-
+    # independent, so the row must scale with the index build alone
+    "retrieval_mmr_indexed",
+    # r9: index health — one scan of the codes relation against a
+    # C-row broadcast LUT with a map-side-combined per-cluster
+    # aggregate; the bounded-window balance projection must never
+    # become a data-sized single partition
+    "ann_index_stats",
 ]
 ALPHA_MAX = 1.0
 
