@@ -215,7 +215,17 @@ def main() -> int:
         timings[name] = sorted(runs)[len(runs) // 2]  # median (upper for even n)
         spreads[name] = round(max(runs) - min(runs), 3)
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — targeted re-measure of a subset
+    # (drift triage, per-query regression checks). The coverage contract
+    # (BENCH_EXCLUDED ∪ timed == declared) applies to the default full
+    # run only; filtered runs are a debug surface, never the recorded
+    # round artifact.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
+
     for name in bench_query_names(Q):
+        if only is not None and name not in only:
+            continue
         fn = Q.QUERIES[name]
         time_runs(
             name,
@@ -228,6 +238,8 @@ def main() -> int:
     # phase-split extras: setup outside the timed region, steady-state
     # phase timed with the same protocol
     for name, thunk in prepare_extra_timers(Q, spark, sf_dir).items():
+        if only is not None and name not in only:
+            continue
         time_runs(name, thunk)
 
     total = round(sum(timings.values()), 3)
@@ -259,10 +271,16 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
     }
-    # overridable so test runs don't clobber the committed artifact
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # overridable so test runs don't clobber the committed artifact; a
+    # SPARK_GRAFT_BENCH_ONLY-filtered run never writes over the full one
+    default_detail = (
+        "/tmp/BENCH_DETAIL_subset.json"
+        if only is not None
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     )
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or default_detail
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print("BENCH_DETAIL: " + json.dumps(detail), file=sys.stderr, flush=True)

@@ -66,3 +66,103 @@ def approx_top_tokens(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+# --- Count-Min sketch: mergeable point-frequency summary ----------------------
+#
+# Misra-Gries above answers "what are the top-k?"; Count-Min (Cormode &
+# Muthukrishnan 2005) answers "how often did THIS token occur?" for any
+# token, from a fixed d×w integer matrix. cell[r][c] = Σ count of every
+# token hashing to c under row r's salt; estimate(t) = min over rows of
+# its d cells — always ≥ the true count (every occurrence of t lands in
+# all d of its cells; collisions only ADD), within ε·N with probability
+# 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. The matrix is the 100 TB shape:
+# map-side partial counts collapse the shuffle to ≤ d·w rows per
+# partition regardless of vocabulary, the relation is mergeable by
+# cell-wise SUM (partitions, days, streams — the same merge), and the
+# salted-md5 cell function is engine-reproducible, so the whole sketch
+# is SQL-derivable cross-engine (unlike HLL/DDSketch, whose internal
+# registers are implementation-defined).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_HEX = 16**6
+
+
+def cms_cell(token, row_idx: int, width: int = CMS_WIDTH):
+    """Row ``row_idx``'s cell for a token: first 6 hex digits of the
+    salted md5 (the dataset_split / dsir-resample idiom — deterministic
+    across runs, partitionings, and engines) mod the row width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(token, F.lit(f":cms{row_idx}")).cast("binary")), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % width).cast("int")
+
+
+def cms_cells(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """The sketch matrix as a relation: (row_idx, cell_idx, cnt).
+
+    One pass: each token emits its d (row, cell) coordinates from a
+    single explode (no d-fold rescan), then ONE groupBy whose key space
+    is d·w — map-side combine bounds the shuffle at d·w rows per
+    partition, independent of both corpus size and vocabulary."""
+    from overpaint_spark.functions import text as TX
+
+    toks = docs.select(F.explode(TX.words(F.col(text_col))).alias("token"))
+    coords = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_idx"),
+                        cms_cell(F.col("token"), r, width).alias("cell_idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.row_idx", "rc.cell_idx")
+    return coords.groupBy("row_idx", "cell_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimates(
+    cells: DataFrame,
+    probes: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for a probe relation with a ``token`` column:
+    adds ``cms_est`` = MIN over the token's d cells. ``cells`` is at
+    most d·w rows — broadcast it; the probe side never shuffles."""
+    carry = [c for c in probes.columns if c != "token"]
+    coords = probes.select(
+        "token",
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_idx"),
+                        cms_cell(F.col("token"), r, width).alias("cell_idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", *carry, "rc.row_idx", "rc.cell_idx")
+    return (
+        coords.join(F.broadcast(cells), ["row_idx", "cell_idx"])
+        .groupBy("token", *carry)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -9712,6 +9712,353 @@ def _oracle_events_funnel() -> str:
     )
 
 
+# --- Count-Min sketch: point-frequency estimates (r9) -------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+
+
+def _exact_top_tokens(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """(token, n_exact) exact top-k — the text_top_tokens shape, reused
+    as the audit side of the CMS relations."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def _cms_estimate_card(cells: DataFrame, top: DataFrame) -> DataFrame:
+    """Compose the declared CMS audit card: exact top-k probed against
+    the sketch, overcount = est − exact (≥ 0 by the CMS guarantee)."""
+    from overpaint_spark.operators.heavyhitters import cms_estimates
+
+    est = cms_estimates(cells, top, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.select(
+        "token",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.col("n_exact").desc(), F.col("token"))
+
+
+def q_text_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit card — the POINT-FREQUENCY member of the
+    sketch tier (Misra-Gries answers top-k; HLL answers distinct; CMS
+    answers "how often did THIS token occur" from a fixed d×w integer
+    matrix): the corpus sketch at depth 4 × width 1024, probed with the
+    exact top-25 tokens. Output (token, n_exact, cms_est, overcount);
+    overcount ≥ 0 always — Count-Min never undercounts (every
+    occurrence lands in all d of a token's cells; collisions only add).
+
+    Plan: ONE explode pass emits each token's d (row, cell) coords, one
+    groupBy over the d·w-bounded key space (map-side combine caps the
+    shuffle at d·w rows per partition regardless of vocabulary — the
+    100 TB shape the exact top-tokens query lacks); the 4096-row matrix
+    then BROADCASTS against the 25-probe side. The salted-md5 cell
+    function is the dataset_split idiom, so the whole sketch is
+    engine-reproducible and the oracle re-derives the full matrix in
+    SQL — unlike HLL/DDSketch, whose registers are implementation-
+    defined (profile_approx_distinct stays rows-only for exactly that
+    reason)."""
+    from overpaint_spark.operators.heavyhitters import cms_cells
+
+    d = _t(spark, sf_dir, "documents")
+    cells = cms_cells(d, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return _cms_estimate_card(cells, _exact_top_tokens(spark, sf_dir))
+
+
+def _cms_hval_sql(h: str) -> str:
+    """First 6 hex digits of an md5 VARCHAR column → BIGINT (the
+    dataset_split / dsir-resample oracle idiom)."""
+    hx = "0123456789abcdef"
+    return " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+
+
+def _oracle_text_token_cms() -> str:
+    rows = ", ".join(f"({r})" for r in range(_CMS_DEPTH))
+    return (
+        "WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token "
+        "FROM documents), "
+        f"rws AS (SELECT * FROM (VALUES {rows}) AS t(row_idx)), "
+        # one md5 per (token, row): the hash column is computed once in
+        # this CTE, then the 6 STRPOS digit folds read it
+        "tr AS (SELECT token, row_idx, "
+        "MD5(token || ':cms' || CAST(row_idx AS VARCHAR)) AS h "
+        "FROM toks CROSS JOIN rws), "
+        f"cells AS (SELECT row_idx, CAST(({_cms_hval_sql('h')}) % {_CMS_WIDTH} "
+        "AS INTEGER) AS cell_idx, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tr GROUP BY 1, 2), "
+        "exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact "
+        "FROM toks GROUP BY token ORDER BY n_exact DESC, token LIMIT 25), "
+        "pr AS (SELECT e.token, e.n_exact, r.row_idx, "
+        "MD5(e.token || ':cms' || CAST(r.row_idx AS VARCHAR)) AS h "
+        "FROM exact e CROSS JOIN rws r), "
+        f"pc AS (SELECT token, n_exact, row_idx, "
+        f"CAST(({_cms_hval_sql('h')}) % {_CMS_WIDTH} AS INTEGER) AS cell_idx "
+        "FROM pr), "
+        "est AS (SELECT p.token, p.n_exact, MIN(c.cnt) AS cms_est "
+        "FROM pc p JOIN cells c ON c.row_idx = p.row_idx "
+        "AND c.cell_idx = p.cell_idx GROUP BY 1, 2) "
+        "SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount "
+        "FROM est ORDER BY n_exact DESC, token"
+    )
+
+
+def q_stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch by STRUCTURED STREAMING — ninth oracle-verified
+    streaming query (streaming/cms.py): each micro-batch appends its
+    own ≤ d·w-row partial matrix to the sink; the snapshot is one
+    bounded cell-wise SUM. Because CMS merge is cell-wise addition —
+    associative, commutative — the streamed sketch is BIT-IDENTICAL to
+    the batch ``cms_cells`` over the union no matter how the stream is
+    chopped (pinned in tests/test_streaming.py), so this relation's
+    oracle is the batch CMS SQL verbatim (the stream_ann_ingest /
+    stream_top_tokens proof shape). The documents arrive as TWO files
+    (doc_id % 2) → two micro-batches, so the snapshot genuinely merges
+    cross-batch partials. Sink state is ≤ batches·d·w tiny rows —
+    independent of stream length AND vocabulary."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.cms import cms_snapshot, write_cms_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_cms_src_{run}"
+    out_dir = f"{base}/stream_cms_out_{run}"
+    ckpt_dir = f"{base}/stream_cms_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_cms_stream(
+        stream,
+        out_dir,
+        ckpt_dir,
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        trigger_available_now=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_token_cms: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    cells = cms_snapshot(spark, out_dir)
+    return _cms_estimate_card(cells, _exact_top_tokens(spark, sf_dir))
+
+
+def _oracle_stream_token_cms() -> str:
+    return _oracle_text_token_cms()
+
+
+# --- referential-integrity audit (profiler channel, r9) -----------------------
+
+# (child_table, fk_col, parent_table, parent_key) — the lake's FK graph.
+# Declared up front like _ENTROPY_COLUMNS: the audit is configuration,
+# not discovery (profile_functional_deps covers inference).
+_FK_EDGES = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the profiler's FK channel: one row
+    per declared FK edge with the child's non-NULL FK row count, its
+    distinct-key count, and how many of each dangle (no matching parent
+    key). A broken ingest that orphans keys corrupts every downstream
+    join silently — this is the audit a lake operator runs before
+    trusting any of them.
+
+    Plan per edge: the child projects to its FK column ONLY and
+    pre-aggregates to (key, cnt) — the shuffle carries distinct keys,
+    never rows — then a LEFT ANTI join against the parent's key
+    projection counts the orphans (Spark broadcasts the parent side
+    when it is dimension-small; at fact-to-fact scale it degrades to a
+    key-only shuffle join, both fine at 100 TB because only keys ever
+    move). The seven per-edge 1-row summaries union into the report —
+    seven independent bounded jobs, no cross-edge dependency."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        row = fk_edge_summary(
+            _t(spark, sf_dir, child), _t(spark, sf_dir, parent),
+            child, fk, parent, pk,
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_table", "fk_col")
+
+
+def fk_edge_summary(
+    c: DataFrame, p: DataFrame, child: str, fk: str, parent: str, pk: str
+) -> DataFrame:
+    """One FK edge's 1-row audit: (child_table, fk_col, parent_table,
+    n_rows, n_keys, n_orphan_rows, n_orphan_keys). DataFrame-in so
+    tests exercise the production body with planted orphans."""
+    keyed = (
+        c.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    orphans = keyed.join(
+        p.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+    )
+    return keyed.agg(
+        F.lit(child).alias("child_table"),
+        F.lit(fk).alias("fk_col"),
+        F.lit(parent).alias("parent_table"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).crossJoin(
+        orphans.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orphan_rows"),
+            F.count(F.lit(1)).alias("n_orphan_keys"),
+        )
+    )
+
+
+def _oracle_profile_referential_integrity() -> str:
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        arms.append(
+            f"SELECT '{child}' AS child_table, '{fk}' AS fk_col, "
+            f"'{parent}' AS parent_table, "
+            "CAST(SUM(cnt) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+            "CAST(COALESCE(SUM(CASE WHEN dangling THEN cnt END), 0) "
+            "AS BIGINT) AS n_orphan_rows, "
+            "CAST(COUNT(*) FILTER (WHERE dangling) AS BIGINT) "
+            "AS n_orphan_keys FROM ("
+            f"SELECT {fk} AS k, COUNT(*) AS cnt, "
+            f"NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = {fk}) "
+            f"AS dangling FROM {child} WHERE {fk} IS NOT NULL "
+            f"GROUP BY {fk})"
+        )
+        arms[-1] = "(" + arms[-1] + ")"
+    return (
+        " UNION ALL ".join(arms) + " ORDER BY child_table, fk_col"
+    )
+
+
+# --- triplet mining for contrastive training (r9) -----------------------------
+
+
+def q_embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining — the full contrastive-training data op: for each
+    probe (the knn rows' held-out ``vec_id % 25 = 0`` set), its nearest
+    SAME-LABEL neighbor (the hardest positive a metric learner should
+    pull closer) and its nearest CROSS-LABEL neighbor (the hardest
+    negative — embedding_hard_negatives' rank-1 row), one (anchor,
+    positive, negative) row per probe. A triplet/InfoNCE trainer
+    consumes this relation directly; probes whose label has no other
+    member (no positive exists) drop out, matching the trainer's own
+    requirement.
+
+    Plan: ONE fused candidate scan — the bounded probe set broadcasts
+    against the candidates exactly like embedding_hard_negatives, but
+    BOTH sides of the label predicate survive the filter (only self
+    rows drop); per-(query, is-positive) rank windows then keep one row
+    per side, and a conditional-aggregate pivot folds the two sides
+    into the triplet row. Same shuffle story as the hard-negative
+    miner: vectors never shuffle (the window runs over scored rows),
+    and the rank windows are per-query bounded."""
+    from overpaint_spark.functions import vectors as VX
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = VX.as_double(F.col("embedding"))
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("q_vec"),
+        VX.norm(qv).alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        qv.alias("c_vec"),
+        VX.norm(qv).alias("c_norm"),
+        F.col("label").alias("c_label"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            (F.col("c_label") == F.col("q_label")).cast("int").alias("is_pos"),
+            VX.cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    side = lambda col: F.max(  # noqa: E731 - conditional pivot arm
+        F.when(F.col("is_pos") == 1, F.col(col))
+    )
+    nside = lambda col: F.max(  # noqa: E731
+        F.when(F.col("is_pos") == 0, F.col(col))
+    )
+    return (
+        best.groupBy("query_id", "q_label")
+        .agg(
+            side("neighbor_id").alias("pos_id"),
+            F.round(side("sim"), 4).alias("pos_cos_r"),
+            nside("neighbor_id").alias("neg_id"),
+            F.round(nside("sim"), 4).alias("neg_cos_r"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .orderBy("query_id")
+    )
+
+
+def _oracle_embedding_triplets() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v, label AS q_label FROM e "
+        "WHERE vec_id % 25 = 0), "
+        "s AS (SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, "
+        "CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS is_pos, "
+        "LIST_COSINE_SIMILARITY(q.v, c.v) AS sim "
+        "FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, is_pos "
+        "ORDER BY sim DESC, neighbor_id) AS rn FROM s), "
+        "b AS (SELECT * FROM r WHERE rn = 1), "
+        "t AS (SELECT query_id, q_label, "
+        "MAX(CASE WHEN is_pos = 1 THEN neighbor_id END) AS pos_id, "
+        "ROUND(MAX(CASE WHEN is_pos = 1 THEN sim END), 4) AS pos_cos_r, "
+        "MAX(CASE WHEN is_pos = 0 THEN neighbor_id END) AS neg_id, "
+        "ROUND(MAX(CASE WHEN is_pos = 0 THEN sim END), 4) AS neg_cos_r "
+        "FROM b GROUP BY query_id, q_label) "
+        "SELECT query_id, q_label, pos_id, pos_cos_r, neg_id, neg_cos_r "
+        "FROM t WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL "
+        "ORDER BY query_id"
+    )
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries, so the window must (a) cover every operator family — the
 # LLM-pipeline half (dedup/text/corpus/ANN/streaming/multimodal)
@@ -9761,12 +10108,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # -- r7 first-time witnesses kept for a second green round -------
     "dedup_survivors_longest": q_dedup_survivors_longest,
-    "corpus_cluster_topics": q_corpus_cluster_topics,
+    # (corpus_cluster_topics, green r7+r8, handed its slot to the
+    # late-r9 triplet miner below; the per-cluster tf-idf math stays
+    # declared + locally oracle-checked, and the corpus family keeps
+    # many in-window witnesses)
+    "embedding_triplets": q_embedding_triplets,
     # (shard_balance, green r7, handed its slot to the late-r8
     # hard-negative miner below; the token-balance audit stays locally
     # oracle-checked every round)
     "semantic_dedup": q_semantic_dedup,
-    "text_top_tokens_approx": q_text_top_tokens_approx,
+    # (text_top_tokens_approx, green r7+r8, handed its slot to the
+    # late-r9 Count-Min audit card below; the truncated-candidate
+    # leaderboard stays declared + locally oracle-checked and the
+    # heavy-hitters family keeps stream_top_tokens in-window)
+    "text_token_cms": q_text_token_cms,
     # (retrieval_bm25_queries + retrieval_rrf_queries, green r7+r8,
     # handed their slots to the r9 MMR oracle upgrades below; both stay
     # declared + locally oracle-checked, and the multi-query postings /
@@ -9789,7 +10144,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # machine stays declared + locally oracle-checked and the family
     # keeps stream_psi/stream_top_tokens/stream_ann_ingest in-window)
     "stream_ann_ingest": q_stream_ann_ingest,
-    "stream_psi": q_stream_psi,
+    # (stream_psi, green r7+r8, handed its slot to the late-r9
+    # streaming Count-Min witness below; the PSI drift monitor stays
+    # declared + locally oracle-checked and the streaming family keeps
+    # three in-window witnesses)
+    "stream_token_cms": q_stream_token_cms,
     "stream_top_tokens": q_stream_top_tokens,
     "multimodal_phash_bytes": q_multimodal_phash_bytes,
     # (multimodal_phash_gate, green r7+r8, handed its slot to the r9
@@ -9811,7 +10170,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # clusters stays witnessed by multimodal_phash_neardups +
     # multimodal_photo_neardups, and the union-find resolution by
     # dedup_survivors_longest)
-    "profile_entropy": q_profile_entropy,
+    # (profile_entropy, green r7+r8, handed its slot to the late-r9
+    # referential-integrity audit below; the entropy channel stays
+    # declared + locally oracle-checked and the profiler family keeps
+    # its in-window witness through the FK audit)
+    "profile_referential_integrity": q_profile_referential_integrity,
     # -- r8-new relations (each fully oracled) -----------------------
     "retrieval_rrf_indexed": q_retrieval_rrf_indexed,
     "ann_topk_ivfpq_incremental": q_ann_topk_ivfpq_incremental,
@@ -9850,6 +10213,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "corpus_cluster_topics": q_corpus_cluster_topics,
+    "text_top_tokens_approx": q_text_top_tokens_approx,
+    "stream_psi": q_stream_psi,
+    "profile_entropy": q_profile_entropy,
     "stream_sessionize": q_stream_sessionize,
     "ann_topk_ivfpq_persisted": q_ann_topk_ivfpq_persisted,
     "multimodal_phash_gate": q_multimodal_phash_gate,
@@ -10147,6 +10514,10 @@ def oracles() -> dict[str, str]:
         "dataset_dsir_resample": _oracle_dataset_dsir_resample(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "text_top_tokens_approx": _oracle_text_top_tokens_approx(),
+        "text_token_cms": _oracle_text_token_cms(),
+        "stream_token_cms": _oracle_stream_token_cms(),
+        "profile_referential_integrity": _oracle_profile_referential_integrity(),
+        "embedding_triplets": _oracle_embedding_triplets(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -222,6 +222,12 @@ _CROSS_OK = {
     # broadcast against the candidate scan — the ann_knn_accuracy
     # asymmetry with the cross-label filter fused into the same stage
     "embedding_hard_negatives",
+    # triplet mining: the same bounded probe broadcast, with BOTH label
+    # sides surviving into the per-(query, is_pos) rank windows
+    "embedding_triplets",
+    # FK audit: per edge, the two 1-row summary aggregates (totals ×
+    # orphan totals) cross into the edge's report row
+    "profile_referential_integrity",
 }
 
 

@@ -543,3 +543,27 @@ def test_profile_entropy_skew_orders_below_uniform(spark, sf_dir):
         assert r["entropy_unats"] >= 0
         cap = 1e6 * math.log(r["n_distinct"]) + r["n_distinct"] if r["n_distinct"] > 1 else 0
         assert r["entropy_unats"] <= cap
+
+
+def test_fk_edge_summary_counts_planted_orphans(spark):
+    """The FK audit must count dangling rows AND distinct dangling keys
+    exactly, ignore NULL FKs (a NULL is 'unknown', not an orphan), and
+    report zeros on an intact edge."""
+    from overpaint_spark.queries import fk_edge_summary
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, 77), (7, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    row = fk_edge_summary(child, parent, "c", "fk", "p", "pk").collect()[0]
+    assert (row.child_table, row.fk_col, row.parent_table) == ("c", "fk", "p")
+    assert row.n_rows == 6  # NULL FK excluded
+    assert row.n_keys == 4  # 10, 20 intact; 99, 77 dangling
+    assert row.n_orphan_rows == 3  # two 99s + one 77
+    assert row.n_orphan_keys == 2
+
+    intact = fk_edge_summary(
+        child.filter(F.col("fk").isin(10, 20)), parent, "c", "fk", "p", "pk"
+    ).collect()[0]
+    assert intact.n_orphan_rows == 0 and intact.n_orphan_keys == 0

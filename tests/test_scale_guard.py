@@ -104,6 +104,14 @@ GUARD_QUERIES = [
     # aggregate; the bounded-window balance projection must never
     # become a data-sized single partition
     "ann_index_stats",
+    # late r9: the Count-Min audit — the sketch's claim IS the bounded
+    # shuffle (d·w keys after map-side combine, vocabulary-independent);
+    # the exact top-25 audit side carries the corpus-scaling term
+    "text_token_cms",
+    # late r9: triplet mining — the hard-negatives broadcast asymmetry
+    # with both label sides surviving; per-probe work scales with the
+    # candidate scan, never probe × probe
+    "embedding_triplets",
 ]
 ALPHA_MAX = 1.0
 

@@ -476,3 +476,35 @@ def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
     top = min(by_q[qid], key=lambda x: x.rank)
     assert top.neighbor_id == best[1]
     assert abs(top.cos_r - round(best[0], 4)) <= 1e-9
+
+
+def test_embedding_triplets_argmax_vs_numpy(spark, sf_dir):
+    """Each triplet's positive must be the probe's nearest SAME-label
+    neighbor and its negative the nearest CROSS-label neighbor —
+    verified against a direct numpy recompute for every probe — and a
+    probe whose label has no other member must not emit a row."""
+    import numpy as np
+
+    from overpaint_spark import queries as Q
+
+    rows = {r.query_id: r for r in Q.q_embedding_triplets(spark, sf_dir).collect()}
+    e = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+         for r in Q._t(spark, sf_dir, "embeddings").collect()}
+    probes = [i for i in e if i % 25 == 0]
+    assert rows
+    for qid in probes:
+        qv, ql = e[qid]
+        qn = np.linalg.norm(qv)
+        pos = [(float(qv @ v) / (qn * np.linalg.norm(v)), -nid)
+               for nid, (v, lbl) in e.items() if nid != qid and lbl == ql]
+        neg = [(float(qv @ v) / (qn * np.linalg.norm(v)), -nid)
+               for nid, (v, lbl) in e.items() if nid != qid and lbl != ql]
+        if not pos:
+            assert qid not in rows
+            continue
+        r = rows[qid]
+        assert r.pos_id == -max(pos)[1]
+        assert r.neg_id == -max(neg)[1]
+        assert abs(r.pos_cos_r - round(max(pos)[0], 4)) <= 1e-9
+        assert abs(r.neg_cos_r - round(max(neg)[0], 4)) <= 1e-9
+        assert e[r.pos_id][1] == ql and e[r.neg_id][1] != ql

@@ -1004,3 +1004,45 @@ def test_streaming_ann_ingest_bit_identical_to_batch(spark, tmp_path):
         for r in oneshot.indexed.collect()
     }
     assert got == want and len(got) == n
+
+
+def test_streaming_cms_bit_identical_to_batch(spark, tmp_path):
+    """Cell-wise sums commute, so the streamed sketch must equal the
+    batch cms_cells over the union EXACTLY — any batch chopping. Three
+    deliberately uneven micro-batches (2 docs / 1 doc / 1 doc)."""
+    from overpaint_spark.operators.heavyhitters import cms_cells
+    from overpaint_spark.streaming.cms import cms_snapshot, write_cms_stream
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b c"),
+            (1, "b c d"),
+            (2, "a e f g h"),
+            (3, "h h h i"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 2).coalesce(1).write.parquet(f"{src}/a")
+    docs.filter(F.col("doc_id") == 2).coalesce(1).write.parquet(f"{src}/b")
+    docs.filter(F.col("doc_id") == 3).coalesce(1).write.parquet(f"{src}/c")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "out")
+    q = write_cms_stream(
+        stream, out, str(tmp_path / "ckpt"),
+        depth=3, width=32, trigger_available_now=True,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.row_idx, r.cell_idx): r.cnt
+        for r in cms_snapshot(spark, out).collect()
+    }
+    want = {
+        (r.row_idx, r.cell_idx): r.cnt
+        for r in cms_cells(docs, depth=3, width=32).collect()
+    }
+    assert got == want

@@ -101,10 +101,14 @@ def test_window_contains_the_flagship_operators():
         #
         # kept r7 first-time witnesses
         "dedup_survivors_longest",
-        "corpus_cluster_topics",
+        # (corpus_cluster_topics, green r7+r8, ejected late-r9 for the
+        # triplet miner)
         # (shard_balance, green r7, ejected late-r8 for the
         # hard-negative miner)
-        "text_top_tokens_approx",
+        # (text_top_tokens_approx, green r7+r8, ejected late-r9 for the
+        # Count-Min audit card; stream_psi, green r7+r8, ejected
+        # late-r9 for the streaming Count-Min witness; profile_entropy,
+        # green r7+r8, ejected late-r9 for the FK audit)
         # (retrieval_bm25_queries + retrieval_rrf_queries, green r7+r8,
         # ejected r9 for the MMR oracle upgrades)
         # (corpus_funnel, green r7, ejected late-r8 for the
@@ -112,7 +116,6 @@ def test_window_contains_the_flagship_operators():
         # (ann_topk_ivfpq_persisted, green r7+r8, ejected r9 for the
         # index-health relation; stream_sessionize, green r7+r8,
         # ejected r9 for the streaming ANN-ingest witness)
-        "stream_psi",
         "multimodal_phash_bytes",
         # (multimodal_phash_gate, green r7+r8, ejected r9 for the
         # indexed-MMR production path)
@@ -121,7 +124,6 @@ def test_window_contains_the_flagship_operators():
         # multimodal_phash_neardups, green r7+r8, ejected r9 for the
         # robustness card — the banded pair plan keeps its witness via
         # multimodal_photo_neardups)
-        "profile_entropy",
         # family anchors
         "semantic_dedup",
         "curriculum_stages",
@@ -143,6 +145,11 @@ def test_window_contains_the_flagship_operators():
         "retrieval_mmr_indexed",
         "ann_index_stats",
         "multimodal_photo_robustness",
+        # late-r9 relations (Count-Min tier, FK audit, triplet miner)
+        "text_token_cms",
+        "stream_token_cms",
+        "profile_referential_integrity",
+        "embedding_triplets",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
