@@ -9960,6 +9960,124 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- ingest-time FK gate (late-arriving dimensions, r9) -----------------------
+
+# The fixture's dimension-snapshot model: customers with c_custkey % 10
+# = 3 have "not yet arrived" — the gate must quarantine their orders,
+# not fail the batch or silently NULL-join downstream.
+def _fk_snapshot_pred():
+    return F.col("c_custkey") % 10 != 3
+
+
+_FK_SNAPSHOT_SQL = "c_custkey % 10 <> 3"
+
+
+def q_orders_fk_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential ingest gate — the LATE-ARRIVING-DIMENSION triage the
+    FK audit (profile_referential_integrity) only measures: orders
+    arriving against an incomplete customer snapshot split into
+    admitted (fk_ok) vs quarantined, reported per order priority so the
+    gate's effect is visible at a glance. Quarantined facts re-admit by
+    one filter + replay after the dimension refresh — the alternative
+    (failing the batch, or inner-joining and silently dropping) is how
+    real pipelines lose data.
+
+    Plan: the parent KEY projection (never the dimension payload)
+    broadcasts into one LEFT join over the facts; the verdict folds
+    into a bounded per-priority conditional aggregate. Shared body
+    ``streaming.integrity.fk_gate_flags`` — the streaming sink gates
+    with exactly this code per micro-batch."""
+    from overpaint_spark.streaming.integrity import fk_gate_flags
+
+    o = _t(spark, sf_dir, "orders")
+    pk = (
+        _t(spark, sf_dir, "customer")
+        .filter(_fk_snapshot_pred())
+        .select("c_custkey")
+    )
+    flagged = fk_gate_flags(o, pk, "o_custkey")
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("fk_ok"), 1)).alias("n_admitted"),
+            F.count(F.when(~F.col("fk_ok"), 1)).alias("n_quarantined"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _oracle_orders_fk_quarantine() -> str:
+    return (
+        f"WITH pk AS (SELECT c_custkey FROM customer WHERE {_FK_SNAPSHOT_SQL}), "
+        "f AS (SELECT o.o_orderpriority, "
+        "CASE WHEN o.o_custkey IS NULL OR p.c_custkey IS NOT NULL "
+        "THEN 1 ELSE 0 END AS ok "
+        "FROM orders o LEFT JOIN pk p ON p.c_custkey = o.o_custkey) "
+        "SELECT o_orderpriority, CAST(SUM(ok) AS BIGINT) AS n_admitted, "
+        "CAST(SUM(1 - ok) AS BIGINT) AS n_quarantined "
+        "FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+def q_stream_fk_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FK gate by STRUCTURED STREAMING — tenth oracle-verified
+    streaming query (streaming/integrity.py): facts arrive as TWO files
+    (o_orderkey % 2) → two micro-batches, each stamped against the
+    dimension key snapshot FROZEN at sink construction; the gate is
+    per-row stateless, so the sink equals the batch gate over the union
+    bit for bit (pinned in tests/test_streaming.py) and this relation's
+    oracle is the batch quarantine SQL verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.integrity import write_fk_gate_stream
+
+    o = _t(spark, sf_dir, "orders")
+    pk = (
+        _t(spark, sf_dir, "customer")
+        .filter(_fk_snapshot_pred())
+        .select("c_custkey")
+    )
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_fkq_src_{run}"
+    out_dir = f"{base}/stream_fkq_out_{run}"
+    ckpt_dir = f"{base}/stream_fkq_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_fk_gate_stream(
+        stream, pk, out_dir, ckpt_dir, "o_custkey", trigger_available_now=True
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_fk_quarantine: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("fk_ok"), 1)).alias("n_admitted"),
+            F.count(F.when(~F.col("fk_ok"), 1)).alias("n_quarantined"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _oracle_stream_fk_quarantine() -> str:
+    return _oracle_orders_fk_quarantine()
+
+
 # --- triplet mining for contrastive training (r9) -----------------------------
 
 
@@ -10107,7 +10225,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver witness.
     # ------------------------------------------------------------------
     # -- r7 first-time witnesses kept for a second green round -------
-    "dedup_survivors_longest": q_dedup_survivors_longest,
+    # (dedup_survivors_longest, green r7+r8, handed its slot to the
+    # late-r9 ingest FK gate below; the longest-text survivor policy
+    # stays declared + locally oracle-checked and the dedup family
+    # keeps dedup_cluster_sizes in-window)
+    "orders_fk_quarantine": q_orders_fk_quarantine,
     # (corpus_cluster_topics, green r7+r8, handed its slot to the
     # late-r9 triplet miner below; the per-cluster tf-idf math stays
     # declared + locally oracle-checked, and the corpus family keeps
@@ -10150,7 +10272,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # three in-window witnesses)
     "stream_token_cms": q_stream_token_cms,
     "stream_top_tokens": q_stream_top_tokens,
-    "multimodal_phash_bytes": q_multimodal_phash_bytes,
+    # (multimodal_phash_bytes, green r7+r8, handed its slot to the
+    # late-r9 streaming FK gate below; the bytes-in phash front stays
+    # declared + locally oracle-checked and the multimodal family
+    # keeps five in-window witnesses)
+    "stream_fk_quarantine": q_stream_fk_quarantine,
     # (multimodal_phash_gate, green r7+r8, handed its slot to the r9
     # indexed-MMR production path below; the ingest-gate predicate
     # stays declared + locally oracle-checked and the phash family
@@ -10213,6 +10339,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "dedup_survivors_longest": q_dedup_survivors_longest,
+    "multimodal_phash_bytes": q_multimodal_phash_bytes,
     "corpus_cluster_topics": q_corpus_cluster_topics,
     "text_top_tokens_approx": q_text_top_tokens_approx,
     "stream_psi": q_stream_psi,
@@ -10518,6 +10646,8 @@ def oracles() -> dict[str, str]:
         "stream_token_cms": _oracle_stream_token_cms(),
         "profile_referential_integrity": _oracle_profile_referential_integrity(),
         "embedding_triplets": _oracle_embedding_triplets(),
+        "orders_fk_quarantine": _oracle_orders_fk_quarantine(),
+        "stream_fk_quarantine": _oracle_stream_fk_quarantine(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -1046,3 +1046,47 @@ def test_streaming_cms_bit_identical_to_batch(spark, tmp_path):
         for r in cms_cells(docs, depth=3, width=32).collect()
     }
     assert got == want
+
+
+def test_streaming_fk_gate_bit_identical_to_batch(spark, tmp_path):
+    """The gate is per-row stateless, so the streamed sink must equal
+    the batch fk_gate_flags over the union row-for-row under any
+    chopping; NULL FKs gate as ok (unknown, not orphan), misses as
+    quarantined — with a genuinely incomplete parent snapshot both
+    verdicts must actually occur."""
+    from overpaint_spark.streaming.integrity import (
+        fk_gate_flags,
+        write_fk_gate_stream,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 10), (4, None), (5, 99), (6, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    src = str(tmp_path / "src")
+    facts.filter(F.col("id") <= 3).coalesce(1).write.parquet(f"{src}/a")
+    facts.filter(F.col("id") > 3).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("id long, fk long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "out")
+    q = write_fk_gate_stream(
+        stream, parent, out, str(tmp_path / "ckpt"), "fk",
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.id, r.fk, r.fk_ok) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.id, r.fk, r.fk_ok)
+        for r in fk_gate_flags(facts, parent, "fk").collect()
+    }
+    assert got == want and len(got) == 6
+    verdict = {r[0]: r[2] for r in got}
+    assert verdict[4] is True  # NULL FK: unknown, not orphan
+    assert verdict[2] is False and verdict[5] is False  # 30, 99 dangle
+    assert verdict[1] is True and verdict[6] is True

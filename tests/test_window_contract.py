@@ -99,10 +99,10 @@ def test_window_contains_the_flagship_operators():
         # oracle-able queries. History of earlier rotations: git log of
         # this file + the manifest comments.
         #
-        # kept r7 first-time witnesses
-        "dedup_survivors_longest",
-        # (corpus_cluster_topics, green r7+r8, ejected late-r9 for the
-        # triplet miner)
+        # (dedup_survivors_longest, green r7+r8, ejected late-r9 for
+        # the ingest FK gate; corpus_cluster_topics, green r7+r8,
+        # ejected late-r9 for the triplet miner; multimodal_phash_bytes,
+        # green r7+r8, ejected late-r9 for the streaming FK gate)
         # (shard_balance, green r7, ejected late-r8 for the
         # hard-negative miner)
         # (text_top_tokens_approx, green r7+r8, ejected late-r9 for the
@@ -116,7 +116,6 @@ def test_window_contains_the_flagship_operators():
         # (ann_topk_ivfpq_persisted, green r7+r8, ejected r9 for the
         # index-health relation; stream_sessionize, green r7+r8,
         # ejected r9 for the streaming ANN-ingest witness)
-        "multimodal_phash_bytes",
         # (multimodal_phash_gate, green r7+r8, ejected r9 for the
         # indexed-MMR production path)
         # (multimodal_image_phash and multimodal_phash_clusters, both
@@ -150,6 +149,8 @@ def test_window_contains_the_flagship_operators():
         "stream_token_cms",
         "profile_referential_integrity",
         "embedding_triplets",
+        "orders_fk_quarantine",
+        "stream_fk_quarantine",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
