@@ -9960,6 +9960,134 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- near-dup split leakage (r9) ----------------------------------------------
+
+
+def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination through NEAR-duplicates — the leak
+    split_dedup_leakage cannot see: an eval doc whose 3-shingle Jaccard
+    ≥ 0.5 twin sits in train still scores as memorization (Lee et al.
+    2022's motivating case), but its md5 differs so the exact audit
+    reports clean. One row: verified near-dup pair count, cross-split /
+    train↔test / train↔val pair counts, distinct test docs with a
+    train-side near-dup, total test docs, leak_ppm (the
+    split_dedup_leakage fold over PAIRS instead of hash groups).
+
+    Plan: the production near-dup pipeline verbatim (banded MinHash
+    candidates → exact Jaccard on candidates only — the sublinear
+    shape), then the pair relation (tiny vs corpus) joins the pure-
+    codegen split projection twice on doc_id and folds to one row. The
+    only new cost over dedup_minhash_verified is two id-keyed joins of
+    an already-small relation."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_near_dup_pairs(
+        d, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
+    ).select("a_id", "b_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    sp = d.select(F.col("doc_id"), split.alias("split"))
+    pj = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")),
+            "a_id",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")),
+            "b_id",
+        )
+    )
+    tt = (
+        (F.col("split_a") == "train") & (F.col("split_b") == "test")
+    ) | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+    tv = (
+        (F.col("split_a") == "train") & (F.col("split_b") == "val")
+    ) | ((F.col("split_a") == "val") & (F.col("split_b") == "train"))
+    a = pj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"),
+        F.sum((F.col("split_a") != F.col("split_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_cross_split_pairs"),
+        F.sum(tt.cast("int")).cast("bigint").alias("n_train_test_pairs"),
+        F.sum(tv.cast("int")).cast("bigint").alias("n_train_val_pairs"),
+        F.countDistinct(
+            F.when(
+                (F.col("split_a") == "test") & (F.col("split_b") == "train"),
+                F.col("a_id"),
+            ).when(
+                (F.col("split_b") == "test") & (F.col("split_a") == "train"),
+                F.col("b_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_test_docs_leaked"),
+    )
+    t = sp.agg(
+        F.sum((F.col("split") == "test").cast("int"))
+        .cast("bigint")
+        .alias("n_test_docs")
+    )
+    return a.crossJoin(t).withColumn(
+        "leak_ppm",
+        F.when(
+            F.col("n_test_docs") > 0,
+            F.floor(
+                F.lit(1_000_000) * F.col("n_test_docs_leaked") / F.col("n_test_docs")
+            ).cast("bigint"),
+        ),
+    )
+
+
+def _oracle_split_neardup_leakage() -> str:
+    jac = (
+        "CAST(LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE) / "
+        "CAST(LEN(sa.ss) + LEN(sb.ss) - LEN(LIST_INTERSECT(sa.ss, sb.ss)) AS DOUBLE)"
+    )
+    hx = "0123456789abcdef"
+    h = "MD5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        f"CAST((STRPOS('{hx}', SUBSTR({h}, 1, 1)) - 1) * 16 "
+        f"+ STRPOS('{hx}', SUBSTR({h}, 2, 1)) - 1 AS INTEGER)"
+    )
+    return (
+        f"WITH {_minhash_band_ctes()}, cand AS ({_MINHASH_CANDIDATE_SELECT}), "
+        "sets AS (SELECT doc_id, LIST_DISTINCT(shingles) AS ss FROM sh), "
+        "vp AS (SELECT a_id, b_id FROM ("
+        f"SELECT c.a_id, c.b_id, {jac} AS jaccard "
+        "FROM cand c JOIN sets sa ON sa.doc_id = c.a_id "
+        "JOIN sets sb ON sb.doc_id = c.b_id) WHERE jaccard >= 0.5), "
+        f"sp AS (SELECT doc_id, CASE WHEN {bucket} < 230 THEN 'train' "
+        f"WHEN {bucket} < 243 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents), "
+        "pj AS (SELECT vp.a_id, vp.b_id, sa.split AS split_a, "
+        "sb.split AS split_b FROM vp "
+        "JOIN sp sa ON sa.doc_id = vp.a_id "
+        "JOIN sp sb ON sb.doc_id = vp.b_id), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs, "
+        "CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_cross_split_pairs, "
+        "CAST(SUM(CASE WHEN (split_a = 'train' AND split_b = 'test') "
+        "OR (split_a = 'test' AND split_b = 'train') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_train_test_pairs, "
+        "CAST(SUM(CASE WHEN (split_a = 'train' AND split_b = 'val') "
+        "OR (split_a = 'val' AND split_b = 'train') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_train_val_pairs, "
+        "CAST(COUNT(DISTINCT CASE "
+        "WHEN split_a = 'test' AND split_b = 'train' THEN a_id "
+        "WHEN split_b = 'test' AND split_a = 'train' THEN b_id END) "
+        "AS BIGINT) AS n_test_docs_leaked FROM pj), "
+        "t AS (SELECT CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_test_docs FROM sp) "
+        "SELECT a.*, t.n_test_docs, CASE WHEN t.n_test_docs > 0 THEN "
+        "CAST(FLOOR(1000000.0 * a.n_test_docs_leaked / t.n_test_docs) "
+        "AS BIGINT) END AS leak_ppm FROM a, t"
+    )
+
+
 # --- ingest-time FK gate (late-arriving dimensions, r9) -----------------------
 
 # The fixture's dimension-snapshot model: customers with c_custkey % 10
@@ -10324,7 +10452,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": q_events_value_histogram,
     "events_funnel": q_events_funnel,
     "users_click_no_purchase": q_users_click_no_purchase,
-    "users_click_and_purchase": q_users_click_and_purchase,
+    # (users_click_and_purchase, green r8, handed its slot to the
+    # late-r9 near-dup leakage audit below — the intersect-shape is
+    # re-witnessed by its near-twin users_click_no_purchase, which
+    # stays in-window alongside users_conversion_lag)
+    "split_neardup_leakage": q_split_neardup_leakage,
     "users_conversion_lag": q_users_conversion_lag,
     # -- never-witnessed pipeline audits (VERDICT r7 #2, cont.) ------
     "ann_topk_numpy": q_ann_topk_numpy,
@@ -10339,6 +10471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "users_click_and_purchase": q_users_click_and_purchase,
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "multimodal_phash_bytes": q_multimodal_phash_bytes,
     "corpus_cluster_topics": q_corpus_cluster_topics,
@@ -10648,6 +10781,7 @@ def oracles() -> dict[str, str]:
         "embedding_triplets": _oracle_embedding_triplets(),
         "orders_fk_quarantine": _oracle_orders_fk_quarantine(),
         "stream_fk_quarantine": _oracle_stream_fk_quarantine(),
+        "split_neardup_leakage": _oracle_split_neardup_leakage(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

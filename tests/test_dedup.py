@@ -242,3 +242,20 @@ def test_persisted_index_gate_equals_inline(spark, tmp_path):
     # index are the incoming side's
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     assert "dedup_index" in plan
+
+
+def test_split_neardup_leakage_invariants(spark, sf_dir):
+    """The near-dup leakage audit's internal consistency: cross-split
+    pairs bound the directional counts, leaked test docs never exceed
+    the train-test pair endpoints nor the test split size, and the ppm
+    follows its own fields. The fixture genuinely leaks (the audit must
+    witness signal, not vacuous zeros)."""
+    from overpaint_spark import queries as Q
+
+    r = Q.q_split_neardup_leakage(spark, sf_dir).collect()[0]
+    assert r.n_cross_split_pairs <= r.n_neardup_pairs
+    assert r.n_train_test_pairs + r.n_train_val_pairs <= r.n_cross_split_pairs
+    assert r.n_test_docs_leaked <= r.n_train_test_pairs
+    assert r.n_test_docs_leaked <= r.n_test_docs
+    assert r.leak_ppm == (1_000_000 * r.n_test_docs_leaked) // r.n_test_docs
+    assert r.n_neardup_pairs > 0 and r.n_test_docs > 0

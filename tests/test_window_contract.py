@@ -151,6 +151,7 @@ def test_window_contains_the_flagship_operators():
         "embedding_triplets",
         "orders_fk_quarantine",
         "stream_fk_quarantine",
+        "split_neardup_leakage",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
@@ -165,7 +166,9 @@ def test_window_contains_the_flagship_operators():
         "events_value_histogram",
         "events_funnel",
         "users_click_no_purchase",
-        "users_click_and_purchase",
+        # (users_click_and_purchase, green r8, ejected late-r9 for the
+        # near-dup leakage audit; its intersect shape keeps the
+        # users_click_no_purchase witness)
         "users_conversion_lag",
         # the retired never-witnessed backlog (pipeline audits)
         "ann_topk_numpy",
