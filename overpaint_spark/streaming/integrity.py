@@ -64,8 +64,14 @@ def write_fk_gate_stream(
     """Start the gate: every arriving row lands in ``out_dir`` with its
     ``fk_ok`` verdict. The parent key snapshot is frozen here (one
     bounded relation, cached for the sink's lifetime)."""
-    pk = parent_keys.select(parent_keys.columns[0]).distinct().cache()
-    pk.count()  # materialize once, not per batch
+    # eager localCheckpoint (the decontaminate idiom): materialized once
+    # at sink construction, no session-lifetime cache entry to leak
+    # across repeated sink constructions (bench loops, re-deploys)
+    pk = (
+        parent_keys.select(parent_keys.columns[0])
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
         fk_gate_flags(batch_df, pk, fk).write.mode("append").parquet(out_dir)
