@@ -10208,10 +10208,20 @@ def _oracle_stream_fk_quarantine() -> str:
 
 # --- triplet mining for contrastive training (r9) -----------------------------
 
+# Probe-set cap (the _IVF_PROBE_CAP idiom): the declared relation mines
+# triplets for the FIRST 80 eligible held-out probes (vec_id % 25 = 0
+# AND vec_id < 25·80), so per-refresh work is |probes|·N — linear in
+# the corpus — instead of the N²/25 an unbounded held-out split costs.
+# Non-binding at every fixture SF (max vec_id 1999); the 10× guard is
+# what it exists for (embedding_triplets measured alpha 1.23 unbounded,
+# sub-linear with the cap — SCALE.md round-9).
+_TRIPLET_PROBE_ID_CAP = 25 * 80
+
 
 def q_embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining — the full contrastive-training data op: for each
-    probe (the knn rows' held-out ``vec_id % 25 = 0`` set), its nearest
+    probe (the knn rows' held-out ``vec_id % 25 = 0`` set, capped to
+    the first 80 probe ids — see ``_TRIPLET_PROBE_ID_CAP``), its nearest
     SAME-LABEL neighbor (the hardest positive a metric learner should
     pull closer) and its nearest CROSS-LABEL neighbor (the hardest
     negative — embedding_hard_negatives' rank-1 row), one (anchor,
@@ -10232,7 +10242,10 @@ def q_embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qv = VX.as_double(F.col("embedding"))
-    q = e.filter(F.col("vec_id") % 25 == 0).select(
+    q = e.filter(
+        (F.col("vec_id") % 25 == 0)
+        & (F.col("vec_id") < _TRIPLET_PROBE_ID_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"),
         qv.alias("q_vec"),
         VX.norm(qv).alias("q_norm"),
@@ -10285,7 +10298,7 @@ def _oracle_embedding_triplets() -> str:
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
         "FROM embeddings), "
         "q AS (SELECT vec_id AS query_id, v, label AS q_label FROM e "
-        "WHERE vec_id % 25 = 0), "
+        f"WHERE vec_id % 25 = 0 AND vec_id < {_TRIPLET_PROBE_ID_CAP}), "
         "s AS (SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, "
         "CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS is_pos, "
         "LIST_COSINE_SIMILARITY(q.v, c.v) AS sim "

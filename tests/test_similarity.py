@@ -490,7 +490,7 @@ def test_embedding_triplets_argmax_vs_numpy(spark, sf_dir):
     rows = {r.query_id: r for r in Q.q_embedding_triplets(spark, sf_dir).collect()}
     e = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
          for r in Q._t(spark, sf_dir, "embeddings").collect()}
-    probes = [i for i in e if i % 25 == 0]
+    probes = [i for i in e if i % 25 == 0 and i < Q._TRIPLET_PROBE_ID_CAP]
     assert rows
     for qid in probes:
         qv, ql = e[qid]
