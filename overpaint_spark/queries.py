@@ -9960,6 +9960,108 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- Zipf-law fit of the token distribution (r9) -------------------------------
+
+_ZIPF_MAX_RANKS = 100
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit — the corpus-statistics card next to heaps-curve
+    and entropy: least-squares slope of ln(frequency) on ln(rank) over
+    the top ``_ZIPF_MAX_RANKS`` token ranks. Natural text sits near
+    slope −1 (Zipf 1949); a much flatter slope flags synthetic/
+    boilerplate-heavy corpora, a much steeper one flags template spam
+    dominating the head — the cheap smell test corpus-quality papers
+    run before anything model-based. One row: n_ranks, the four exact
+    fit sums, slope_ppm, intercept_uln.
+
+    Math contract: ln(rank) and ln(count) are half-up-floored to
+    integer micro-log units PER RANK at the ≤100-row relation (the
+    entropy idiom), the four fit sums are exact BIGINTs (max |Σxy| ≈
+    2.6e16 ≪ int64), and the closed-form slope divides two exact
+    int64-derived doubles with one multiply — the leak_ppm determinism
+    argument. Plan: the text_top_tokens shape (map-side-combined token
+    counts, single-partition sort of the AGGREGATED counts only,
+    LIMIT 100) then a bounded ≤100-row window + fold — the data-sized
+    work is one token aggregate scan.
+
+    Honest fixture reading: the synthetic 31-word vocabulary is nearly
+    uniform, so the card reports slope ≈ −0.16 — i.e. it correctly
+    flags the fixture corpus as NON-Zipfian synthetic text (pinned in
+    tests/test_text.py, alongside a genuinely Zipfian planted case
+    fitting ≈ −1)."""
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def zipf_fit(d: DataFrame) -> DataFrame:
+    """DataFrame-in fit body (the substring_span_stats convention) so
+    tests exercise the production math on planted distributions."""
+    counts = (
+        d.select(F.explode(TX.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_ZIPF_MAX_RANKS)
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    x = F.floor(F.log(F.col("r").cast("double")) * 1e6 + F.lit(0.5)).cast("bigint")
+    y = F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5)).cast("bigint")
+    q = ranked.select(x.alias("x"), y.alias("y"))
+    sums = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+    )
+    num = F.col("n_ranks") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    den = F.col("n_ranks") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "n_ranks",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.floor(slope * F.lit(1000000.0)).cast("bigint").alias("slope_ppm"),
+        F.floor(
+            (F.col("sum_y").cast("double") - slope * F.col("sum_x").cast("double"))
+            / F.col("n_ranks").cast("double")
+        )
+        .cast("bigint")
+        .alias("intercept_uln"),
+    )
+
+
+def _oracle_text_zipf_fit() -> str:
+    return (
+        "WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token "
+        "FROM documents), "
+        "counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token "
+        f"ORDER BY c DESC, token LIMIT {_ZIPF_MAX_RANKS}), "
+        "ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) "
+        "AS r FROM counts), "
+        "q AS (SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000 + 0.5) "
+        "AS BIGINT) AS x, "
+        "CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y "
+        "FROM ranked), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks, "
+        "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y, "
+        "CAST(SUM(x * y) AS BIGINT) AS sum_xy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sum_xx FROM q) "
+        "SELECT n_ranks, sum_x, sum_y, sum_xy, sum_xx, "
+        "CAST(FLOOR((CAST(n_ranks * sum_xy - sum_x * sum_y AS DOUBLE) / "
+        "CAST(n_ranks * sum_xx - sum_x * sum_x AS DOUBLE)) * 1000000.0) "
+        "AS BIGINT) AS slope_ppm, "
+        "CAST(FLOOR((CAST(sum_y AS DOUBLE) - "
+        "(CAST(n_ranks * sum_xy - sum_x * sum_y AS DOUBLE) / "
+        "CAST(n_ranks * sum_xx - sum_x * sum_x AS DOUBLE)) "
+        "* CAST(sum_x AS DOUBLE)) / CAST(n_ranks AS DOUBLE)) AS BIGINT) "
+        "AS intercept_uln FROM s"
+    )
+
+
 # --- near-dup split leakage (r9) ----------------------------------------------
 
 
@@ -10457,7 +10559,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_balance_quartiles": q_customer_balance_quartiles,
     "customer_balance_rank": q_customer_balance_rank,
     "events_rolling_value": q_events_rolling_value,
-    "events_trailing_hour": q_events_trailing_hour,
+    # (events_trailing_hour, green r8, handed its slot to the late-r9
+    # Zipf card below — the range-frame window shape keeps its
+    # events_rolling_value near-twin in-window)
+    "text_zipf_fit": q_text_zipf_fit,
     "events_next_gap": q_events_next_gap,
     "events_type_pivot": q_events_type_pivot,
     "events_type_value_salted": q_events_type_value_salted,
@@ -10484,6 +10589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "events_trailing_hour": q_events_trailing_hour,
     "users_click_and_purchase": q_users_click_and_purchase,
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "multimodal_phash_bytes": q_multimodal_phash_bytes,
@@ -10795,6 +10901,7 @@ def oracles() -> dict[str, str]:
         "orders_fk_quarantine": _oracle_orders_fk_quarantine(),
         "stream_fk_quarantine": _oracle_stream_fk_quarantine(),
         "split_neardup_leakage": _oracle_split_neardup_leakage(),
+        "text_zipf_fit": _oracle_text_zipf_fit(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

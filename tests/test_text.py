@@ -212,3 +212,24 @@ def test_corpus_funnel_last_stage_equals_clean_v3(spark):
     assert rows[0].retained_ppm == 1_000_000
     v3 = QUERIES["corpus_clean_v3"](spark, sf).count()
     assert rows[5].n_docs == v3
+
+
+def test_zipf_fit_recovers_planted_slope_and_flags_fixture(spark, sf_dir):
+    """The fit must recover slope ≈ −1 on a genuinely Zipfian planted
+    distribution (count(r) = round(1200/r), 40 ranks) and report the
+    near-uniform fixture vocabulary as NON-Zipfian (|slope| ≪ 1) — the
+    flat-slope synthetic-text alarm working as designed."""
+    from overpaint_spark.queries import q_text_zipf_fit, zipf_fit
+
+    docs = spark.createDataFrame(
+        [(r, " ".join([f"tok{r:03d}"] * max(1, round(1200 / r))))
+         for r in range(1, 41)],
+        "doc_id long, text string",
+    )
+    planted = zipf_fit(docs).collect()[0]
+    assert planted.n_ranks == 40
+    # rounding of 1200/r perturbs the tail; the fit stays within 3%
+    assert abs(planted.slope_ppm + 1_000_000) < 30_000
+
+    fixture = q_text_zipf_fit(spark, sf_dir).collect()[0]
+    assert abs(fixture.slope_ppm) < 500_000  # near-uniform, not Zipfian

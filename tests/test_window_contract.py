@@ -152,13 +152,16 @@ def test_window_contains_the_flagship_operators():
         "orders_fk_quarantine",
         "stream_fk_quarantine",
         "split_neardup_leakage",
+        "text_zipf_fit",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
         "customer_balance_quartiles",
         "customer_balance_rank",
         "events_rolling_value",
-        "events_trailing_hour",
+        # (events_trailing_hour, green r8, ejected late-r9 for the Zipf
+        # card; its range-frame shape keeps the events_rolling_value
+        # witness)
         "events_next_gap",
         "events_type_pivot",
         "events_type_value_salted",
