@@ -9960,6 +9960,95 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- append-mode windowed rollup by streaming (r9) -----------------------------
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup by STRUCTURED STREAMING in APPEND mode —
+    eleventh oracle-verified streaming query, and the first to witness
+    the canonical event-time shape end-to-end: watermarked tumbling
+    windows that EMIT exactly once when the watermark passes their end
+    (streaming/stream_profile.windowed_type_rollup). The earlier
+    aggregate witnesses run complete-mode (whole state re-emitted);
+    append mode is what an unbounded production stream uses — state is
+    only the open windows inside the horizon.
+
+    Determinism contract: the fixture's 30-day range sits inside the
+    45-day horizon, so NO real row can be dropped regardless of which
+    file a micro-batch delivers first (the capacity ≫ vocabulary
+    idiom); a SENTINEL row far past the range arrives last (newest
+    mtime → final micro-batch) purely to advance the watermark past
+    every real window end so append mode flushes them all. Its own
+    window never emits and is filtered regardless. The deliberate
+    small-horizon late-DROP divergence case is pinned in
+    tests/test_streaming.py. Oracle: the batch hourly-rollup SQL
+    verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from overpaint_spark.streaming.stream_profile import windowed_type_rollup
+
+    e = _t(spark, sf_dir, "events")
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_evh_src_{run}"
+    out_dir = f"{base}/stream_evh_out_{run}"
+    ckpt_dir = f"{base}/stream_evh_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    mid = (bounds.lo + bounds.hi) // 2
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    e.filter(us < mid).select(cols).coalesce(1).write.parquet(f"{src}/a")
+    e.filter(us >= mid).select(cols).coalesce(1).write.parquet(f"{src}/b")
+    # the flush sentinel: 46 days past the last real event, one row
+    _time.sleep(1.1)  # strictly newer mtime → FileStreamSource runs it last
+    sentinel_us = bounds.hi + 46 * 24 * 3600 * 1_000_000
+    spark.createDataFrame(
+        [(int(-1), sentinel_us, int(-1), "__flush__", 0.0, "{}")],
+        "event_id long, us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(f"{src}/c")
+    stream = (
+        spark.readStream.schema(e.select(cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = (
+        windowed_type_rollup(stream, watermark="45 days")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_events_hourly: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir).filter(
+        F.col("event_type") != "__flush__"
+    )
+
+
+def _oracle_stream_events_hourly() -> str:
+    return _oracle_events_hourly_rollup()
+
+
 # --- Zipf-law fit of the token distribution (r9) -------------------------------
 
 _ZIPF_MAX_RANKS = 100
@@ -10567,7 +10656,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_pivot": q_events_type_pivot,
     "events_type_value_salted": q_events_type_value_salted,
     "events_user_retention": q_events_user_retention,
-    "events_value_histogram": q_events_value_histogram,
+    # (events_value_histogram, green r8, handed its slot to the
+    # late-r9 append-mode windowed streaming witness below — the
+    # integer-bucket histogram shape keeps its corpus_length_histogram
+    # near-twin in-window)
+    "stream_events_hourly": q_stream_events_hourly,
     "events_funnel": q_events_funnel,
     "users_click_no_purchase": q_users_click_no_purchase,
     # (users_click_and_purchase, green r8, handed its slot to the
@@ -10589,6 +10682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "events_value_histogram": q_events_value_histogram,
     "events_trailing_hour": q_events_trailing_hour,
     "users_click_and_purchase": q_users_click_and_purchase,
     "dedup_survivors_longest": q_dedup_survivors_longest,
@@ -10902,6 +10996,7 @@ def oracles() -> dict[str, str]:
         "stream_fk_quarantine": _oracle_stream_fk_quarantine(),
         "split_neardup_leakage": _oracle_split_neardup_leakage(),
         "text_zipf_fit": _oracle_text_zipf_fit(),
+        "stream_events_hourly": _oracle_stream_events_hourly(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -179,3 +179,42 @@ def streaming_rule_metrics(
         F.col("w.start").alias("window_start"),
         F.explode(F.array(*rows)).alias("r"),
     ).select("window_start", "r.*")
+
+
+def windowed_type_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "45 days",
+) -> DataFrame:
+    """Append-mode tumbling rollup — the streaming twin of
+    queries.q_events_hourly_rollup, and the canonical event-time
+    structured-streaming shape: watermarked window × dimension counts
+    + decimal-exact value sums. Unlike the complete-mode aggregates
+    above, this one EMITS each window exactly once, when the watermark
+    passes its end — state is only the open windows inside the horizon,
+    the shape that survives an unbounded stream. A late row is dropped
+    once the watermark has FINALIZED its window (emitted + state
+    evicted); one landing in the same micro-batch that closes the
+    window still merges — both measured Spark 4.1 behaviors, pinned in
+    tests/test_streaming.py."""
+    # watermarks require TIMESTAMP (session TZ is pinned UTC, so the
+    # NTZ fixtures' wall-clock is preserved); the batch twin groups the
+    # NTZ column directly, so hour_start converts back on the way out
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1090,3 +1090,63 @@ def test_streaming_fk_gate_bit_identical_to_batch(spark, tmp_path):
     assert verdict[4] is True  # NULL FK: unknown, not orphan
     assert verdict[2] is False and verdict[5] is False  # 30, 99 dangle
     assert verdict[1] is True and verdict[6] is True
+
+
+def test_windowed_rollup_append_mode_drops_late_beyond_horizon(spark, tmp_path):
+    """The append-mode rollup's honest divergence case: once the
+    watermark finalized a window (it was emitted and its state
+    evicted), a later-arriving row for it is DROPPED — no recount, no
+    re-opened duplicate window row. (A late row landing in the SAME
+    micro-batch that closes its window still merges — measured Spark
+    4.1 behavior; the drop starts after eviction.) The declared
+    witness avoids all of this only because its horizon exceeds the
+    fixture's whole range. Batch order here: a (10:00, 12:00) →
+    b (20:00 sentinel, closes everything at 1 s horizon) → c (10:30,
+    late after eviction → dropped)."""
+    import time as _time
+
+    from overpaint_spark.streaming.stream_profile import windowed_type_rollup
+
+    def ev(eid, hhmm, typ):
+        return (eid, f"2024-03-01 {hhmm}:00", 1, typ, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    to_df = lambda rows: spark.createDataFrame(rows, schema).withColumn(  # noqa: E731
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    src = str(tmp_path / "src")
+    to_df([ev(0, "10:00", "view"), ev(1, "12:00", "view")]).coalesce(1).write.parquet(
+        f"{src}/a"
+    )
+    _time.sleep(1.1)  # strictly newer mtime: the sentinel is batch 2
+    to_df([ev(3, "20:00", "__flush__")]).coalesce(1).write.parquet(f"{src}/b")
+    _time.sleep(1.1)  # the late row arrives AFTER every window closed
+    to_df([ev(2, "10:30", "view")]).coalesce(1).write.parquet(f"{src}/c")
+    stream = (
+        spark.readStream.schema(to_df([ev(0, "10:00", "view")]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        windowed_type_rollup(stream, watermark="1 second")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    emitted = [
+        ((str(r.hour_start), r.event_type), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+    rows = dict(emitted)
+    assert len(emitted) == len(rows)  # each window emitted exactly once
+    assert rows[("2024-03-01 10:00:00", "view")] == 1  # late 10:30 row DROPPED
+    assert rows[("2024-03-01 12:00:00", "view")] == 1
+    assert ("2024-03-01 20:00:00", "__flush__") not in rows  # never closed

@@ -153,6 +153,7 @@ def test_window_contains_the_flagship_operators():
         "stream_fk_quarantine",
         "split_neardup_leakage",
         "text_zipf_fit",
+        "stream_events_hourly",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
@@ -166,7 +167,9 @@ def test_window_contains_the_flagship_operators():
         "events_type_pivot",
         "events_type_value_salted",
         "events_user_retention",
-        "events_value_histogram",
+        # (events_value_histogram, green r8, ejected late-r9 for the
+        # append-mode windowed streaming witness; its int-bucket shape
+        # keeps the corpus_length_histogram witness)
         "events_funnel",
         "users_click_no_purchase",
         # (users_click_and_purchase, green r8, ejected late-r9 for the
