@@ -9960,6 +9960,114 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- stream-stream interval attribution by streaming (r9) ----------------------
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a STREAM-STREAM interval join —
+    twelfth oracle-verified streaming query, and the first to witness
+    Spark's two-sided join state machine end-to-end
+    (streaming/attribution.py): every (purchase, click) pair of the
+    same user with the click at most 1 hour before the purchase,
+    inclusive both ends — the all-candidates multi-touch relation (the
+    batch as-of keeps last-touch only; see the module docstring).
+
+    Purchases and clicks arrive as SEPARATE file streams (clicks split
+    into two files → the join genuinely matches across micro-batches
+    out of buffered state). Determinism contract: both watermarks are
+    45 days ≫ the fixture's 30-day range, so neither side's state can
+    be evicted before every match is found under ANY batch
+    interleaving, and an INNER interval join emits each match exactly
+    once as it forms — no sentinel needed. Oracle: the interval join
+    in plain SQL (raw-timestamp bounds — the events_asof_attribution
+    precedent: the fixtures are µs-exact in both engines)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.attribution import (
+        streaming_interval_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_attr_src_{run}"
+    out_dir = f"{base}/stream_attr_out_{run}"
+    ckpt_dir = f"{base}/stream_attr_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    purchases.coalesce(1).write.parquet(f"{src}/p/a")
+    clicks.filter(F.col("click_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/c/a"
+    )
+    clicks.filter(F.col("click_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/c/b"
+    )
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p/*")
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c/*")
+    )
+    joined = streaming_interval_attribution(
+        p_stream, c_stream, max_lag="1 hour", watermark="45 days"
+    )
+    sq = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_attribution: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(out_dir).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "lag_us",
+    )
+
+
+def _oracle_stream_attribution() -> str:
+    return (
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, "
+        "ts AS purchase_ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, event_id AS click_id, ts AS click_ts "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, "
+        "c.click_ts, EPOCH_US(p.purchase_ts) - EPOCH_US(c.click_ts) "
+        "AS lag_us FROM p JOIN c ON p.user_id = c.user_id "
+        "AND c.click_ts <= p.purchase_ts "
+        "AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR"
+    )
+
+
 # --- append-mode windowed rollup by streaming (r9) -----------------------------
 
 
@@ -10668,7 +10776,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # re-witnessed by its near-twin users_click_no_purchase, which
     # stays in-window alongside users_conversion_lag)
     "split_neardup_leakage": q_split_neardup_leakage,
-    "users_conversion_lag": q_users_conversion_lag,
+    # (users_conversion_lag, green r8, handed its slot to the late-r9
+    # stream-stream join witness below — the click→purchase lag math
+    # keeps its witness through stream_attribution's lag_us held to
+    # the interval-join oracle)
+    "stream_attribution": q_stream_attribution,
     # -- never-witnessed pipeline audits (VERDICT r7 #2, cont.) ------
     "ann_topk_numpy": q_ann_topk_numpy,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
@@ -10682,6 +10794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "users_conversion_lag": q_users_conversion_lag,
     "events_value_histogram": q_events_value_histogram,
     "events_trailing_hour": q_events_trailing_hour,
     "users_click_and_purchase": q_users_click_and_purchase,
@@ -10997,6 +11110,7 @@ def oracles() -> dict[str, str]:
         "split_neardup_leakage": _oracle_split_neardup_leakage(),
         "text_zipf_fit": _oracle_text_zipf_fit(),
         "stream_events_hourly": _oracle_stream_events_hourly(),
+        "stream_attribution": _oracle_stream_attribution(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -154,6 +154,7 @@ def test_window_contains_the_flagship_operators():
         "split_neardup_leakage",
         "text_zipf_fit",
         "stream_events_hourly",
+        "stream_attribution",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
@@ -175,7 +176,9 @@ def test_window_contains_the_flagship_operators():
         # (users_click_and_purchase, green r8, ejected late-r9 for the
         # near-dup leakage audit; its intersect shape keeps the
         # users_click_no_purchase witness)
-        "users_conversion_lag",
+        # (users_conversion_lag, green r8, ejected late-r9 for the
+        # stream-stream join witness; its lag math is re-witnessed by
+        # stream_attribution)
         # the retired never-witnessed backlog (pipeline audits)
         "ann_topk_numpy",
         "corpus_dup_rate_by_source",
