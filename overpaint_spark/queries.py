@@ -9960,6 +9960,95 @@ def _oracle_profile_referential_integrity() -> str:
     )
 
 
+# --- CDC apply by streaming (r9) ------------------------------------------------
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply as STRUCTURED STREAMING — thirteenth oracle-verified
+    streaming query, witnessing the mutable-table sink
+    (streaming/upsert.py → operators/upsert.py): a change stream
+    replayed through the partition-scoped latest-wins merge must leave
+    the table in the state one global merge produces. Base = customer
+    with ``ver`` 0; the change feed carries TWO versions (ver 1, 2) for
+    every ``c_custkey % 7 = 0`` customer, each bumping ``c_acctbal`` by
+    100·ver, arriving as two files → two micro-batches. Version
+    numbers are unique per key, so latest-wins is a global argmax and
+    the replay is batch-order independent (ver 2 then ver 1 converges
+    identically — the property tests/test_upsert.py pins batch-wise).
+    Oracle: base ∪ changes → one ROW_NUMBER latest-wins merge in plain
+    SQL. Updates never move partitions here (the standing caveat of
+    partition-scoped merges — see the operator docstring)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.upsert import write_upsert_stream
+
+    c = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    base = c.select(*cols).withColumn("ver", F.lit(0))
+    run = uuid.uuid4().hex[:8]
+    basedir = tempfile.gettempdir()
+    table = f"{basedir}/stream_cdc_tbl_{run}"
+    src = f"{basedir}/stream_cdc_src_{run}"
+    ckpt_dir = f"{basedir}/stream_cdc_ckpt_{run}"
+    for dpath in (table, src, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    base.write.partitionBy("c_mktsegment").parquet(table)
+    for v in (1, 2):
+        (
+            c.filter(F.col("c_custkey") % 7 == 0)
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                (F.col("c_acctbal") + F.lit(100.0) * v).alias("c_acctbal"),
+                "c_mktsegment",
+                F.lit(v).alias("ver"),
+            )
+            .coalesce(1)
+            .write.parquet(f"{src}/v{v}")
+        )
+    changes = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_upsert_stream(
+        changes,
+        table,
+        key_cols=["c_custkey"],
+        partition_col="c_mktsegment",
+        order_col="ver",
+        checkpoint_dir=ckpt_dir,
+        trigger_available_now=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_cdc_apply: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return spark.read.parquet(table).select(*cols, "ver")
+
+
+def _oracle_stream_cdc_apply() -> str:
+    return (
+        "WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment, 0 AS ver FROM customer), "
+        "ch AS (SELECT c_custkey, c_name, c_nationkey, "
+        "c_acctbal + 100.0 * v AS c_acctbal, c_mktsegment, v AS ver "
+        "FROM customer, (VALUES (1), (2)) AS t(v) "
+        "WHERE c_custkey % 7 = 0), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM ch), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey "
+        "ORDER BY ver DESC) AS rn FROM u) "
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+        "CAST(ver AS INTEGER) AS ver FROM r WHERE rn = 1"
+    )
+
+
 # --- stream-stream interval attribution by streaming (r9) ----------------------
 
 
@@ -10782,7 +10871,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the interval-join oracle)
     "stream_attribution": q_stream_attribution,
     # -- never-witnessed pipeline audits (VERDICT r7 #2, cont.) ------
-    "ann_topk_numpy": q_ann_topk_numpy,
+    # (ann_topk_numpy, green r8, handed its slot to the late-r9 CDC
+    # witness below — exact-cosine argmax math keeps in-window
+    # witnesses via embedding_triplets and embedding_hard_negatives)
+    "stream_cdc_apply": q_stream_cdc_apply,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "corpus_langid_agreement": q_corpus_langid_agreement,
     "corpus_length_histogram": q_corpus_length_histogram,
@@ -10794,6 +10886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "ann_topk_numpy": q_ann_topk_numpy,
     "users_conversion_lag": q_users_conversion_lag,
     "events_value_histogram": q_events_value_histogram,
     "events_trailing_hour": q_events_trailing_hour,
@@ -11111,6 +11204,7 @@ def oracles() -> dict[str, str]:
         "text_zipf_fit": _oracle_text_zipf_fit(),
         "stream_events_hourly": _oracle_stream_events_hourly(),
         "stream_attribution": _oracle_stream_attribution(),
+        "stream_cdc_apply": _oracle_stream_cdc_apply(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

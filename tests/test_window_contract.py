@@ -155,6 +155,7 @@ def test_window_contains_the_flagship_operators():
         "text_zipf_fit",
         "stream_events_hourly",
         "stream_attribution",
+        "stream_cdc_apply",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         "pricing_grouping_sets",
@@ -180,7 +181,9 @@ def test_window_contains_the_flagship_operators():
         # stream-stream join witness; its lag math is re-witnessed by
         # stream_attribution)
         # the retired never-witnessed backlog (pipeline audits)
-        "ann_topk_numpy",
+        # (ann_topk_numpy, green r8, ejected late-r9 for the CDC
+        # witness; exact-cosine argmaxes stay witnessed by the triplet
+        # and hard-negative rows)
         "corpus_dup_rate_by_source",
         "corpus_langid_agreement",
         "corpus_length_histogram",
