@@ -39,18 +39,41 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 
-def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """The tombstones relation is optional (None when never written) —
-    but ONLY path-not-found maps to None; a corrupt file, permission
-    failure, or any other read error propagates, because treating it
-    as "no tombstones" would silently resurrect deleted rows."""
+def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read an OPTIONAL relation (None when never written) — but ONLY
+    path-not-found maps to None; a corrupt file, permission failure,
+    or any other read error propagates, because treating it as "not
+    there" would silently resurrect deleted rows (tombstones) or drop
+    streamed ingest (codes_delta)."""
     try:
-        return spark.read.parquet(f"{path}/tombstones")
+        return spark.read.parquet(path)
     except AnalysisException as exc:
         cond = getattr(exc, "getCondition", lambda: None)() or ""
         if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
             return None
         raise
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    return _read_optional(spark, f"{path}/tombstones")
+
+
+def _read_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The full coded corpus: the batch-built ``codes`` relation plus
+    the streamed ``codes_delta`` relation (written batch-id-partitioned
+    by streaming/ann_ingest.py's exactly-once sink; the bookkeeping
+    partition column is dropped here so both sides share one schema).
+    Delta rows stay in their own directory because the base ``codes``
+    write is un-partitioned — mixing layouts in one directory breaks
+    partition discovery — and the union is free: both sides are parquet
+    scans of code rows, and compaction folds the delta in."""
+    from overpaint_spark.streaming.sink import BATCH_COL
+
+    codes = spark.read.parquet(f"{path}/codes")
+    delta = _read_optional(spark, f"{path}/codes_delta")
+    if delta is not None:
+        codes = codes.unionByName(delta.drop(BATCH_COL))
+    return codes
 
 
 @dataclass
@@ -145,13 +168,39 @@ def load_ann_index(
     cb = np.empty((n_sub, n_codes, dsub), dtype=np.float64)
     for r in cbr:
         cb[r.subspace][r.code] = r.center
-    indexed = spark.read.parquet(f"{path}/codes")
+    indexed = _read_codes(spark, path)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         # un-compacted tombstones: exclude at load so every reader sees
         # delete semantics regardless of compaction cadence
         indexed = indexed.join(F.broadcast(tomb), id_col, "left_anti")
     return AnnIndex(coarse, cb, indexed, n_sub * dsub, id_col)
+
+
+def encode_delta(
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against the FROZEN geometry into code rows
+    ``(id, codes, cluster_id)`` — the shared body of the batch
+    :func:`add_to_ann_index` and the streaming ingest sink
+    (streaming/ann_ingest.py), so the two ingest paths cannot diverge
+    by a single code byte. One assignment GEMM + one encode pass over
+    the new rows only."""
+    from overpaint_spark.operators.quantization import pq_encode
+    from overpaint_spark.operators.similarity import assign_to_centroids
+
+    n_sub = len(index.codebook)
+    n_codes = index.codebook[0].shape[0]
+    assigned = assign_to_centroids(
+        new_vectors, index.coarse, 1, index.id_col, vec_col
+    ).select(index.id_col, "cluster_id")
+    codes = pq_encode(
+        new_vectors, index.dim, n_sub, n_codes, index.id_col, vec_col,
+        codebook=index.codebook,
+    )
+    return codes.join(assigned, index.id_col)
 
 
 def add_to_ann_index(
@@ -179,19 +228,7 @@ def add_to_ann_index(
     repartition-by-cluster layout as :func:`persist_ann_index`;
     centroid/codebook relations are immutable and untouched), so a
     subsequent :func:`load_ann_index` sees the grown index."""
-    from overpaint_spark.operators.quantization import pq_encode
-    from overpaint_spark.operators.similarity import assign_to_centroids
-
-    n_sub = len(index.codebook)
-    n_codes = index.codebook[0].shape[0]
-    assigned = assign_to_centroids(
-        new_vectors, index.coarse, 1, index.id_col, vec_col
-    ).select(index.id_col, "cluster_id")
-    codes = pq_encode(
-        new_vectors, index.dim, n_sub, n_codes, index.id_col, vec_col,
-        codebook=index.codebook,
-    )
-    delta = codes.join(assigned, index.id_col)
+    delta = encode_delta(index, new_vectors, vec_col)
     if persist_path is not None:
         (
             delta.repartition(F.col("cluster_id"))
@@ -237,27 +274,33 @@ def delete_from_ann_index(
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
-    """Fold the tombstone set into the codes relation (one anti-join
-    rewrite, re-laid-out by cluster like :func:`persist_ann_index`)
-    and clear it — the compaction that bounds tombstone growth. A
-    no-op when no tombstones exist (path-not-found only; a failed
-    tombstone READ propagates rather than becoming a silent no-op).
+    """Fold the tombstone set AND the streamed ``codes_delta`` relation
+    into the codes relation (one anti-join rewrite, re-laid-out by
+    cluster like :func:`persist_ann_index`) and clear both — the
+    compaction that bounds tombstone and delta growth. A no-op when
+    neither exists (path-not-found only; a failed READ of either
+    propagates rather than becoming a silent no-op).
 
     The swap is rename-aside (codes → codes_old, codes_compacted →
-    codes, then delete codes_old): a crash at any step leaves a full
-    copy of the codes relation on disk under one of the two names, so
-    recovery never needs the tombstone set it just deleted. Renames
-    assume a local/POSIX filesystem (the same assumption the parquet
-    `overwrite` staging itself makes on this deployment); an object-
-    store deployment would swap via a manifest pointer instead."""
+    codes, then delete the old copies): a crash at any step leaves a
+    full copy of the codes relation on disk under one of the two
+    names. The delta directory is moved aside IN the same window as
+    the codes swap, so no reader ever sees the delta rows twice (in
+    the new codes AND in codes_delta). Renames assume a local/POSIX
+    filesystem (the same assumption the parquet `overwrite` staging
+    itself makes on this deployment); an object-store deployment
+    would swap via a manifest pointer instead."""
+    import os
     import shutil
 
     tomb = _read_tombstones(spark, path)
-    if tomb is None:
+    delta = _read_optional(spark, f"{path}/codes_delta")
+    if tomb is None and delta is None:
         return
-    codes = spark.read.parquet(f"{path}/codes")
-    id_col = [c for c in codes.columns if c not in ("codes", "cluster_id")][0]
-    kept = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    kept = _read_codes(spark, path)  # codes ∪ delta
+    id_col = [c for c in kept.columns if c not in ("codes", "cluster_id")][0]
+    if tomb is not None:
+        kept = kept.join(F.broadcast(tomb), id_col, "left_anti")
     (
         kept.repartition(F.col("cluster_id"))
         .sortWithinPartitions("cluster_id", id_col)
@@ -265,9 +308,14 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         .parquet(f"{path}/codes_compacted")
     )
     shutil.move(f"{path}/codes", f"{path}/codes_old")
+    if delta is not None:
+        shutil.move(f"{path}/codes_delta", f"{path}/codes_delta_old")
     shutil.move(f"{path}/codes_compacted", f"{path}/codes")
     shutil.rmtree(f"{path}/codes_old")
-    shutil.rmtree(f"{path}/tombstones")
+    if delta is not None:
+        shutil.rmtree(f"{path}/codes_delta_old")
+    if tomb is not None and os.path.isdir(f"{path}/tombstones"):
+        shutil.rmtree(f"{path}/tombstones")
 
 
 def ann_index_stats(
@@ -307,7 +355,7 @@ def ann_index_stats(
     from overpaint_spark.operators.quantization import _adc_dist_expr
 
     idx = load_ann_index(spark, path, id_col=id_col)  # geometry only used
-    raw = spark.read.parquet(f"{path}/codes")
+    raw = _read_codes(spark, path)
     tomb = _read_tombstones(spark, path)
     n_sub = len(idx.codebook)
     dsub = idx.dim // n_sub

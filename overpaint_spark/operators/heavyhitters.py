@@ -144,7 +144,13 @@ def cms_estimates(
 ) -> DataFrame:
     """Point estimates for a probe relation with a ``token`` column:
     adds ``cms_est`` = MIN over the token's d cells. ``cells`` is at
-    most d·w rows — broadcast it; the probe side never shuffles."""
+    most d·w rows — broadcast it; the probe side never shuffles.
+
+    Cells the sketch never touched hold an implicit 0, so the join is
+    LEFT with a COALESCE: a probe token whose cell has no entry gets
+    that 0 into its MIN (a token the sketch never saw estimates 0, and
+    a partially-empty row set cannot inflate the estimate by dropping
+    its empty cells from the MIN)."""
     carry = [c for c in probes.columns if c != "token"]
     coords = probes.select(
         "token",
@@ -162,7 +168,7 @@ def cms_estimates(
         ).alias("rc"),
     ).select("token", *carry, "rc.row_idx", "rc.cell_idx")
     return (
-        coords.join(F.broadcast(cells), ["row_idx", "cell_idx"])
+        coords.join(F.broadcast(cells), ["row_idx", "cell_idx"], "left")
         .groupBy("token", *carry)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

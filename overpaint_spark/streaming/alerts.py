@@ -9,9 +9,12 @@ batch provenance.
 
 ``foreachBatch`` is the right Spark tool here: the rule evaluation is a
 tiny aggregation over one micro-batch's rows (bounded, no streaming
-state at all), and the sink gets exactly-once appends per batch id from
-the checkpoint. At 100 TB/day the cost is one single-pass agg per
-micro-batch — the same cost class as the ingest itself.
+state at all), and the append is exactly-once — the alert log is
+written through the batch-id-keyed idempotent sink
+(streaming/sink.py), so a crash-replayed batch replaces its own
+partition instead of double-logging alerts. At 100 TB/day the cost is
+one single-pass agg per micro-batch — the same cost class as the
+ingest itself.
 """
 
 from __future__ import annotations
@@ -21,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from overpaint_spark.streaming.sink import idempotent_append
 
 
 def write_rule_alerts_stream(
@@ -53,7 +58,7 @@ def write_rule_alerts_stream(
         out = metrics.select(
             F.lit(batch_id).alias("batch_id"), "*"
         )
-        out.write.mode("append").parquet(alert_dir)
+        idempotent_append(out, batch_id, alert_dir)
 
     writer = (
         stream.writeStream.foreachBatch(validate)

@@ -20,15 +20,17 @@ EXACTLY the batch predicates' conjunction on the same rows —
 quality_score ≥ quality_min, lm ppm in [lm_lo, lm_hi], and
 incremental_dedup_flags.admitted — so moving a corpus from batch
 cleaning to streaming ingest never changes which documents survive.
-Replay semantics match the other parquet-append sinks: re-run batches
-re-admit the same rows; crash-replay duplicate FILES need dedup-on-read
-or a transactional table format (documented caveat, same as CDC).
+Replay is exactly-once: the sink writes through the batch-id-keyed
+idempotent append (streaming/sink.py), so a crash-replayed batch
+replaces its own partition — no dedup-on-read needed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from overpaint_spark.streaming.sink import idempotent_append
 
 
 def clean_gate_flags(
@@ -105,7 +107,7 @@ def write_clean_stream(
     """Append only gate-admitted documents to ``out_dir``; one
     foreachBatch per micro-batch running :func:`clean_gate_flags`."""
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         flags = clean_gate_flags(
@@ -115,7 +117,8 @@ def write_clean_stream(
         admitted = batch_df.join(
             flags.filter(F.col("admitted")).select(id_col), id_col, "left_semi"
         )
-        admitted.write.mode("append").parquet(out_dir)
+        # exactly-once: batch-id-keyed overwrite (streaming/sink.py)
+        idempotent_append(admitted, batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

@@ -21,11 +21,11 @@ what lets the declared ``stream_token_cms`` relation hold the streamed
 sketch to the batch CMS oracle verbatim (the stream_ann_ingest /
 stream_top_tokens proof shape).
 
-Replay caveat (same as every parquet-append sink in this repo): a crash
-between the partials append and the checkpoint commit can double-append
-one batch's partials on replay; a transactional sink removes the
-window. Estimates stay upper bounds either way (Count-Min never
-undercounts).
+Replay is exactly-once: partials land via the batch-id-keyed
+idempotent sink (streaming/sink.py), so a crash-replayed batch
+replaces its own partial matrix instead of double-counting it — the
+snapshot needs no replay slack on top of Count-Min's own upper-bound
+guarantee.
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ from overpaint_spark.operators.heavyhitters import (
     CMS_WIDTH,
     cms_cells,
 )
+from overpaint_spark.streaming.sink import idempotent_append, read_sink
 
 
 def write_cms_stream(
@@ -52,10 +53,12 @@ def write_cms_stream(
     """Start a foreachBatch sink appending each micro-batch's partial
     CMS matrix (≤ depth·width rows) to ``out_dir``."""
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
-        cms_cells(batch_df, depth=depth, width=width, text_col=text_col).write.mode(
-            "append"
-        ).parquet(out_dir)
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            cms_cells(batch_df, depth=depth, width=width, text_col=text_col),
+            batch_id,
+            out_dir,
+        )
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir
@@ -70,7 +73,7 @@ def cms_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     cell-wise SUM over a ≤ batches·d·w-row relation — equal to the batch
     ``cms_cells`` over everything that has arrived."""
     return (
-        spark.read.parquet(out_dir)
+        read_sink(spark, out_dir)
         .groupBy("row_idx", "cell_idx")
         .agg(F.sum("cnt").alias("cnt"))
     )

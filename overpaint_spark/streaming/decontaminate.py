@@ -35,6 +35,7 @@ from overpaint_spark.operators.decontaminate import (
     build_gram_bloom,
 )
 from overpaint_spark.operators.dedup import distinct_shingles
+from overpaint_spark.streaming.sink import idempotent_append
 
 
 def contamination_gate_flags(
@@ -97,9 +98,9 @@ def write_decontaminate_stream(
     HERE, once — geometry derived from the measured eval gram count by
     default (:func:`bloom_geometry`, matching the batch operator);
     per-batch work is one map-side screen plus the candidate-sliver
-    confirm. Replay semantics match the repo's other parquet-append
-    sinks (re-run batches re-admit the same rows; the gate itself is
-    deterministic)."""
+    confirm. Replay is exactly-once: the deterministic gate's output
+    lands via the batch-id-keyed idempotent sink (streaming/sink.py),
+    so a crash-replayed batch replaces its own partition."""
     eval_grams = (
         distinct_shingles(eval_docs, id_col, text_col, k)
         .select("shingle")
@@ -110,7 +111,7 @@ def write_decontaminate_stream(
         n_bits = bloom_geometry(eval_grams.count())
     words = build_gram_bloom(eval_grams, n_bits, n_hashes)
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         flags = contamination_gate_flags(
@@ -119,7 +120,7 @@ def write_decontaminate_stream(
         admitted = batch_df.join(
             flags.filter(F.col("admitted")).select(id_col), id_col, "left_semi"
         )
-        admitted.write.mode("append").parquet(out_dir)
+        idempotent_append(admitted, batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

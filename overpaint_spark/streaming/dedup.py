@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.streaming.sink import idempotent_append
+
 
 def streaming_exact_dedup(
     stream: DataFrame,
@@ -88,11 +90,11 @@ def write_incremental_dedup_stream(
     ∝ |batch| probes of the existing index; at scale pass
     ``existing_hashes``/``existing_bands`` from
     operators/dedup.load_dedup_index so the corpus text is never
-    re-shingled per batch (the batch gate's own index contract). Replays
-    are idempotent in effect: a re-run batch admits the same rows
-    (duplicate FILES on crash-replay are possible with a plain Parquet
-    sink — dedup-on-read or a transactional table format removes that,
-    same caveat as the CDC sink).
+    re-shingled per batch (the batch gate's own index contract).
+    Replay is exactly-once: the gate is deterministic AND the append
+    goes through the batch-id-keyed idempotent sink
+    (streaming/sink.py), so a crash-replayed batch replaces its own
+    partition instead of duplicating files.
 
     Within-stream duplicates (two identical docs in one feed) are the
     job of streaming_content_dedup upstream; this gate only checks
@@ -100,7 +102,7 @@ def write_incremental_dedup_stream(
     """
     from overpaint_spark.operators.dedup import incremental_dedup_flags
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         flags = incremental_dedup_flags(
@@ -110,7 +112,7 @@ def write_incremental_dedup_stream(
         admitted = batch_df.join(
             flags.filter(F.col("admitted")).select(id_col), id_col, "left_semi"
         )
-        admitted.write.mode("append").parquet(out_dir)
+        idempotent_append(admitted, batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from overpaint_spark.streaming.sink import idempotent_append
+
 from overpaint_spark.rules.psi import (
     HistogramSpec,
     histogram,
@@ -40,9 +42,10 @@ def write_drift_monitor_stream(
     """Monitor ``spec.column`` of a stream for distribution drift.
 
     Appends one row per non-empty micro-batch to ``drift_dir``:
-    (batch_id, column_name, n_rows, psi, band). Exactly-once per batch
-    via the checkpointed foreachBatch sink (same pattern as
-    streaming/alerts.py).
+    (batch_id, column_name, n_rows, psi, band). Exactly-once per batch:
+    the row lands via the batch-id-keyed idempotent sink
+    (streaming/sink.py), so a crash-replayed batch replaces its own
+    partition (same pattern as streaming/alerts.py).
     """
     base_hist = [
         (r.bucket, r.n)
@@ -67,10 +70,14 @@ def write_drift_monitor_stream(
             return
         value = psi_from_histograms(base_hist, cur, spec.n_bins)
         n_rows = sum(n for _, n in cur)
-        spark.createDataFrame(
-            [(batch_id, spec.column, n_rows, value, psi_band(value))],
-            "batch_id long, column_name string, n_rows long, psi double, band string",
-        ).write.mode("append").parquet(drift_dir)
+        idempotent_append(
+            spark.createDataFrame(
+                [(batch_id, spec.column, n_rows, value, psi_band(value))],
+                "batch_id long, column_name string, n_rows long, psi double, band string",
+            ),
+            batch_id,
+            drift_dir,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(monitor)
@@ -153,15 +160,19 @@ def write_psi_stream(
     if not base_counts:
         raise ValueError("reference histogram is empty")
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         row = psi_batch_row(
             batch_df, base_counts, column, lo, hi, n_bins, label_col
         )
         if row is None:
             return
-        batch_df.sparkSession.createDataFrame(
-            [row], "split_id long, n_rows long, psi_ppm long, band string"
-        ).coalesce(1).write.mode("append").parquet(out_dir)
+        idempotent_append(
+            batch_df.sparkSession.createDataFrame(
+                [row], "split_id long, n_rows long, psi_ppm long, band string"
+            ).coalesce(1),
+            batch_id,
+            out_dir,
+        )
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

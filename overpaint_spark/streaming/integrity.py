@@ -22,9 +22,10 @@ of chopping — which is what lets the declared ``stream_fk_quarantine``
 relation hold the streamed sink to the batch SQL verbatim (the
 stream_nb_classify / stream_token_cms proof shape).
 
-Replay caveat (same as every parquet-append sink here): a crash between
-the append and the checkpoint commit can double-append one batch on
-replay; a transactional sink removes the window.
+Replay is exactly-once: the verdict rows land via the batch-id-keyed
+idempotent sink (streaming/sink.py), so a crash-replayed batch
+replaces its own partition — no double admissions, no double
+quarantine rows.
 """
 
 from __future__ import annotations
@@ -32,12 +33,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.streaming.sink import idempotent_append
+
 
 def fk_gate_flags(child: DataFrame, parent_keys: DataFrame, fk: str) -> DataFrame:
     """Stamp ``fk_ok`` onto every child row: true iff its ``fk`` value
     matches a parent key (NULL FKs are 'unknown', not orphans — they
     gate as ok, matching the batch audit's exclusion). ``parent_keys``
     must be a single-column key projection; it broadcasts."""
+    reserved = {"__pk", "__hit", "fk_ok"} & set(child.columns)
+    if reserved:
+        # a child carrying these would yield ambiguous references or a
+        # silently shadowed verdict column — fail loud instead
+        raise ValueError(
+            f"child columns {sorted(reserved)} collide with the gate's "
+            "helper/verdict names (__pk, __hit, fk_ok) — rename them "
+            "before gating"
+        )
     pk_col = parent_keys.columns[0]
     pk = parent_keys.select(
         F.col(pk_col).alias("__pk"), F.lit(True).alias("__hit")
@@ -73,8 +85,8 @@ def write_fk_gate_stream(
         .localCheckpoint(eager=True)
     )
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
-        fk_gate_flags(batch_df, pk, fk).write.mode("append").parquet(out_dir)
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(fk_gate_flags(batch_df, pk, fk), batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

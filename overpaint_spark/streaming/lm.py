@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.streaming.sink import idempotent_append
+
 
 def frozen_model(reference: DataFrame, sample_mod: int = 10):
     """(grams, counts, total, v) from the reference corpus — the one
@@ -152,7 +154,7 @@ def write_lm_score_stream(
     else:
         from overpaint_spark.operators.lm import lm_score
 
-        def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.take(1):
                 return
             docs = batch_df.select(
@@ -161,7 +163,9 @@ def write_lm_score_stream(
             out = lm_score(docs, model).select(
                 F.col("doc_id").alias(id_col), "n_grams", "lm_score_ppm"
             )
-            out.write.mode("append").parquet(out_dir)
+            # exactly-once: batch-id-keyed overwrite (streaming/sink.py),
+            # matching the map-literal path's journaled file sink
+            idempotent_append(out, batch_id, out_dir)
 
         writer = stream.writeStream.foreachBatch(apply).option(
             "checkpointLocation", checkpoint_dir

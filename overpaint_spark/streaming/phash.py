@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.streaming.sink import idempotent_append
+
 _BAND_EXPRS = (
     lambda c: c("w0").bitwiseAND(F.lit(0xFFFF)),
     lambda c: F.shiftright(c("w0"), 16).bitwiseAND(F.lit(0xFFFF)),
@@ -125,12 +127,12 @@ def write_phash_dedup_stream(
     hasher cannot sign (empty text) are admitted, not dropped: the
     gate rejects only EXPLICIT near-duplicates (anti-join on the
     rejected flags), so the admitted set equals the batch composition
-    for hashable and unhashable docs alike. Replay semantics match
-    the other parquet-append sinks (re-run batches re-admit the same
-    rows; crash-replay duplicate FILES need dedup-on-read or a
-    transactional format — the standing caveat)."""
+    for hashable and unhashable docs alike. Replay is exactly-once:
+    the append goes through the batch-id-keyed idempotent sink
+    (streaming/sink.py), so a crash-replayed batch replaces its own
+    partition instead of duplicating files."""
 
-    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         flags = phash_gate_flags(
@@ -140,7 +142,7 @@ def write_phash_dedup_stream(
             F.col("asset_id").alias(id_col)
         )
         admitted = batch_df.join(rejected, id_col, "left_anti")
-        admitted.write.mode("append").parquet(out_dir)
+        idempotent_append(admitted, batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

@@ -127,6 +127,11 @@ def test_window_contains_the_flagship_operators():
         "semantic_dedup",
         "curriculum_stages",
         "bpe_merge_pairs",
+        # r10 oracle upgrades: the BPE trainer family retracted from
+        # rows-only via the bounded-recurrence unroll (_bpe_train_ctes)
+        "bpe_learned_merges",
+        "bpe_vocab",
+        "documents_bpe_segmented",
         # r8-new relations
         "stream_top_tokens",
         "retrieval_rrf_indexed",
@@ -158,15 +163,18 @@ def test_window_contains_the_flagship_operators():
         "stream_cdc_apply",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
-        "pricing_grouping_sets",
+        # (pricing_grouping_sets, green r8+r9, ejected r10 for the BPE
+        # trainer oracle upgrade; pricing_cube keeps the shape)
         "customer_balance_quartiles",
-        "customer_balance_rank",
+        # (customer_balance_rank, green r8+r9, ejected r10 for the BPE
+        # vocab oracle upgrade; quartiles keeps the ranked window)
         "events_rolling_value",
         # (events_trailing_hour, green r8, ejected late-r9 for the Zipf
         # card; its range-frame shape keeps the events_rolling_value
         # witness)
         "events_next_gap",
-        "events_type_pivot",
+        # (events_type_pivot, green r8+r9, ejected r10 for the BPE
+        # segmenter oracle upgrade; the salted agg keeps type keys)
         "events_type_value_salted",
         "events_user_retention",
         # (events_value_histogram, green r8, ejected late-r9 for the
