@@ -3436,6 +3436,92 @@ def _oracle_multimodal_photo_robustness() -> str:
     )
 
 
+# --- composed multimodal pipeline witness (r10) ------------------------------
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image side's END-TO-END composition witness (the
+    corpus_pipeline shape for the photo lake, VERDICT r9 #3): raw
+    committed photo BYTES → full decoder stack + integer aHash
+    (image_phash_bytes) → banded near-dup pairs (phash_neardup_pairs)
+    → connected components → keep-rule survivors (dedup_survivors, the
+    min-id policy) — every stage the PRODUCTION helper, chained, one
+    declared per-asset relation: (asset_id, w0, w1, component,
+    survived), component = own id for singletons.
+
+    What a MATCH witnesses that the per-stage relations can't: the
+    stages AGREE when composed — the pair graph is built from the same
+    signatures the decode stage emitted, the component resolution
+    consumes exactly that pair set, and the survivor rule is applied
+    to exactly those components. The oracle re-derives the whole chain
+    independently from the _PHOTO_EXPECTED signature literals
+    (brute-force pairs → recursive reachability → min-id rule), so the
+    banded plan's pigeonhole exactness, the union-find resolution, AND
+    the keep-rule anti-join are all value-checked in composition.
+    Cross-checks pinned in tests/test_multimodal.py: the survivor set
+    equals an independent python union-find's keep-rule output.
+
+    Scale shape: payload bytes stay executor-side through ONE decode
+    pass; everything after runs on 16-byte signatures (pairs are
+    banded postings, components bounded by #duplicates, the survivor
+    filter a broadcast anti-join — the asset relation is never
+    shuffled with its payloads)."""
+    from overpaint_spark.operators.components import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    hashes = MM.image_phash_bytes(_photo_assets(spark))
+    pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    survivors = dedup_survivors(hashes, pairs, id_col="asset_id")
+    members = comp.select(F.col("id").alias("asset_id"), "component")
+    return (
+        hashes.join(F.broadcast(members), "asset_id", "left")
+        .join(
+            F.broadcast(
+                survivors.select("asset_id").withColumn("_s", F.lit(True))
+            ),
+            "asset_id",
+            "left",
+        )
+        .select(
+            "asset_id",
+            "w0",
+            "w1",
+            F.coalesce(F.col("component"), F.col("asset_id"))
+            .cast("bigint")
+            .alias("component"),
+            F.coalesce(F.col("_s"), F.lit(False)).alias("survived"),
+        )
+    )
+
+
+def _oracle_multimodal_pipeline() -> str:
+    vals = ", ".join(f"({a}, {w0}, {w1})" for a, w0, w1, *_ in _PHOTO_EXPECTED)
+    pairs = (
+        "SELECT a.asset_id AS a_id, b.asset_id AS b_id FROM ph a "
+        "JOIN ph b ON a.asset_id < b.asset_id "
+        "WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) "
+        f"<= {_PHASH_MAX_HAMMING}"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"ph AS (SELECT * FROM (VALUES {vals}) AS t(asset_id, w0, w1)), "
+        f"pairs AS ({pairs}), "
+        "sym AS (SELECT a_id AS u, b_id AS v FROM pairs "
+        "UNION SELECT b_id, a_id FROM pairs), "
+        "walk(u, v) AS (SELECT u, v FROM sym "
+        "UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u), "
+        "comp AS (SELECT u, LEAST(u, MIN(v)) AS component FROM walk "
+        "GROUP BY u) "
+        "SELECT p.asset_id, p.w0, p.w1, "
+        "CAST(COALESCE(c.component, p.asset_id) AS BIGINT) AS component, "
+        "p.asset_id = COALESCE(c.component, p.asset_id) AS survived "
+        "FROM ph p LEFT JOIN comp c ON c.u = p.asset_id"
+    )
+
+
 # --- duplicate-vs-unique quality lift ---------------------------------------
 
 
@@ -10976,7 +11062,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_hard_negatives": q_embedding_hard_negatives,
     "multimodal_photo_phash": q_multimodal_photo_phash,
     "multimodal_photo_metadata": q_multimodal_photo_metadata,
-    "multimodal_photo_neardups": q_multimodal_photo_neardups,
+    # (multimodal_photo_neardups, green r8+r9, handed its slot to the
+    # r10 composed pipeline witness below, whose pair stage re-derives
+    # the identical banded pair set from the same signature literals)
+    "multimodal_pipeline": q_multimodal_pipeline,
     # -- the never-witnessed r1-era analytics family (VERDICT r7 #2) -
     "pricing_cube": q_pricing_cube,
     # (pricing_grouping_sets, green r8+r9, handed its slot to the r10
@@ -11170,6 +11259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_grouping_sets": q_pricing_grouping_sets,
     "customer_balance_rank": q_customer_balance_rank,
     "events_type_pivot": q_events_type_pivot,
+    "multimodal_photo_neardups": q_multimodal_photo_neardups,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
     "retrieval_bm25_queries": q_retrieval_bm25_queries,
@@ -11330,6 +11420,10 @@ def oracles() -> dict[str, str]:
         "multimodal_photo_phash": _oracle_multimodal_photo_phash(),
         "multimodal_photo_metadata": _oracle_multimodal_photo_metadata(),
         "multimodal_photo_neardups": _oracle_multimodal_photo_neardups(),
+        # composed image pipeline: decode → phash → banded pairs →
+        # components → keep-rule survivors, re-derived end-to-end from
+        # the signature literals (recursive reachability + min-id rule)
+        "multimodal_pipeline": _oracle_multimodal_pipeline(),
         # honest-limits card: Hamming distances + per-class
         # distribution re-derived in SQL from the hash literals
         "multimodal_photo_robustness": _oracle_multimodal_photo_robustness(),

@@ -761,3 +761,41 @@ def test_photo_robustness_constants_and_invariance_classes():
     for kind in ("brighten", "contrast", "scale_half"):
         assert all(ham[(a, kind)] <= 3 for a in orig), kind
     assert all(ham[(a, "crop10")] > 3 for a in orig)
+
+
+def test_multimodal_pipeline_survivors_match_independent_union_find(spark):
+    """The composed pipeline witness's keep-rule output must equal an
+    INDEPENDENT python union-find over the brute-force Hamming-≤3 pair
+    set of the signature literals: min-id per component survives,
+    singletons pass through, every asset appears exactly once."""
+    from overpaint_spark import queries as Q
+
+    rows = Q.q_multimodal_pipeline(spark, "/root/testdata/sf0.001").collect()
+    got = {r.asset_id: (r.component, r.survived) for r in rows}
+    assert len(got) == len(rows) == len(Q._PHOTO_EXPECTED)
+
+    sigs = {a: (w0, w1) for a, w0, w1, *_ in Q._PHOTO_EXPECTED}
+    parent = {a: a for a in sigs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if d <= Q._PHASH_MAX_HAMMING:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {a: (find(a), a == find(a)) for a in sigs}
+    assert got == want
+    # the fixture genuinely exercises both branches: real multi-member
+    # clusters AND at least one surviving loser-free singleton
+    assert any(not s for _, s in want.values())
+    assert any(c == a and s for a, (c, s) in want.items())

@@ -141,7 +141,10 @@ def test_window_contains_the_flagship_operators():
         "embedding_hard_negatives",
         "multimodal_photo_phash",
         "multimodal_photo_metadata",
-        "multimodal_photo_neardups",
+        # (multimodal_photo_neardups, green r8+r9, ejected r10 for the
+        # composed pipeline witness, whose pair stage re-derives the
+        # identical banded pair set)
+        "multimodal_pipeline",
         # r9-new relations + oracle upgrades
         "stream_ann_ingest",
         "retrieval_mmr",
