@@ -23,11 +23,27 @@ cross-round perf gate. The median of three discards the one-off
 codegen-compile/GC outlier while still being a full fresh build+execute
 each run (``fn()`` is re-invoked per run, so plan construction — and
 the driver-side actions some dedup pipelines take at build time — stay
-in the number). The per-query spread (max−min over the runs) lands in
-``BENCH_DETAIL.json``'s ``spread`` map plus the single worst relative
-spread on the stdout line, so future rounds can tell a real regression
-from measured noise. r4→r5 totals are NOT directly comparable (median
-≈ warm time; the old cold numbers were systematically higher).
+in the number).
+
+Spread semantics (r10, VERDICT r9 #5 — the two numbers measure the
+same run set, in different units): ``BENCH_DETAIL.json``'s ``spread``
+map is ABSOLUTE seconds (max − min over the counted runs, warm-up
+discards excluded); the ``rel_spread`` map and the stdout line's
+``max_rel_spread`` are the SAME spreads divided by the query's median
+(dimensionless), with sub-0.2 s medians excluded from the max because
+their relative spread is pure scheduler jitter. Both artifacts now
+carry both representations, labeled. r4→r5 totals are NOT directly
+comparable (median ≈ warm time; the old cold numbers were
+systematically higher).
+
+Session-heat triage (r10, VERDICT r9 #6): any query whose full-suite
+median exceeds its trailing-round median (the committed
+BENCH_DETAIL.json read BEFORE this run overwrites it) by >1.3× and
+>0.5 s is automatically RE-MEASURED solo at the end of the suite —
+after the session has settled — and the solo medians land in the
+detail's ``solo_remeasured`` map. A solo median back at the trailing
+level is the session-order-heat signature SCALE.md twice diagnosed by
+hand; a solo median that stays high is a real regression.
 """
 
 from __future__ import annotations
@@ -68,26 +84,16 @@ def prepare_extra_timers(Q, spark, sf_dir) -> dict:
     from pyspark.sql import functions as F
 
     from overpaint_spark.operators.ann_index import (
-        build_ann_index,
         load_ann_index,
-        persist_ann_index,
         search_ann_index,
     )
-    from overpaint_spark.queries import _PQ_K, _PQ_M, _QUANT_DIM, _ivf_params, _t
-
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
+    from overpaint_spark.queries import _ivf_params, _session_ann_store, _t
 
     e = _t(spark, sf_dir, "embeddings")
-    n_cent, n_probe = _ivf_params(sf_dir)
-    idx = build_ann_index(
-        e, dim=_QUANT_DIM, n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_bench_annidx_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx, path)
+    _, n_probe = _ivf_params(sf_dir)
+    # the session-shared pristine store (r10): the extras are read-only
+    # consumers, and the declared lifecycle rows already warmed it
+    path = _session_ann_store(spark, sf_dir)
     loaded = load_ann_index(spark, path)
     queries_side = e.filter(F.col("vec_id") < 10)
 
@@ -251,6 +257,48 @@ def main() -> int:
         if timings[n] >= 0.2
     ]
     worst_rel, worst_name = max(rel, default=(0.0, ""))
+    # same spreads, relative units — so detail and summary can never be
+    # read as disagreeing again (spread = absolute s, rel_spread = ×median)
+    rel_spreads = {
+        n: round(spreads[n] / timings[n], 3) for n in timings if timings[n] > 0
+    }
+
+    # session-heat triage: solo re-measure of queries that drifted
+    # >1.3x and >0.5 s vs the trailing committed detail (bounded at 8
+    # so a pathological round cannot double the suite wall)
+    solo_remeasured: dict[str, float] = {}
+    trailing_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if only is None and os.path.exists(trailing_path):
+        try:
+            with open(trailing_path) as f:
+                trailing = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            trailing = {}
+        flagged = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if n in trailing
+                and trailing[n] > 0
+                and t > 1.3 * trailing[n]
+                and t - trailing[n] > 0.5
+            ),
+            key=lambda n: timings[n] / trailing[n],
+            reverse=True,
+        )[:8]
+        for name in flagged:
+            if name in Q.QUERIES:
+                fn = Q.QUERIES[name]
+                solo_runs = []
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    solo_runs.append(round(time.perf_counter() - t0, 3))
+                solo_remeasured[name] = sorted(solo_runs)[len(solo_runs) // 2]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -265,7 +313,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "runs": runs_map,
-        "spread": spreads,
+        "spread": spreads,  # ABSOLUTE seconds: max-min over counted runs
+        "rel_spread": rel_spreads,  # the same spreads / median
+        "max_rel_spread": round(worst_rel, 2),  # == the stdout field
+        "noisiest": worst_name,
+        "solo_remeasured": solo_remeasured,  # end-of-suite drift triage
         "warmup_discarded": warmups,
         "n_runs": n_runs,
         "sf": sf_val,

@@ -2160,6 +2160,90 @@ def q_retrieval_rrf_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf_queries(d, e, queries, k=25, depth=_RRF_DEPTH)
 
 
+# --- session-shared persisted ANN stores (r10, VERDICT r9 #4) ----------------
+#
+# Seven declared rows exercise the persisted IVF-PQ index; before r10
+# each rebuilt an identical index from scratch (~60 s of repeated
+# harness per bench suite). The build is DETERMINISTIC (seeded
+# centroids, id-keyed codebook sources, raw coding), so a shared build
+# is bit-identical to a per-query build and sharing cannot change one
+# declared value. Policy:
+#   - ann_topk_ivfpq_persisted stays FROM-SCRATCH — the build → write
+#     → load → search round-trip IS its oracle claim;
+#   - stream_ann_ingest stays FROM-SCRATCH on the half corpus — the
+#     stream-grown artifact is its claim;
+#   - read-only searchers (retrieval_rrf_indexed, retrieval_mmr_indexed)
+#     load the shared FULL store directly;
+#   - mutators (tombstone/compact/add rows) get a FILE-LEVEL COPY of
+#     the shared store — they pay the mutation they witness, never the
+#     re-encode they don't.
+
+_ANN_STORE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _session_ann_store(
+    spark: SparkSession, sf_dir: str, scope: str = "full"
+) -> str:
+    """Path of a PRISTINE persisted IVF-PQ index over the corpus
+    (``scope='full'``) or its first half (``scope='half'``), built once
+    per (Spark application, sf_dir). NEVER mutate the returned store —
+    mutating consumers go through :func:`_fresh_ann_store_copy`."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        persist_ann_index,
+    )
+    from overpaint_spark.sources.catalog import footer_row_count
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), scope)
+    path = _ANN_STORE_CACHE.get(key)
+    if path is not None and os.path.isdir(f"{path}/codes"):
+        return path
+    e = _t(spark, sf_dir, "embeddings")
+    if scope == "half":
+        split = footer_row_count(f"{sf_dir}/embeddings.parquet") // 2
+        e = e.filter(F.col("vec_id") < split)
+    n_cent, _ = _ivf_params(sf_dir)
+    idx = build_ann_index(
+        e, dim=_QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )
+    path = tempfile.mkdtemp(
+        prefix=f"overpaint_annshared_{scope}_{uuid.uuid4().hex[:8]}_"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    persist_ann_index(idx, path)
+    _ANN_STORE_CACHE[key] = path
+    return path
+
+
+def _fresh_ann_store_copy(
+    spark: SparkSession, sf_dir: str, scope: str = "full"
+) -> str:
+    """A private file-level clone of the shared store for rows that
+    MUTATE it (tombstones, compaction, incremental add): the copy
+    costs a directory copy of KB–MB parquet, not an assignment GEMM +
+    encode pass, and the pristine shared store stays pristine."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    src = _session_ann_store(spark, sf_dir, scope)
+    dst = tempfile.mkdtemp(
+        prefix=f"overpaint_anncopy_{uuid.uuid4().hex[:8]}_"
+    )
+    atexit.register(shutil.rmtree, dst, ignore_errors=True)
+    for rel in ("codes", "centroids", "codebook"):
+        shutil.copytree(f"{src}/{rel}", f"{dst}/{rel}")
+    return dst
+
+
 def q_retrieval_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query hybrid RRF on the PRODUCTION dense path (VERDICT r7
     #4): the dense shortlist comes from the persisted IVF-PQ index —
@@ -2173,30 +2257,18 @@ def q_retrieval_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain composed with the _ivfpq_adc_ctes search chain (the
     persisted-index proof shape — stored artifact ≡ live semantics) +
     a LIST_COSINE_SIMILARITY rerank, so index build, probe, ADC,
-    rerank, and fusion are ALL value-checked cross-engine."""
-    from overpaint_spark.operators.ann_index import (
-        build_ann_index,
-        load_ann_index,
-        persist_ann_index,
-    )
+    rerank, and fusion are ALL value-checked cross-engine. The index
+    comes from the SESSION-SHARED pristine store (r10 — read-only
+    consumer; the deterministic build makes it bit-identical to a
+    per-query build, and ann_topk_ivfpq_persisted keeps the
+    from-scratch lifecycle witnessed)."""
+    from overpaint_spark.operators.ann_index import load_ann_index
     from overpaint_spark.operators.retrieval import hybrid_rrf_indexed
-
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    n_cent, n_probe = _ivf_params(sf_dir)
-    idx = build_ann_index(
-        e, dim=_QUANT_DIM, n_centroids=n_cent,
-        n_subspaces=_PQ_M, n_codes=_PQ_K,
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_rrfidx_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx, path)
-    loaded = load_ann_index(spark, path)
+    _, n_probe = _ivf_params(sf_dir)
+    loaded = load_ann_index(spark, _session_ann_store(spark, sf_dir))
     qids = sorted(_BM25_QUERIES)
     terms_rel = spark.createDataFrame(
         [(qid, list(_BM25_QUERIES[qid])) for qid in qids],
@@ -2412,29 +2484,15 @@ def q_retrieval_mmr_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, ADC ordering, exact rerank, and all ten greedy steps are
     value-checked cross-engine. Equivalence to the brute-force twin
     whenever the shortlist SETS agree is pinned separately in
-    tests/test_retrieval.py."""
-    from overpaint_spark.operators.ann_index import (
-        build_ann_index,
-        load_ann_index,
-        persist_ann_index,
-    )
+    tests/test_retrieval.py. The index comes from the SESSION-SHARED
+    pristine store (r10 — read-only consumer; deterministic build ⇒
+    bit-identical to a per-query build)."""
+    from overpaint_spark.operators.ann_index import load_ann_index
     from overpaint_spark.operators.retrieval import mmr_select_indexed
 
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
-
     e = _t(spark, sf_dir, "embeddings")
-    n_cent, n_probe = _ivf_params(sf_dir)
-    idx = build_ann_index(
-        e, dim=_QUANT_DIM, n_centroids=n_cent,
-        n_subspaces=_PQ_M, n_codes=_PQ_K,
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_mmridx_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx, path)
-    loaded = load_ann_index(spark, path)
+    _, n_probe = _ivf_params(sf_dir)
+    loaded = load_ann_index(spark, _session_ann_store(spark, sf_dir))
     qids = sorted(_BM25_QUERIES)
     queries = e.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -4896,17 +4954,13 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — so the oracle is the live ann_topk_ivfpq SQL VERBATIM
     (the persisted-lifecycle proof shape, extended to ingest): a MATCH
     witnesses build-half, persist, load, frozen-geometry add, append,
-    reload, and search in one value-level claim."""
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
-
+    reload, and search in one value-level claim. The half-corpus
+    store is a private COPY of the session-shared half build (r10):
+    the row pays the frozen-geometry add + append it witnesses, not a
+    redundant rebuild of the identical half index."""
     from overpaint_spark.operators.ann_index import (
         add_to_ann_index,
-        build_ann_index,
         load_ann_index,
-        persist_ann_index,
         search_ann_index,
     )
     from overpaint_spark.sources.catalog import footer_row_count
@@ -4914,14 +4968,8 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     n = footer_row_count(f"{sf_dir}/embeddings.parquet")
     split = n // 2
-    n_cent, n_probe = _ivf_params(sf_dir)
-    idx0 = build_ann_index(
-        e.filter(F.col("vec_id") < split), dim=_QUANT_DIM,
-        n_centroids=n_cent, n_subspaces=_PQ_M, n_codes=_PQ_K,
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_annincr_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx0, path)
+    _, n_probe = _ivf_params(sf_dir)
+    path = _fresh_ann_store_copy(spark, sf_dir, "half")
     loaded = load_ann_index(spark, path)
     add_to_ann_index(
         loaded, e.filter(F.col("vec_id") >= split), persist_path=path
@@ -5023,30 +5071,20 @@ def q_ann_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the deleted slice excluded from the CANDIDATE set only
     (geometry CTEs stay full-corpus, exactly like the frozen index) —
     a MATCH witnesses tombstone semantics, compaction, and that
-    deletion never perturbs the untouched neighbors' distances."""
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
-
+    deletion never perturbs the untouched neighbors' distances. The
+    starting store is a private COPY of the session-shared pristine
+    index (r10): this row pays the tombstone + compaction it
+    witnesses, not a redundant rebuild."""
     from overpaint_spark.operators.ann_index import (
-        build_ann_index,
         compact_ann_index,
         delete_from_ann_index,
         load_ann_index,
-        persist_ann_index,
         search_ann_index,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    n_cent, n_probe = _ivf_params(sf_dir)
-    idx = build_ann_index(
-        e, dim=_QUANT_DIM, n_centroids=n_cent,
-        n_subspaces=_PQ_M, n_codes=_PQ_K,
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_anndel_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx, path)
+    _, n_probe = _ivf_params(sf_dir)
+    path = _fresh_ann_store_copy(spark, sf_dir)
     loaded = load_ann_index(spark, path)
     delete_from_ann_index(
         loaded,
@@ -5083,29 +5121,18 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 units (assignment drift). Fully oracled: the SQL twin
     re-derives assignments and codes from the shared geometry CTEs and
     aggregates with the same integer idioms (FILTER counts, half-up
-    dmm, integer division). Thresholds → cadence mapping: DEPLOY.md."""
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
-
+    dmm, integer division). Thresholds → cadence mapping: DEPLOY.md.
+    The starting store is a private COPY of the session-shared
+    pristine index (r10): the row pays the tombstone write + stats
+    read it witnesses, not a redundant rebuild."""
     from overpaint_spark.operators.ann_index import (
         ann_index_stats,
-        build_ann_index,
         delete_from_ann_index,
         load_ann_index,
-        persist_ann_index,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    n_cent, _ = _ivf_params(sf_dir)
-    idx = build_ann_index(
-        e, dim=_QUANT_DIM, n_centroids=n_cent,
-        n_subspaces=_PQ_M, n_codes=_PQ_K,
-    )
-    path = tempfile.mkdtemp(prefix=f"overpaint_annstat_{uuid.uuid4().hex[:8]}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    persist_ann_index(idx, path)
+    path = _fresh_ann_store_copy(spark, sf_dir)
     loaded = load_ann_index(spark, path)
     delete_from_ann_index(
         loaded,
@@ -9696,6 +9723,134 @@ def _oracle_stream_psi() -> str:
     )
 
 
+# --- streaming rule-alert sink (r10) ------------------------------------------
+
+# the declared validation suite: every metric is an exact integer
+# (violation counts / row counts), so the per-batch metrics relation is
+# engine-exact and the alert log needs no float tolerance anywhere
+_ALERT_RANGE_HI = 150.0
+_ALERT_MIN_TYPE_LEN = 6
+_ALERT_MIN_ROWS = 10
+
+
+def _alert_rules():
+    from overpaint_spark.rules import (
+        in_range,
+        min_length,
+        not_null,
+        row_count_at_least,
+        unique,
+    )
+
+    return [
+        not_null("user_id"),
+        unique("event_id"),
+        in_range("value", 0.0, _ALERT_RANGE_HI),
+        min_length("event_type", _ALERT_MIN_TYPE_LEN),
+        row_count_at_least(_ALERT_MIN_ROWS),
+    ]
+
+
+def q_stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALIDATION/ALERTING sink declared — fourteenth
+    oracle-verified streaming witness, covering the one foreachBatch
+    family without one (streaming/alerts.py write_rule_alerts_stream):
+    every micro-batch of arriving events is folded through the SAME
+    declarative rule engine the batch validator uses (rules/rules.py —
+    one aggregate pass per batch, five rules), and the full metrics
+    relation (passes included) lands in the exactly-once alert log.
+
+    Determinism contract (the stream_psi idiom): batches are files
+    split by ``user_id % 2``, so each batch's COMPOSITION is fixed
+    regardless of which file the engine runs first; the declared
+    projection drops the engine-assigned ``batch_id``, leaving a
+    batch-order-INDEPENDENT set of (table, rule, column, metric,
+    passed) rows — two per rule, one per split. Every metric is an
+    exact BIGINT (violation/row counts), so the oracle evaluates the
+    identical five rules per split in SQL with zero float hazard. The
+    fixture genuinely alerts: the value-range and type-length rules
+    fail on both splits (pinned below by the oracle itself)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.alerts import write_rule_alerts_stream
+    from overpaint_spark.streaming.sink import read_sink
+
+    e = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_alerts_src_{run}"
+    alert_dir = f"{base}/stream_alerts_out_{run}"
+    ckpt_dir = f"{base}/stream_alerts_ckpt_{run}"
+    for dpath in (src, alert_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    e.filter(F.col("user_id") % 2 == 0).select(cols).coalesce(1).write.parquet(
+        f"{src}/a"
+    )
+    e.filter(F.col("user_id") % 2 == 1).select(cols).coalesce(1).write.parquet(
+        f"{src}/b"
+    )
+    stream = (
+        spark.readStream.schema(e.select(cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_rule_alerts_stream(
+        stream,
+        _alert_rules(),
+        alert_dir,
+        ckpt_dir,
+        table_name="stream",
+        trigger_available_now=True,
+        include_passes=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_rule_alerts: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial alert log"
+        )
+    return read_sink(spark, alert_dir).select(
+        "table_name", "rule_name", "column_name", "metric_value", "passed"
+    )
+
+
+def _oracle_stream_rule_alerts() -> str:
+    arms = []
+    for s in (0, 1):
+        src = f"FROM events WHERE user_id % 2 = {s}"
+        arms.extend(
+            [
+                "SELECT 'stream' AS table_name, 'not_null' AS rule_name, "
+                "'user_id' AS column_name, "
+                "CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) "
+                "AS metric_value, "
+                "COUNT(*) FILTER (WHERE user_id IS NULL) = 0 AS passed "
+                + src,
+                "SELECT 'stream', 'unique', 'event_id', "
+                "CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT), "
+                "COUNT(event_id) - COUNT(DISTINCT event_id) = 0 " + src,
+                "SELECT 'stream', 'in_range', 'value', "
+                "CAST(COUNT(*) FILTER (WHERE NOT (value BETWEEN 0.0 AND "
+                f"{_ALERT_RANGE_HI!r})) AS BIGINT), "
+                "COUNT(*) FILTER (WHERE NOT (value BETWEEN 0.0 AND "
+                f"{_ALERT_RANGE_HI!r})) = 0 " + src,
+                "SELECT 'stream', 'min_length', 'event_type', "
+                f"CAST(COUNT(*) FILTER (WHERE LEN(event_type) < "
+                f"{_ALERT_MIN_TYPE_LEN}) AS BIGINT), "
+                f"COUNT(*) FILTER (WHERE LEN(event_type) < "
+                f"{_ALERT_MIN_TYPE_LEN}) = 0 " + src,
+                "SELECT 'stream', 'row_count', '*', "
+                "CAST(COUNT(*) AS BIGINT), "
+                f"COUNT(*) >= {_ALERT_MIN_ROWS} " + src,
+            ]
+        )
+    return " UNION ALL ".join(arms)
+
+
 def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running corpus-frequency leaderboard by STRUCTURED STREAMING —
     seventh oracle-verified streaming query, and the bounded-state
@@ -11082,7 +11237,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Zipf card below — the range-frame window shape keeps its
     # events_rolling_value near-twin in-window)
     "text_zipf_fit": q_text_zipf_fit,
-    "events_next_gap": q_events_next_gap,
+    # (events_next_gap, green r8+r9, handed its slot to the r10
+    # alerting-sink witness below; the lag shape keeps its
+    # events_rolling_value near-twin and stream_attribution's lag math
+    # in-window)
+    "stream_rule_alerts": q_stream_rule_alerts,
     # (events_type_pivot, green r8+r9, handed its slot to the r10
     # BPE-segmenter oracle upgrade below; type-keyed aggregation keeps
     # its events_type_value_salted near-twin in-window)
@@ -11259,6 +11418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_grouping_sets": q_pricing_grouping_sets,
     "customer_balance_rank": q_customer_balance_rank,
     "events_type_pivot": q_events_type_pivot,
+    "events_next_gap": q_events_next_gap,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
@@ -11446,6 +11606,9 @@ def oracles() -> dict[str, str]:
         "stream_events_hourly": _oracle_stream_events_hourly(),
         "stream_attribution": _oracle_stream_attribution(),
         "stream_cdc_apply": _oracle_stream_cdc_apply(),
+        # alerting sink: the same five-rule suite evaluated per split
+        # in SQL; batch-order independence via fixed batch composition
+        "stream_rule_alerts": _oracle_stream_rule_alerts(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

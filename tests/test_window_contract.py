@@ -164,6 +164,8 @@ def test_window_contains_the_flagship_operators():
         "stream_events_hourly",
         "stream_attribution",
         "stream_cdc_apply",
+        # r10: the alerting-sink witness (fourteenth streaming oracle)
+        "stream_rule_alerts",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         # (pricing_grouping_sets, green r8+r9, ejected r10 for the BPE
@@ -175,7 +177,8 @@ def test_window_contains_the_flagship_operators():
         # (events_trailing_hour, green r8, ejected late-r9 for the Zipf
         # card; its range-frame shape keeps the events_rolling_value
         # witness)
-        "events_next_gap",
+        # (events_next_gap, green r8+r9, ejected r10 for the alerting
+        # sink witness; the lag shape keeps events_rolling_value)
         # (events_type_pivot, green r8+r9, ejected r10 for the BPE
         # segmenter oracle upgrade; the salted agg keeps type keys)
         "events_type_value_salted",
