@@ -9851,6 +9851,128 @@ def _oracle_stream_rule_alerts() -> str:
     return " UNION ALL ".join(arms)
 
 
+# --- streaming ingest-cleaning sink (r10) --------------------------------------
+
+# the clean gate's frozen-model params: the LM sample is doc_id-mod 3
+# over the EXISTING corpus (mod 10 would be a subset of the % 5 == 0
+# incoming split — an empty model), and the band is tightened to
+# [5700, 6100] ppm so the gate genuinely rejects on the fixture
+# (~30-40% of arriving docs fall outside it at every SF) instead of
+# waving everything through
+_CLEAN_LM_SAMPLE_MOD = 3
+_CLEAN_BAND_LO, _CLEAN_BAND_HI = 5700, 6100
+
+
+def q_stream_clean_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED ingest-cleaning sink declared — fifteenth
+    oracle-verified streaming witness, and the streaming twin of the
+    corpus_clean family's conjunction: documents with
+    ``doc_id % 5 == 0`` ARRIVE AS A STREAM (two files → two
+    micro-batches) against the static existing corpus (the
+    dedup_incremental split), and each micro-batch passes the FULL
+    three-predicate gate (streaming/clean.py clean_gate_flags): the
+    heuristic quality floor (≥ 0.5), the frozen-LM perplexity band
+    (model built ONCE from the existing corpus's doc_id-mod-3 sample,
+    band [5700, 6100] ppm — see _CLEAN_BAND_LO), and the cross-corpus
+    dedup admission
+    (exact content hash + LSH band probe vs the existing corpus).
+    Only admitted documents land in the exactly-once sink.
+
+    Why it needs its own witness: stream_lm_score, stream_fk_quarantine
+    and dedup_incremental each witness ONE gate; a production ingest
+    pipeline runs the conjunction, and the declared relation holds the
+    composed admitted SET to a composed SQL oracle — quality CTE ∧
+    incoming-vs-existing LM band (the model CTE samples the EXISTING
+    side only) ∧ the exact/near CTEs of the incremental dedup oracle.
+    Per-row determinism vs the static corpus makes the admitted set
+    batch-order independent (the stream_fk_quarantine proof shape)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.operators import lm as LM
+    from overpaint_spark.streaming.clean import write_clean_stream
+    from overpaint_spark.streaming.sink import read_sink
+
+    d = _t(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % _INCR_MOD != 0)
+    incoming = d.filter(F.col("doc_id") % _INCR_MOD == 0)
+    model = LM.build_lm_model(existing, sample_mod=_CLEAN_LM_SAMPLE_MOD)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_clean_src_{run}"
+    out_dir = f"{base}/stream_clean_out_{run}"
+    ckpt_dir = f"{base}/stream_clean_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    half = (F.col("doc_id") / _INCR_MOD).cast("long") % 2
+    incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
+        f"{src}/a"
+    )
+    incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
+        f"{src}/b"
+    )
+    stream = (
+        spark.readStream.schema(incoming.select(cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_clean_stream(
+        stream, existing, model, out_dir, ckpt_dir,
+        quality_min=0.5, lm_lo=_CLEAN_BAND_LO, lm_hi=_CLEAN_BAND_HI,
+        trigger_available_now=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_clean_admit: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return read_sink(spark, out_dir).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_stream_clean_admit() -> str:
+    m = _INCR_MOD
+    duck_grams = (
+        "CASE WHEN LENGTH(text) >= 3 THEN "
+        "LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text) - 2), "
+        "i -> SUBSTR(text, CAST(i AS INTEGER), 3)) ELSE [] END"
+    )
+    return (
+        f"WITH {_minhash_band_ctes()}, "
+        f"q AS ({_oracle_text_quality()}), "
+        f"g AS (SELECT doc_id, UNNEST({duck_grams}) AS gram FROM documents), "
+        # frozen model: the EXISTING corpus's doc_id-mod sample only
+        "lmmodel AS (SELECT gram, COUNT(*) AS c FROM g "
+        f"WHERE doc_id % {m} <> 0 AND doc_id % {_CLEAN_LM_SAMPLE_MOD} = 0 "
+        "GROUP BY gram), "
+        "lmtot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS v "
+        "FROM lmmodel), "
+        "lmper AS (SELECT doc_id, "
+        "CAST(SUM(COALESCE(mm.c, 0) + 1) AS BIGINT) AS sum_c1, "
+        "COUNT(*) AS n_grams FROM g LEFT JOIN lmmodel mm USING (gram) "
+        f"WHERE doc_id % {m} = 0 GROUP BY doc_id), "
+        f"lm AS (SELECT doc_id, (sum_c1 * {_LM_PPM}) // "
+        "((total + v) * n_grams) AS lm_score_ppm "
+        "FROM lmper CROSS JOIN lmtot), "
+        "exact AS (SELECT DISTINCT n.doc_id FROM documents n "
+        f"JOIN documents o ON n.doc_id % {m} = 0 AND o.doc_id % {m} <> 0 "
+        "AND MD5(n.text) = MD5(o.text)), "
+        "near AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b "
+        "ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
+        f"AND a.doc_id % {m} = 0 AND b.doc_id % {m} <> 0) "
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+        "JOIN q ON q.doc_id = d.doc_id "
+        "JOIN lm ON lm.doc_id = d.doc_id "
+        f"WHERE d.doc_id % {m} = 0 AND q.quality_score >= 0.5 "
+        f"AND lm.lm_score_ppm BETWEEN {_CLEAN_BAND_LO} AND {_CLEAN_BAND_HI} "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM exact) "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM near)"
+    )
+
+
 def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running corpus-frequency leaderboard by STRUCTURED STREAMING —
     seventh oracle-verified streaming query, and the bounded-state
@@ -11270,7 +11392,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # witness below — exact-cosine argmax math keeps in-window
     # witnesses via embedding_triplets and embedding_hard_negatives)
     "stream_cdc_apply": q_stream_cdc_apply,
-    "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
+    # (corpus_dup_rate_by_source, green r8+r9, handed its slot to the
+    # r10 composed ingest-cleaning witness below; the dup-rate channel
+    # keeps dedup_cluster_sizes + split_neardup_leakage in-window and
+    # the new witness's dedup gate re-exercises the band probe)
+    "stream_clean_admit": q_stream_clean_admit,
     "corpus_langid_agreement": q_corpus_langid_agreement,
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_token_fertility": q_corpus_token_fertility,
@@ -11419,6 +11545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_balance_rank": q_customer_balance_rank,
     "events_type_pivot": q_events_type_pivot,
     "events_next_gap": q_events_next_gap,
+    "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
@@ -11609,6 +11736,9 @@ def oracles() -> dict[str, str]:
         # alerting sink: the same five-rule suite evaluated per split
         # in SQL; batch-order independence via fixed batch composition
         "stream_rule_alerts": _oracle_stream_rule_alerts(),
+        # composed ingest cleaning: quality CTE ∧ existing-corpus LM
+        # band ∧ incremental-dedup exact/near CTEs, streamed
+        "stream_clean_admit": _oracle_stream_clean_admit(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -166,6 +166,8 @@ def test_window_contains_the_flagship_operators():
         "stream_cdc_apply",
         # r10: the alerting-sink witness (fourteenth streaming oracle)
         "stream_rule_alerts",
+        # r10: the composed ingest-cleaning witness (fifteenth)
+        "stream_clean_admit",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         # (pricing_grouping_sets, green r8+r9, ejected r10 for the BPE
@@ -198,7 +200,9 @@ def test_window_contains_the_flagship_operators():
         # (ann_topk_numpy, green r8, ejected late-r9 for the CDC
         # witness; exact-cosine argmaxes stay witnessed by the triplet
         # and hard-negative rows)
-        "corpus_dup_rate_by_source",
+        # (corpus_dup_rate_by_source, green r8+r9, ejected r10 for the
+        # composed ingest-cleaning witness; dedup_cluster_sizes +
+        # split_neardup_leakage keep the dup-rate channel)
         "corpus_langid_agreement",
         "corpus_length_histogram",
         "corpus_token_fertility",
