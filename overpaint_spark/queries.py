@@ -3524,34 +3524,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded postings, components bounded by #duplicates, the survivor
     filter a broadcast anti-join — the asset relation is never
     shuffled with its payloads)."""
-    from overpaint_spark.operators.components import (
-        connected_components,
-        dedup_survivors,
-    )
+    from overpaint_spark.operators.components import connected_components
 
     hashes = MM.image_phash_bytes(_photo_assets(spark))
     pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
     comp = connected_components(pairs.select("a_id", "b_id"))
-    survivors = dedup_survivors(hashes, pairs, id_col="asset_id")
     members = comp.select(F.col("id").alias("asset_id"), "component")
-    return (
-        hashes.join(F.broadcast(members), "asset_id", "left")
-        .join(
-            F.broadcast(
-                survivors.select("asset_id").withColumn("_s", F.lit(True))
-            ),
-            "asset_id",
-            "left",
-        )
-        .select(
-            "asset_id",
-            "w0",
-            "w1",
-            F.coalesce(F.col("component"), F.col("asset_id"))
-            .cast("bigint")
-            .alias("component"),
-            F.coalesce(F.col("_s"), F.lit(False)).alias("survived"),
-        )
+    # the dedup_survivors keep rule (losers = members with id ≠
+    # component), applied to the ONE component resolution above —
+    # calling the helper would re-run the union-find on the same pair
+    # graph; semantic equality to dedup_survivors is pinned in
+    # tests/test_multimodal.py's independent union-find cross-check
+    return hashes.join(F.broadcast(members), "asset_id", "left").select(
+        "asset_id",
+        "w0",
+        "w1",
+        F.coalesce(F.col("component"), F.col("asset_id"))
+        .cast("bigint")
+        .alias("component"),
+        (
+            F.col("component").isNull()
+            | (F.col("asset_id") == F.col("component"))
+        ).alias("survived"),
     )
 
 

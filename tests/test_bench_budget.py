@@ -74,6 +74,20 @@ def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
         assert len(runs) == out["n_runs"]
         assert detail["queries"][name] == sorted(runs)[len(runs) // 2]
 
+    # spread labeling contract (r10, VERDICT r9 #5): the detail carries
+    # BOTH representations — absolute seconds and spread/median — plus
+    # the same max_rel_spread/noisiest the stdout line reports, so the
+    # two artifacts can never be read as disagreeing
+    assert set(detail["rel_spread"]) <= set(detail["queries"])
+    for name, rs in detail["rel_spread"].items():
+        med = detail["queries"][name]
+        if med > 0:
+            assert abs(rs - detail["spread"][name] / med) < 0.002
+    assert detail["max_rel_spread"] == out["max_rel_spread"]
+    assert detail["noisiest"] == out.get("noisiest", detail["noisiest"])
+    # session-heat triage map exists (possibly empty on a quiet round)
+    assert isinstance(detail["solo_remeasured"], dict)
+
     # phase-split extra (VERDICT r6 #6): the persisted-index
     # steady-state search is timed with setup outside the clock, and
     # must cost well under the full-lifecycle declared row

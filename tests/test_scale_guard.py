@@ -112,6 +112,12 @@ GUARD_QUERIES = [
     # with both label sides surviving; per-probe work scales with the
     # candidate scan, never probe × probe
     "embedding_triplets",
+    # r10: the composed ingest-cleaning sink — per-batch cost is
+    # |batch| quality/LM projections + |batch| index probes against
+    # the existing corpus; the LM model and band index are built once,
+    # so the witness must scale with one corpus pass + the increment,
+    # never corpus × increment
+    "stream_clean_admit",
 ]
 ALPHA_MAX = 1.0
 
