@@ -9924,7 +9924,16 @@ def q_stream_clean_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_clean_admit: availableNow trigger did not complete "
             "within 300 s — refusing to return a partial sink"
         )
-    return read_sink(spark, out_dir).select("doc_id", "lang", "n_chars")
+    # explicit schema: a replica corpus can legitimately admit ZERO
+    # docs (every arrival a duplicate) and an empty sink has no footer
+    # to infer from — zero rows is the gate's honest answer, not an
+    # inference error (caught by the 10× scale guard)
+    return read_sink(
+        spark,
+        out_dir,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).select("doc_id", "lang", "n_chars")
 
 
 def _oracle_stream_clean_admit() -> str:

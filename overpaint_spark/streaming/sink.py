@@ -58,7 +58,18 @@ def idempotent_append(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     )
 
 
-def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_sink(
+    spark: SparkSession, out_dir: str, schema: str | None = None
+) -> DataFrame:
     """Read an idempotent sink back with the original output schema
-    (the bookkeeping partition column dropped)."""
-    return spark.read.parquet(out_dir).drop(BATCH_COL)
+    (the bookkeeping partition column dropped).
+
+    Pass ``schema`` (DDL string, WITHOUT the bookkeeping column) when
+    the sink may legitimately be EMPTY — a gate that admitted nothing
+    leaves a directory with no readable parquet footer, and schema
+    inference would fail on it; with an explicit schema an empty sink
+    reads as zero rows, which is the gate's honest answer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(f"{schema}, {BATCH_COL} long")
+    return reader.parquet(out_dir).drop(BATCH_COL)
