@@ -276,6 +276,11 @@ def main() -> int:
                 trailing = json.load(f).get("queries", {})
         except (OSError, ValueError):
             trailing = {}
+        # ranked by ABSOLUTE drift: the suite wall is a sum of seconds,
+        # so a 1.4× drift on a 20 s query matters more than a 3× drift
+        # on a 0.6 s one (the r10 artifact's ratio ranking spent all 8
+        # slots on sub-2 s rows while corpus_pipeline's +7.7 s went
+        # un-remeasured)
         flagged = sorted(
             (
                 n
@@ -285,7 +290,7 @@ def main() -> int:
                 and t > 1.3 * trailing[n]
                 and t - trailing[n] > 0.5
             ),
-            key=lambda n: timings[n] / trailing[n],
+            key=lambda n: timings[n] - trailing[n],
             reverse=True,
         )[:8]
         for name in flagged:

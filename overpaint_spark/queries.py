@@ -9845,6 +9845,90 @@ def _oracle_stream_rule_alerts() -> str:
     return " UNION ALL ".join(arms)
 
 
+# --- streaming image-ingest gate (r10) -----------------------------------------
+
+
+def q_stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-ingest gate's SINK declared — sixteenth
+    oracle-verified streaming witness (multimodal_phash_gate's shared
+    predicate body was already oracle-checked; this holds the actual
+    foreachBatch sink to the same standard): assets with
+    ``doc_id % 5 == 0`` arrive as a two-batch stream, each micro-batch
+    is signed and screened against the FROZEN existing corpus's phash
+    index (streaming/phash.write_phash_dedup_stream — banded
+    pigeonhole shortlist + exact popcount confirm), and only admitted
+    assets land in the exactly-once sink. Unhashable assets are
+    admitted, not dropped (the gate rejects only explicit
+    near-duplicates). Oracle: incoming minus the brute-force
+    NOT-EXISTS reject set over the signature CTEs. Per-row
+    determinism vs the static index makes the admitted set
+    batch-order independent. At sf0.001/0.01 the fixture has no
+    cross-split phash collisions so the gate honestly admits
+    everything; the sf0.1 exact dups give it real rejects (the
+    multimodal_phash_gate row contract, streamed)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from overpaint_spark.streaming.phash import write_phash_dedup_stream
+    from overpaint_spark.streaming.sink import read_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing_hashes = MM.image_phash(docs.filter(F.col("doc_id") % 5 != 0))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    src = f"{base}/stream_phash_src_{run}"
+    out_dir = f"{base}/stream_phash_out_{run}"
+    ckpt_dir = f"{base}/stream_phash_ckpt_{run}"
+    for dpath in (src, out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    half = (F.col("doc_id") / 5).cast("long") % 2
+    incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
+        f"{src}/a"
+    )
+    incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
+        f"{src}/b"
+    )
+    stream = (
+        spark.readStream.schema(incoming.select(cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sq = write_phash_dedup_stream(
+        stream, existing_hashes, out_dir, ckpt_dir,
+        max_hamming=_PHASH_MAX_HAMMING, trigger_available_now=True,
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError(
+            "stream_phash_admit: availableNow trigger did not complete "
+            "within 300 s — refusing to return a partial sink"
+        )
+    return read_sink(
+        spark,
+        out_dir,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _oracle_stream_phash_admit() -> str:
+    return (
+        f"WITH {_phash_ctes()}, "
+        "rej AS (SELECT i.asset_id FROM ph i "
+        "WHERE i.asset_id % 5 = 0 AND EXISTS (SELECT 1 FROM ph e "
+        "WHERE e.asset_id % 5 <> 0 AND "
+        "bit_count(xor(i.w0, e.w0)) + bit_count(xor(i.w1, e.w1)) "
+        f"<= {_PHASH_MAX_HAMMING})) "
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+        "WHERE d.doc_id % 5 = 0 "
+        "AND d.doc_id NOT IN (SELECT asset_id FROM rej)"
+    )
+
+
 # --- streaming ingest-cleaning sink (r10) --------------------------------------
 
 # the clean gate's frozen-model params: the LM sample is doc_id-mod 3
@@ -11407,7 +11491,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_interleave": q_dataset_interleave,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "embedding_label_centroids": q_embedding_label_centroids,
-    "embedding_outliers": q_embedding_outliers,
+    # (embedding_outliers, green r8+r9, handed its slot to the r10
+    # image-ingest sink witness below; the distance-to-centroid audit
+    # keeps embedding_label_centroids + semantic_dedup's assignment
+    # in-window)
+    "stream_phash_admit": q_stream_phash_admit,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
     "ann_topk_numpy": q_ann_topk_numpy,
@@ -11549,6 +11637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_pivot": q_events_type_pivot,
     "events_next_gap": q_events_next_gap,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
+    "embedding_outliers": q_embedding_outliers,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
@@ -11742,6 +11831,9 @@ def oracles() -> dict[str, str]:
         # composed ingest cleaning: quality CTE ∧ existing-corpus LM
         # band ∧ incremental-dedup exact/near CTEs, streamed
         "stream_clean_admit": _oracle_stream_clean_admit(),
+        # image-ingest sink: incoming minus the brute-force NOT-EXISTS
+        # reject set (pigeonhole-exact banding, streamed)
+        "stream_phash_admit": _oracle_stream_phash_admit(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -168,6 +168,8 @@ def test_window_contains_the_flagship_operators():
         "stream_rule_alerts",
         # r10: the composed ingest-cleaning witness (fifteenth)
         "stream_clean_admit",
+        # r10: the image-ingest sink witness (sixteenth)
+        "stream_phash_admit",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         # (pricing_grouping_sets, green r8+r9, ejected r10 for the BPE
@@ -210,7 +212,9 @@ def test_window_contains_the_flagship_operators():
         "dataset_interleave",
         "dedup_cluster_sizes",
         "embedding_label_centroids",
-        "embedding_outliers",
+        # (embedding_outliers, green r8+r9, ejected r10 for the image
+        # ingest sink witness; embedding_label_centroids keeps the
+        # centroid-distance shape)
         "multimodal_audio_windows",
     }
     missing = sorted(flagships - window)
