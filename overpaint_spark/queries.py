@@ -7091,6 +7091,73 @@ def _oracle_shard_balance() -> str:
     )
 
 
+def q_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard CONTENT CHECKSUM for the training-shard layout — the
+    integrity audit a 100 TB pipeline runs after every shard copy,
+    move, or re-materialization (shard_balance answers "is the load
+    even?"; this answers "is the data INTACT?" without any central
+    re-read of payloads): per shard, doc count, token count, and an
+    order-independent content checksum — the BIGINT SUM of each member
+    doc's 24-bit fingerprint (6-hex md5 prefix of ``doc_id:text``).
+
+    SUM (not XOR-fold) on purpose: an XOR fingerprint is blind to a
+    row duplicated an even number of times; a sum changes for ANY
+    dropped, duplicated, or altered row. Overflow headroom: 24-bit
+    terms keep the sum exact to ~2⁳⁹ rows per shard. The checksum is
+    engine-exact (md5 + integer fold, the dataset_split idiom), so a
+    re-computation after transport must match this relation
+    bit-for-bit. One map-side-combined aggregate over the shard
+    assignment join — no new shuffle class."""
+    d = _t(spark, sf_dir, "documents")
+    sh = seeded_shuffle(d)
+    h24 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    body = d.select(
+        "doc_id",
+        TX.n_words(F.col("text")).cast("bigint").alias("n_tokens"),
+        h24.alias("h24"),
+    )
+    return (
+        sh.join(body, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("h24").cast("bigint").alias("content_checksum"),
+        )
+    )
+
+
+def _oracle_shard_integrity() -> str:
+    hx = "0123456789abcdef"
+    h = "MD5(CAST(doc_id AS VARCHAR) || ':' || text)"
+    hval = " + ".join(
+        f"(STRPOS('{hx}', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return (
+        f"WITH sh AS ({_oracle_dataset_shuffle()}), "
+        "b AS (SELECT doc_id, "
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"CAST({hval} AS BIGINT) AS h24 FROM documents) "
+        "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(h24) AS BIGINT) AS content_checksum "
+        "FROM sh JOIN b USING (doc_id) GROUP BY shard"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: bucket 0-255 from the
     first two hex chars of md5(doc_id), split 230/13/13 (~90/5/5). Hash-
@@ -11488,7 +11555,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_histogram": q_corpus_length_histogram,
     "corpus_token_fertility": q_corpus_token_fertility,
     "dataset_dsir_resample": q_dataset_dsir_resample,
-    "dataset_interleave": q_dataset_interleave,
+    # (dataset_interleave, green r8+r9, handed its slot to the r10
+    # shard-integrity audit below; the deterministic-ordering shape
+    # keeps dataset_dsir_resample + curriculum_stages in-window)
+    "shard_integrity": q_shard_integrity,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "embedding_label_centroids": q_embedding_label_centroids,
     # (embedding_outliers, green r8+r9, handed its slot to the r10
@@ -11638,6 +11708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_next_gap": q_events_next_gap,
     "corpus_dup_rate_by_source": q_corpus_dup_rate_by_source,
     "embedding_outliers": q_embedding_outliers,
+    "dataset_interleave": q_dataset_interleave,
     "multimodal_photo_neardups": q_multimodal_photo_neardups,
     "ann_topk_opq": q_ann_topk_opq,
     "ann_trained_recall": q_ann_trained_recall,
@@ -11834,6 +11905,9 @@ def oracles() -> dict[str, str]:
         # image-ingest sink: incoming minus the brute-force NOT-EXISTS
         # reject set (pigeonhole-exact banding, streamed)
         "stream_phash_admit": _oracle_stream_phash_admit(),
+        # per-shard order-independent content checksums (SUM of 24-bit
+        # md5-prefix fingerprints — engine-exact, duplicate-sensitive)
+        "shard_integrity": _oracle_shard_integrity(),
         "profile_entropy": _oracle_profile_entropy(),
         "dataset_pack_concat": _oracle_dataset_pack_concat(),
         "ann_topk_bruteforce": _oracle_ann_topk(),

@@ -170,6 +170,8 @@ def test_window_contains_the_flagship_operators():
         "stream_clean_admit",
         # r10: the image-ingest sink witness (sixteenth)
         "stream_phash_admit",
+        # r10: per-shard content-checksum audit
+        "shard_integrity",
         # the retired never-witnessed backlog (analytics family)
         "pricing_cube",
         # (pricing_grouping_sets, green r8+r9, ejected r10 for the BPE
@@ -209,7 +211,8 @@ def test_window_contains_the_flagship_operators():
         "corpus_length_histogram",
         "corpus_token_fertility",
         "dataset_dsir_resample",
-        "dataset_interleave",
+        # (dataset_interleave, green r8+r9, ejected r10 for the shard
+        # integrity audit; dataset_dsir_resample keeps the family)
         "dedup_cluster_sizes",
         "embedding_label_centroids",
         # (embedding_outliers, green r8+r9, ejected r10 for the image
