@@ -274,3 +274,54 @@ def test_ann_index_stats_health_signals(spark, tmp_path):
     c = len(per_raw)
     total_pml = sum(r.load_pml for r in rows.values())
     assert 1000 * c - c <= total_pml <= 1000 * c
+
+
+def test_session_shared_store_bit_identical_to_fresh_build(spark, tmp_path):
+    """The r10 consolidation claim: the session-shared pristine store
+    (r10 — read-only consumers load it instead of rebuilding) must be
+    BIT-IDENTICAL to a from-scratch build+persist over the same corpus
+    — codes, cluster assignments, centroids, and codebooks — and a
+    second call must return the SAME path (the cache hit that makes
+    the sharing worth anything)."""
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1 = Q._session_ann_store(spark, sf)
+    assert Q._session_ann_store(spark, sf) == p1  # cached
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_cent, _ = Q._ivf_params(sf)
+    fresh = build_ann_index(
+        e, dim=Q._QUANT_DIM, n_centroids=n_cent,
+        n_subspaces=Q._PQ_M, n_codes=Q._PQ_K,
+    )
+    fp = str(tmp_path / "fresh")
+    persist_ann_index(fresh, fp)
+
+    a = load_ann_index(spark, p1)
+    b = load_ann_index(spark, fp)
+    rows_a = {
+        r.vec_id: (list(r.codes), r.cluster_id) for r in a.indexed.collect()
+    }
+    rows_b = {
+        r.vec_id: (list(r.codes), r.cluster_id) for r in b.indexed.collect()
+    }
+    assert rows_a == rows_b and len(rows_a) == e.count()
+    assert (a.coarse == b.coarse).all()
+    assert (a.codebook == b.codebook).all()
+
+    # the mutation path gets a COPY, never the shared store itself
+    c = Q._fresh_ann_store_copy(spark, sf)
+    assert c != p1
+    rows_c = {
+        r.vec_id: (list(r.codes), r.cluster_id)
+        for r in load_ann_index(spark, c).indexed.collect()
+    }
+    assert rows_c == rows_a
