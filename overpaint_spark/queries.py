@@ -3293,7 +3293,13 @@ def q_multimodal_photo_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py). The oracle re-derives the pair set
     brute-force from the signature literals, so both the decoder stack
     AND the pigeonhole-banding logic are value-checked."""
-    hashes = MM.image_phash_bytes(_photo_assets(spark))
+    # eager localCheckpoint (the decontaminate idiom): the 16-row
+    # signature relation materializes ONCE, so the pure-python decode
+    # of the raw payloads doesn't re-run for each side of the banded
+    # self-join (it dominated this row's bench cost)
+    hashes = MM.image_phash_bytes(_photo_assets(spark)).localCheckpoint(
+        eager=True
+    )
     return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
 
 
@@ -3526,7 +3532,12 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled with its payloads)."""
     from overpaint_spark.operators.components import connected_components
 
-    hashes = MM.image_phash_bytes(_photo_assets(spark))
+    # eager localCheckpoint: decode all 16 payloads exactly once —
+    # pairs (self-join), the components collect, and the final join
+    # all reuse the materialized 16-row signature relation
+    hashes = MM.image_phash_bytes(_photo_assets(spark)).localCheckpoint(
+        eager=True
+    )
     pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
     comp = connected_components(pairs.select("a_id", "b_id"))
     members = comp.select(F.col("id").alias("asset_id"), "component")
