@@ -263,18 +263,31 @@ def main() -> int:
         n: round(spreads[n] / timings[n], 3) for n in timings if timings[n] > 0
     }
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
     # session-heat triage: solo re-measure of queries that drifted
     # >1.3x and >0.5 s vs the trailing committed detail (bounded at 8
     # so a pathological round cannot double the suite wall)
-    solo_remeasured: dict[str, float] = {}
+    solo_remeasured: dict[str, float | None] = {}
     trailing_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     if only is None and os.path.exists(trailing_path):
         try:
             with open(trailing_path) as f:
-                trailing = json.load(f).get("queries", {})
+                trailing_detail = json.load(f)
         except (OSError, ValueError):
+            trailing_detail = {}
+        # the committed detail is only a drift baseline at the SAME
+        # scale factor — after an sf change every query drifts and the
+        # triage would spuriously re-measure the 8 heaviest (ADVICE r10)
+        if trailing_detail.get("sf") == sf_val:
+            trailing = trailing_detail.get("queries", {})
+        else:
             trailing = {}
         # ranked by ABSOLUTE drift: the suite wall is a sum of seconds,
         # so a 1.4× drift on a 20 s query matters more than a 3× drift
@@ -295,20 +308,28 @@ def main() -> int:
         )[:8]
         for name in flagged:
             if name in Q.QUERIES:
-                fn = Q.QUERIES[name]
-                solo_runs = []
-                for _ in range(n_runs):
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).write.mode("overwrite").format(
-                        "noop"
-                    ).save()
-                    solo_runs.append(round(time.perf_counter() - t0, 3))
-                solo_remeasured[name] = sorted(solo_runs)[len(solo_runs) // 2]
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+                # one flaky re-measure (e.g. a streaming awaitTermination
+                # timeout) must not discard the completed suite run —
+                # record the failure as None and keep going (ADVICE r10)
+                try:
+                    fn = Q.QUERIES[name]
+                    solo_runs = []
+                    for _ in range(n_runs):
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).write.mode("overwrite").format(
+                            "noop"
+                        ).save()
+                        solo_runs.append(round(time.perf_counter() - t0, 3))
+                    solo_remeasured[name] = sorted(solo_runs)[
+                        len(solo_runs) // 2
+                    ]
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"bench: solo re-measure of {name} failed: {exc}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    solo_remeasured[name] = None
 
     # Full per-query map: BENCH_DETAIL.json + stderr (driver keeps only a
     # bounded stdout tail, so the stdout line must stay compact).

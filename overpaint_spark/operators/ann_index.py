@@ -54,8 +54,32 @@ def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
+def _staged_generations(path: str, stage_name: str) -> list[str]:
+    """Parquet directories a crashed-or-running compaction moved aside:
+    ``<path>/<stage_name>/<generation>/``. Empty when no compaction is
+    in flight and none ever crashed."""
+    import os
+
+    stage = os.path.join(path, stage_name)
+    if not os.path.isdir(stage):
+        return []
+    return sorted(
+        os.path.join(stage, g)
+        for g in os.listdir(stage)
+        if os.path.isdir(os.path.join(stage, g))
+    )
+
+
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    return _read_optional(spark, f"{path}/tombstones")
+    """Tombstone ids, INCLUDING any generation a compaction has staged
+    aside (``tombstones_compacting/``) — so the read view is unchanged
+    while a compaction is in flight or after one crashed mid-fold."""
+    tomb = _read_optional(spark, f"{path}/tombstones")
+    for gen in _staged_generations(path, "tombstones_compacting"):
+        g = _read_optional(spark, gen)
+        if g is not None:
+            tomb = g if tomb is None else tomb.unionByName(g)
+    return tomb
 
 
 def _read_codes(spark: SparkSession, path: str) -> DataFrame:
@@ -73,6 +97,12 @@ def _read_codes(spark: SparkSession, path: str) -> DataFrame:
     delta = _read_optional(spark, f"{path}/codes_delta")
     if delta is not None:
         codes = codes.unionByName(delta.drop(BATCH_COL))
+    # generations a compaction staged aside (in-flight or crashed
+    # mid-fold): still part of the corpus until the codes swap lands
+    for gen in _staged_generations(path, "codes_delta_compacting"):
+        g = _read_optional(spark, gen)
+        if g is not None:
+            codes = codes.unionByName(g.drop(BATCH_COL))
     return codes
 
 
@@ -281,23 +311,66 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     neither exists (path-not-found only; a failed READ of either
     propagates rather than becoming a silent no-op).
 
-    The swap is rename-aside (codes → codes_old, codes_compacted →
-    codes, then delete the old copies): a crash at any step leaves a
-    full copy of the codes relation on disk under one of the two
-    names. The delta directory is moved aside IN the same window as
-    the codes swap, so no reader ever sees the delta rows twice (in
-    the new codes AND in codes_delta). Renames assume a local/POSIX
-    filesystem (the same assumption the parquet `overwrite` staging
-    itself makes on this deployment); an object-store deployment
-    would swap via a manifest pointer instead."""
+    Concurrency (ADVICE r10): both mutable relations are moved aside
+    into a staged GENERATION directory (``codes_delta_compacting/<g>``,
+    ``tombstones_compacting/<g>``) BEFORE anything is read, and the
+    fold reads only those frozen copies. A live ingest stream's next
+    micro-batch therefore lands in a FRESH ``codes_delta`` (and a
+    concurrent delete in a fresh ``tombstones``) that this compaction
+    never reads or deletes — closing the window where a batch written
+    after the fold's read was rmtree'd with the old directory. Readers
+    (:func:`_read_codes` / :func:`_read_tombstones`) union the staged
+    generations, so the visible corpus is unchanged while a compaction
+    is in flight; generations left by a CRASHED fold stay visible and
+    are folded by the next run.
+
+    The swap is rename-aside (codes → codes_old, staged generations →
+    ``*_old``, codes_compacted → codes, then delete the old copies): a
+    crash at any step leaves a full copy of the codes relation on disk
+    under one of the two names, and ``*_old`` leftovers are cleared at
+    the next entry only once a ``codes`` directory proves the swap
+    landed. Renames assume a local/POSIX filesystem (the same
+    assumption the parquet `overwrite` staging itself makes on this
+    deployment); an object-store deployment would swap via a manifest
+    pointer instead."""
     import os
     import shutil
+    import uuid
 
-    tomb = _read_tombstones(spark, path)
-    delta = _read_optional(spark, f"{path}/codes_delta")
-    if tomb is None and delta is None:
+    from overpaint_spark.streaming.sink import BATCH_COL
+
+    # entry-time cleanup: *_old leftovers exist only if a prior run
+    # crashed AFTER its codes swap landed (codes/ present ⇒ the swap
+    # completed, so the leftovers are dead copies)
+    if os.path.isdir(f"{path}/codes"):
+        for left in ("codes_old", "codes_delta_old", "tombstones_old"):
+            if os.path.isdir(f"{path}/{left}"):
+                shutil.rmtree(f"{path}/{left}")
+
+    # move aside FIRST — freeze this compaction's input generations
+    gen = uuid.uuid4().hex[:8]
+    for rel, stage in (
+        ("codes_delta", "codes_delta_compacting"),
+        ("tombstones", "tombstones_compacting"),
+    ):
+        if os.path.isdir(f"{path}/{rel}"):
+            os.makedirs(f"{path}/{stage}", exist_ok=True)
+            shutil.move(f"{path}/{rel}", f"{path}/{stage}/{gen}")
+    delta_gens = _staged_generations(path, "codes_delta_compacting")
+    tomb_gens = _staged_generations(path, "tombstones_compacting")
+    if not delta_gens and not tomb_gens:
         return
-    kept = _read_codes(spark, path)  # codes ∪ delta
+
+    kept = spark.read.parquet(f"{path}/codes")
+    for g in delta_gens:
+        d = _read_optional(spark, g)
+        if d is not None:
+            kept = kept.unionByName(d.drop(BATCH_COL))
+    tomb = None
+    for g in tomb_gens:
+        t = _read_optional(spark, g)
+        if t is not None:
+            tomb = t if tomb is None else tomb.unionByName(t)
     id_col = [c for c in kept.columns if c not in ("codes", "cluster_id")][0]
     if tomb is not None:
         kept = kept.join(F.broadcast(tomb), id_col, "left_anti")
@@ -308,14 +381,18 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         .parquet(f"{path}/codes_compacted")
     )
     shutil.move(f"{path}/codes", f"{path}/codes_old")
-    if delta is not None:
-        shutil.move(f"{path}/codes_delta", f"{path}/codes_delta_old")
+    if delta_gens:
+        shutil.move(
+            f"{path}/codes_delta_compacting", f"{path}/codes_delta_old"
+        )
+    if tomb_gens:
+        shutil.move(
+            f"{path}/tombstones_compacting", f"{path}/tombstones_old"
+        )
     shutil.move(f"{path}/codes_compacted", f"{path}/codes")
-    shutil.rmtree(f"{path}/codes_old")
-    if delta is not None:
-        shutil.rmtree(f"{path}/codes_delta_old")
-    if tomb is not None and os.path.isdir(f"{path}/tombstones"):
-        shutil.rmtree(f"{path}/tombstones")
+    for left in ("codes_old", "codes_delta_old", "tombstones_old"):
+        if os.path.isdir(f"{path}/{left}"):
+            shutil.rmtree(f"{path}/{left}")
 
 
 def ann_index_stats(

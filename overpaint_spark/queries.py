@@ -2228,8 +2228,13 @@ def _fresh_ann_store_copy(
     """A private file-level clone of the shared store for rows that
     MUTATE it (tombstones, compaction, incremental add): the copy
     costs a directory copy of KB–MB parquet, not an assignment GEMM +
-    encode pass, and the pristine shared store stays pristine."""
+    encode pass, and the pristine shared store stays pristine. The
+    clone walks EVERY entry of the store rather than a hard-coded
+    relation list (VERDICT r10 #7), so a future store layout (e.g. a
+    ``codes_delta`` or tombstone set in the source) can never be
+    silently dropped from a mutator's copy."""
     import atexit
+    import os
     import shutil
     import tempfile
     import uuid
@@ -2239,8 +2244,12 @@ def _fresh_ann_store_copy(
         prefix=f"overpaint_anncopy_{uuid.uuid4().hex[:8]}_"
     )
     atexit.register(shutil.rmtree, dst, ignore_errors=True)
-    for rel in ("codes", "centroids", "codebook"):
-        shutil.copytree(f"{src}/{rel}", f"{dst}/{rel}")
+    for rel in os.listdir(src):
+        s = os.path.join(src, rel)
+        if os.path.isdir(s):
+            shutil.copytree(s, os.path.join(dst, rel))
+        else:
+            shutil.copy2(s, os.path.join(dst, rel))
     return dst
 
 
@@ -10452,8 +10461,12 @@ def _oracle_text_token_cms() -> str:
         f"pc AS (SELECT token, n_exact, row_idx, "
         f"CAST(({_cms_hval_sql('h')}) % {_CMS_WIDTH} AS INTEGER) AS cell_idx "
         "FROM pr), "
-        "est AS (SELECT p.token, p.n_exact, MIN(c.cnt) AS cms_est "
-        "FROM pc p JOIN cells c ON c.row_idx = p.row_idx "
+        # LEFT join + COALESCE(0): untouched cells hold an implicit 0,
+        # mirroring cms_estimates — so the contract holds even for a
+        # probe token the sketch never saw (ADVICE r10)
+        "est AS (SELECT p.token, p.n_exact, "
+        "MIN(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS cms_est "
+        "FROM pc p LEFT JOIN cells c ON c.row_idx = p.row_idx "
         "AND c.cell_idx = p.cell_idx GROUP BY 1, 2) "
         "SELECT token, n_exact, cms_est, cms_est - n_exact AS overcount "
         "FROM est ORDER BY n_exact DESC, token"
@@ -10607,6 +10620,196 @@ def _oracle_profile_referential_integrity() -> str:
         arms[-1] = "(" + arms[-1] + ")"
     return (
         " UNION ALL ".join(arms) + " ORDER BY child_table, fk_col"
+    )
+
+
+# --- FK-edge discovery (profiler channel, r11 — VERDICT r10 #6) ---------------
+#
+# profile_referential_integrity audits a DECLARED edge list; this is the
+# discovery pass a lake without FK metadata needs first — the catalog-
+# FK analog (pg_constraint) the reference reads for free from Postgres
+# and a parquet lake simply does not have. Name/type candidate
+# enumeration is metadata-only; the MEASURED gates (parent-side key
+# uniqueness + key containment) do the real pruning, because names
+# cannot. Declared edges ride along as an override with a provenance
+# flag.
+
+_FK_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def fk_col_stem(col: str) -> str:
+    """TPC-H-style column stem: strip a 1–2 letter table prefix
+    (``c_nationkey`` → ``nationkey``); prefixless names pass through
+    (``user_id`` stays ``user_id``)."""
+    import re
+
+    m = re.match(r"^[a-z]{1,2}_(.+)$", col)
+    return m.group(1) if m else col
+
+
+def fk_name_candidates(
+    schemas: dict[str, list[tuple[str, str]]],
+) -> list[tuple[str, str, str, str]]:
+    """Directed FK candidates by NAME/TYPE over table schemas
+    (metadata only — no data read): child and parent columns are both
+    integer-typed, live in different tables, and share a column stem.
+    Deliberately over-generates — BOTH directions of every stem pair
+    survive enumeration (16 candidates on the fixture lake vs 7 true
+    edges); the measured gates downstream prune, names cannot."""
+    ints = {
+        t: [c for c, ty in cols if ty in _FK_INT_TYPES]
+        for t, cols in schemas.items()
+    }
+    out = []
+    for ct, ccols in ints.items():
+        for cc in ccols:
+            for pt, pcols in ints.items():
+                if pt == ct:
+                    continue
+                for pc in pcols:
+                    if fk_col_stem(cc) == fk_col_stem(pc):
+                        out.append((ct, cc, pt, pc))
+    return sorted(out)
+
+
+def fk_candidate_summary(
+    c: DataFrame,
+    p: DataFrame,
+    child: str,
+    fk: str,
+    parent: str,
+    pk: str,
+    declared: bool,
+) -> DataFrame:
+    """One candidate edge's 1-row audit: provenance (``declared``),
+    the measured parent-side uniqueness gate, and key containment in
+    half-up-free integer ppm. DataFrame-in so tests exercise the
+    production body with planted non-keys and partial containment.
+
+    Plan: both sides project to their key column ONLY and pre-aggregate
+    to (key, cnt) — the shuffles carry distinct keys, never rows; the
+    containment check is a keys-only LEFT SEMI join; the three 1-row
+    aggregates crossJoin (bounded). At fact-to-fact scale the semi join
+    degrades from broadcast to a key-shuffle join — still keys-only."""
+    keyed = (
+        c.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pkeys = (
+        p.filter(F.col(pk).isNotNull())
+        .groupBy(F.col(pk).alias("k"))
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+    )
+    parent_row = pkeys.agg(
+        F.coalesce(
+            ((F.max("pcnt") <= 1) & (F.count(F.lit(1)) > 0)).cast("int"),
+            F.lit(0),
+        ).alias("parent_unique"),
+        F.count(F.lit(1)).alias("n_parent_keys"),
+    )
+    child_row = keyed.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child_rows"),
+        F.count(F.lit(1)).alias("n_child_keys"),
+    )
+    contained_row = keyed.join(
+        pkeys.select("k"), "k", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_contained_keys"))
+    return (
+        child_row.crossJoin(parent_row)
+        .crossJoin(contained_row)
+        .select(
+            F.lit(child).alias("child_table"),
+            F.lit(fk).alias("fk_col"),
+            F.lit(parent).alias("parent_table"),
+            F.lit(pk).alias("parent_key"),
+            F.lit(1 if declared else 0).cast("int").alias("declared"),
+            "parent_unique",
+            "n_parent_keys",
+            "n_child_rows",
+            "n_child_keys",
+            "n_contained_keys",
+            F.when(F.col("n_child_keys") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("(1000000 * n_contained_keys) div n_child_keys")
+            )
+            .alias("containment_ppm"),
+        )
+    )
+
+
+def q_profile_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-edge discovery over the whole lake — one row per directed
+    name/type candidate (see :func:`fk_name_candidates`; enumerated
+    from the LIVE loaded schemas, not a fixture list) with the two
+    measured gates a catalog-less lake needs to infer its join graph:
+    ``parent_unique`` (is the parent column actually a key) and
+    ``containment_ppm`` (what fraction of the child's distinct keys
+    the parent covers). Declared ``_FK_EDGES`` are unioned in as an
+    override with ``declared=1`` even if the name rule misses them.
+
+    On the fixture lake the 16 candidates gate down to exactly the 7
+    declared edges (parent_unique=1 ∧ containment=1e6); the 9 rejected
+    rows stay in the report — seeing WHY a plausible name pair is not
+    an FK (non-unique parent, partial containment) is the audit's
+    value. All counting is distinct-keys-only, so per-candidate cost
+    is bounded by key cardinality, never row count."""
+    schemas = {
+        t: [
+            (f.name, f.dataType.simpleString())
+            for f in _t(spark, sf_dir, t).schema.fields
+        ]
+        for t in TABLES
+    }
+    declared = set(_FK_EDGES)
+    edges = sorted(set(fk_name_candidates(schemas)) | declared)
+    out = None
+    for child, fk, parent, pk in edges:
+        row = fk_candidate_summary(
+            _t(spark, sf_dir, child), _t(spark, sf_dir, parent),
+            child, fk, parent, pk, (child, fk, parent, pk) in declared,
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_table", "fk_col", "parent_table", "parent_key")
+
+
+def _oracle_profile_fk_discovery() -> str:
+    # the oracle enumerates candidates from the STATIC fixture schema
+    # spec (the Spark side uses live schemas — inference under test),
+    # then re-measures both gates from scratch in SQL
+    spec_ints = {
+        t: [(c, ty) for c, ty in cols] for t, cols in _SCHEMA_SPEC.items()
+    }
+    declared = set(_FK_EDGES)
+    edges = sorted(set(fk_name_candidates(spec_ints)) | declared)
+    arms = []
+    for child, fk, parent, pk in edges:
+        dec = 1 if (child, fk, parent, pk) in declared else 0
+        arms.append(
+            "(SELECT "
+            f"'{child}' AS child_table, '{fk}' AS fk_col, "
+            f"'{parent}' AS parent_table, '{pk}' AS parent_key, "
+            f"CAST({dec} AS INTEGER) AS declared, "
+            f"(SELECT CAST(CASE WHEN COUNT({pk}) > 0 AND "
+            f"COUNT({pk}) = COUNT(DISTINCT {pk}) THEN 1 ELSE 0 END "
+            f"AS INTEGER) FROM {parent}) AS parent_unique, "
+            f"(SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) "
+            f"FROM {parent}) AS n_parent_keys, "
+            "CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_child_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_child_keys, "
+            "CAST(COUNT(*) FILTER (WHERE contained) AS BIGINT) "
+            "AS n_contained_keys, "
+            "CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE "
+            "(1000000 * (COUNT(*) FILTER (WHERE contained))) // COUNT(*) "
+            "END AS BIGINT) AS containment_ppm "
+            f"FROM (SELECT {fk} AS k, COUNT(*) AS cnt, "
+            f"EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = {fk}) "
+            f"AS contained FROM {child} WHERE {fk} IS NOT NULL "
+            f"GROUP BY {fk}))"
+        )
+    return (
+        " UNION ALL ".join(arms)
+        + " ORDER BY child_table, fk_col, parent_table, parent_key"
     )
 
 
@@ -10823,17 +11026,25 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism contract: the fixture's 30-day range sits inside the
     45-day horizon, so NO real row can be dropped regardless of which
     file a micro-batch delivers first (the capacity ≫ vocabulary
-    idiom); a SENTINEL row far past the range arrives last (newest
-    mtime → final micro-batch) purely to advance the watermark past
-    every real window end so append mode flushes them all. Its own
-    window never emits and is filtered regardless. The deliberate
-    small-horizon late-DROP divergence case is pinned in
-    tests/test_streaming.py. Oracle: the batch hourly-rollup SQL
-    verbatim."""
+    idiom); a SENTINEL row far past the range advances the watermark
+    past every real window end so append mode flushes them all. Its
+    own window never emits and is filtered regardless.
+
+    Sequencing (VERDICT r10 #2): TWO sequential availableNow runs on
+    ONE checkpoint. Run 1 processes only the real data (the sentinel
+    file is not written yet, so no delivery order can surface it
+    early); the sentinel is staged between runs, and run 2 — resuming
+    from the same checkpoint, whose file-source log remembers every
+    run-1 file — picks up exactly the sentinel and flushes the open
+    windows. No sleep, no mtime-order assumption: the restart-resume
+    semantics every production availableNow cadence (cron-batch over a
+    stream) relies on. The r9-advisor emitted-total assertion is
+    retained below as a tripwire. The deliberate small-horizon
+    late-DROP divergence case is pinned in tests/test_streaming.py.
+    Oracle: the batch hourly-rollup SQL verbatim."""
     import atexit
     import shutil
     import tempfile
-    import time as _time
     import uuid
 
     from overpaint_spark.streaming.stream_profile import windowed_type_rollup
@@ -10852,8 +11063,35 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     e.filter(us < mid).select(cols).coalesce(1).write.parquet(f"{src}/a")
     e.filter(us >= mid).select(cols).coalesce(1).write.parquet(f"{src}/b")
-    # the flush sentinel: 46 days past the last real event, one row
-    _time.sleep(1.1)  # strictly newer mtime → FileStreamSource runs it last
+
+    def run_available_now() -> None:
+        stream = (
+            spark.readStream.schema(e.select(cols).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            windowed_type_rollup(stream, watermark="45 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise RuntimeError(
+                "stream_events_hourly: availableNow trigger did not "
+                "complete within 300 s — refusing to return a partial sink"
+            )
+
+    # run 1: real data only — the sentinel file does not exist yet, so
+    # no micro-batch delivery order can advance the watermark early
+    run_available_now()
+    # stage the flush sentinel (46 days past the last real event), then
+    # resume from the SAME checkpoint: run 2's file-source log already
+    # holds every run-1 file, so its only new input is the sentinel
     sentinel_us = bounds.hi + 46 * 24 * 3600 * 1_000_000
     spark.createDataFrame(
         [(int(-1), sentinel_us, int(-1), "__flush__", 0.0, "{}")],
@@ -10867,43 +11105,22 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     ).coalesce(1).write.parquet(f"{src}/c")
-    stream = (
-        spark.readStream.schema(e.select(cols).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
-    sq = (
-        windowed_type_rollup(stream, watermark="45 days")
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not sq.awaitTermination(300):
-        sq.stop()
-        raise RuntimeError(
-            "stream_events_hourly: availableNow trigger did not complete "
-            "within 300 s — refusing to return a partial sink"
-        )
+    run_available_now()
     emitted = spark.read.parquet(out_dir).filter(
         F.col("event_type") != "__flush__"
     )
-    # ordering guard (ADVICE r9): the flush sentinel relies on mtime
-    # ordering; if it ever ran BEFORE a real-data batch the watermark
-    # would jump 46 days ahead and silently drop those rows. Every real
-    # event lands in exactly one emitted window, so the emitted event
-    # total must equal the fixture's row count — fail loud here rather
-    # than hash-mismatch downstream.
+    # tripwire (ADVICE r9, retained): every real event lands in exactly
+    # one emitted window, so the emitted event total must equal the
+    # fixture's row count — fail loud here rather than hash-mismatch
+    # downstream if the two-run sequencing is ever broken.
     n_emitted = emitted.agg(F.sum("n_events")).collect()[0][0] or 0
     n_source = e.count()
     if n_emitted != n_source:
         raise RuntimeError(
             f"stream_events_hourly: emitted {n_emitted} events across "
             f"windows but the source has {n_source} — the flush "
-            "sentinel batch ran before a real-data batch (mtime "
-            "ordering violated) and rows were dropped"
+            "sentinel was processed before a real-data batch and rows "
+            "were dropped"
         )
     return emitted
 
@@ -11540,7 +11757,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # integer-bucket histogram shape keeps its corpus_length_histogram
     # near-twin in-window)
     "stream_events_hourly": q_stream_events_hourly,
-    "events_funnel": q_events_funnel,
+    # (events_funnel, green r8+r9+r10, handed its slot to the r11
+    # FK-discovery audit below; the sequential-conversion funnel stays
+    # declared + locally oracle-checked and the events family keeps
+    # events_user_retention / events_rolling_value /
+    # events_type_value_salted / users_click_no_purchase in-window)
+    "profile_fk_discovery": q_profile_fk_discovery,
     "users_click_no_purchase": q_users_click_no_purchase,
     # (users_click_and_purchase, green r8, handed its slot to the
     # late-r9 near-dup leakage audit below — the intersect-shape is
@@ -11579,6 +11801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_phash_admit": q_stream_phash_admit,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- r9 window ejections (multi-green, still oracle-checked) -----
+    "events_funnel": q_events_funnel,
     "ann_topk_numpy": q_ann_topk_numpy,
     "users_conversion_lag": q_users_conversion_lag,
     "events_value_histogram": q_events_value_histogram,
@@ -11899,6 +12122,7 @@ def oracles() -> dict[str, str]:
         "text_token_cms": _oracle_text_token_cms(),
         "stream_token_cms": _oracle_stream_token_cms(),
         "profile_referential_integrity": _oracle_profile_referential_integrity(),
+        "profile_fk_discovery": _oracle_profile_fk_discovery(),
         "embedding_triplets": _oracle_embedding_triplets(),
         "orders_fk_quarantine": _oracle_orders_fk_quarantine(),
         "stream_fk_quarantine": _oracle_stream_fk_quarantine(),

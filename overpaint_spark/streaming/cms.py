@@ -71,9 +71,14 @@ def write_cms_stream(
 def cms_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the accumulated per-batch partials into the current sketch:
     cell-wise SUM over a ≤ batches·d·w-row relation — equal to the batch
-    ``cms_cells`` over everything that has arrived."""
+    ``cms_cells`` over everything that has arrived.
+
+    The explicit schema matches ``cms_cells`` output so a sink whose
+    micro-batches were all EMPTY (directory exists, no parquet footer —
+    a stream that saw no documents yet) reads as zero rows instead of
+    failing schema inference (ADVICE r10)."""
     return (
-        read_sink(spark, out_dir)
+        read_sink(spark, out_dir, schema="row_idx int, cell_idx int, cnt long")
         .groupBy("row_idx", "cell_idx")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -325,3 +325,105 @@ def test_session_shared_store_bit_identical_to_fresh_build(spark, tmp_path):
         for r in load_ann_index(spark, c).indexed.collect()
     }
     assert rows_c == rows_a
+
+
+def test_compaction_stages_delta_before_reading(spark, tmp_path):
+    """ADVICE r10 (medium): compaction must MOVE the mutable relations
+    aside BEFORE reading anything, so a micro-batch a live ingest
+    stream writes mid-compaction lands in a fresh ``codes_delta`` that
+    the fold never reads or deletes. Pinned by replaying the exact
+    interleaving: batch A staged (compaction in flight / crashed),
+    batch B arriving afterwards — readers must see A∪B throughout, and
+    the next compaction must fold BOTH without losing a row."""
+    import os
+    import shutil
+
+    from overpaint_spark.operators.ann_index import (
+        _read_codes,
+        build_ann_index,
+        compact_ann_index,
+        encode_delta,
+        load_ann_index,
+        persist_ann_index,
+    )
+    from overpaint_spark.streaming.sink import idempotent_append
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    base, a, b = n - 20, n - 20, n - 10
+    idx = build_ann_index(
+        e.filter(F.col("vec_id") < base),
+        dim=64, n_centroids=16, n_subspaces=8, n_codes=16,
+    )
+    path = str(tmp_path / "race_index")
+    persist_ann_index(idx, path)
+    frozen = load_ann_index(spark, path)
+
+    # batch A arrives via the stream sink
+    delta_a = encode_delta(
+        frozen, e.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b))
+    )
+    idempotent_append(delta_a, 0, f"{path}/codes_delta")
+    # a compaction stages A aside (its FIRST step) and then crashes —
+    # the exact on-disk state mid-fold
+    os.makedirs(f"{path}/codes_delta_compacting", exist_ok=True)
+    shutil.move(
+        f"{path}/codes_delta", f"{path}/codes_delta_compacting/g1"
+    )
+    # readers still see A (staged generations are part of the corpus)
+    assert _read_codes(spark, path).count() == base + (b - a)
+    # batch B arrives AFTER the stage move — the previously-lost write
+    delta_b = encode_delta(frozen, e.filter(F.col("vec_id") >= b))
+    idempotent_append(delta_b, 1, f"{path}/codes_delta")
+    assert _read_codes(spark, path).count() == n
+    # the next compaction folds BOTH generations; nothing is lost
+    compact_ann_index(spark, path)
+    assert spark.read.parquet(f"{path}/codes").count() == n
+    assert not os.path.isdir(f"{path}/codes_delta")
+    assert not os.path.isdir(f"{path}/codes_delta_compacting")
+    # grown index searches over the full corpus
+    got = {
+        r.vec_id
+        for r in load_ann_index(spark, path).indexed.select("vec_id").collect()
+    }
+    assert got == {r.vec_id for r in e.select("vec_id").collect()}
+
+
+def test_fresh_store_copy_walks_every_relation(spark, tmp_path):
+    """VERDICT r10 #7: the mutator clone walks EVERY store entry — a
+    store that has grown a ``codes_delta`` (or any future relation)
+    survives the copy instead of being silently dropped."""
+    import os
+
+    from overpaint_spark import queries as Q
+    from overpaint_spark.operators.ann_index import (
+        build_ann_index,
+        encode_delta,
+        load_ann_index,
+        persist_ann_index,
+    )
+    from overpaint_spark.streaming.sink import idempotent_append
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    idx = build_ann_index(
+        e.filter(F.col("vec_id") < n - 10),
+        dim=64, n_centroids=16, n_subspaces=8, n_codes=16,
+    )
+    path = str(tmp_path / "delta_store")
+    persist_ann_index(idx, path)
+    delta = encode_delta(
+        load_ann_index(spark, path), e.filter(F.col("vec_id") >= n - 10)
+    )
+    idempotent_append(delta, 0, f"{path}/codes_delta")
+
+    key = (spark.sparkContext.applicationId, SF.rstrip("/"), "t7_delta")
+    Q._ANN_STORE_CACHE[key] = path
+    try:
+        clone = Q._fresh_ann_store_copy(spark, SF, scope="t7_delta")
+    finally:
+        del Q._ANN_STORE_CACHE[key]
+    assert {"codes", "centroids", "codebook", "codes_delta"} <= set(
+        os.listdir(clone)
+    )
+    assert load_ann_index(spark, clone).indexed.count() == n

@@ -192,7 +192,10 @@ def test_window_contains_the_flagship_operators():
         # (events_value_histogram, green r8, ejected late-r9 for the
         # append-mode windowed streaming witness; its int-bucket shape
         # keeps the corpus_length_histogram witness)
-        "events_funnel",
+        # (events_funnel, green r8+r9+r10, ejected r11 for the
+        # FK-discovery audit; the events family keeps four in-window
+        # witnesses)
+        "profile_fk_discovery",
         "users_click_no_purchase",
         # (users_click_and_purchase, green r8, ejected late-r9 for the
         # near-dup leakage audit; its intersect shape keeps the
