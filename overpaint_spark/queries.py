@@ -2253,6 +2253,52 @@ def _fresh_ann_store_copy(
     return dst
 
 
+# --- session-shared staged stream sources (r11, VERDICT r10 #3) ---------------
+#
+# Every streaming witness stages its source files (the fixture slice
+# chopped into per-micro-batch parquet files) before starting its
+# query. The staging is DETERMINISTIC given (sf_dir, recipe), and the
+# witnesses only ever READ the staged directory — each run gets its own
+# checkpoint and sink — so one staged copy per (application, sf_dir,
+# recipe) serves every witness AND every bench re-run (median-of-3
+# re-stages 3-4x otherwise). Sharing cannot change a declared value for
+# the same reason the shared ANN store cannot: identical bytes, read
+# only. A witness that must MUTATE its source mid-run
+# (stream_events_hourly's two-run flush sentinel) keeps private
+# staging.
+
+_STREAM_SRC_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _session_stream_src(
+    spark: SparkSession, sf_dir: str, recipe: str, build
+) -> str:
+    """Path of an immutable staged source directory for ``recipe``,
+    built once per (Spark application, sf_dir) by calling
+    ``build(path)`` and cached for the session. NEVER write into the
+    returned directory."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), recipe)
+    path = _STREAM_SRC_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    # the source dir itself must NOT pre-exist (a root-level parquet
+    # write uses errorifexists); build into a child of the temp parent
+    parent = tempfile.mkdtemp(
+        prefix=f"overpaint_streamsrc_{recipe}_{uuid.uuid4().hex[:8]}_"
+    )
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    path = os.path.join(parent, "src")
+    build(path)
+    _STREAM_SRC_CACHE[key] = path
+    return path
+
+
 def q_retrieval_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query hybrid RRF on the PRODUCTION dense path (VERDICT r7
     #4): the dense shortlist comes from the persisted IVF-PQ index —
@@ -5037,15 +5083,22 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
     path = f"{base}/stream_annidx_{run}"
-    src = f"{base}/stream_annsrc_{run}"
     ckpt = f"{base}/stream_annckpt_{run}"
-    for dpath in (path, src, ckpt):
+    for dpath in (path, ckpt):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
     persist_ann_index(idx0, path)
     arriving = e.filter(F.col("vec_id") >= split).select("vec_id", "embedding")
     mid = split + (n - split) // 2
-    arriving.filter(F.col("vec_id") < mid).coalesce(1).write.parquet(f"{src}/a")
-    arriving.filter(F.col("vec_id") >= mid).coalesce(1).write.parquet(f"{src}/b")
+
+    def _stage(p: str) -> None:
+        arriving.filter(F.col("vec_id") < mid).coalesce(1).write.parquet(
+            f"{p}/a"
+        )
+        arriving.filter(F.col("vec_id") >= mid).coalesce(1).write.parquet(
+            f"{p}/b"
+        )
+
+    src = _session_stream_src(spark, sf_dir, "ann_arriving", _stage)
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>")
         .option("maxFilesPerTrigger", 1)
@@ -9651,12 +9704,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_sess_src_{run}"
+    src = _session_stream_src(
+        spark, sf_dir, "sess",
+        lambda p: e.coalesce(1).write.parquet(p),
+    )
     out_dir = f"{base}/stream_sess_out_{run}"
     ckpt_dir = f"{base}/stream_sess_ckpt_{run}"
-    for d in (src, out_dir, ckpt_dir):
+    for d in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    e.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
     sq = (
         # idle_timeout=False: on a finite availableNow run the
@@ -9733,13 +9788,16 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_psi_src_{run}"
+
+    def _stage(p: str) -> None:
+        incoming.filter(F.col("split") == 0).coalesce(1).write.parquet(f"{p}/a")
+        incoming.filter(F.col("split") == 1).coalesce(1).write.parquet(f"{p}/b")
+
+    src = _session_stream_src(spark, sf_dir, "psi", _stage)
     out_dir = f"{base}/stream_psi_out_{run}"
     ckpt_dir = f"{base}/stream_psi_ckpt_{run}"
-    for d in (src, out_dir, ckpt_dir):
+    for d in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    incoming.filter(F.col("split") == 0).coalesce(1).write.parquet(f"{src}/a")
-    incoming.filter(F.col("split") == 1).coalesce(1).write.parquet(f"{src}/b")
     stream = (
         spark.readStream.schema("value double, split long")
         .option("maxFilesPerTrigger", 1)
@@ -9863,17 +9921,20 @@ def q_stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_alerts_src_{run}"
+
+    def _stage(p: str) -> None:
+        e.filter(F.col("user_id") % 2 == 0).select(cols).coalesce(
+            1
+        ).write.parquet(f"{p}/a")
+        e.filter(F.col("user_id") % 2 == 1).select(cols).coalesce(
+            1
+        ).write.parquet(f"{p}/b")
+
+    src = _session_stream_src(spark, sf_dir, "events_usermod2", _stage)
     alert_dir = f"{base}/stream_alerts_out_{run}"
     ckpt_dir = f"{base}/stream_alerts_ckpt_{run}"
-    for dpath in (src, alert_dir, ckpt_dir):
+    for dpath in (alert_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    e.filter(F.col("user_id") % 2 == 0).select(cols).coalesce(1).write.parquet(
-        f"{src}/a"
-    )
-    e.filter(F.col("user_id") % 2 == 1).select(cols).coalesce(1).write.parquet(
-        f"{src}/b"
-    )
     stream = (
         spark.readStream.schema(e.select(cols).schema)
         .option("maxFilesPerTrigger", 1)
@@ -9967,18 +10028,21 @@ def q_stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_phash_src_{run}"
+
+    def _stage(p: str) -> None:
+        half = (F.col("doc_id") / 5).cast("long") % 2
+        incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
+            f"{p}/a"
+        )
+        incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
+            f"{p}/b"
+        )
+
+    src = _session_stream_src(spark, sf_dir, "docs_mod5_halves", _stage)
     out_dir = f"{base}/stream_phash_out_{run}"
     ckpt_dir = f"{base}/stream_phash_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    half = (F.col("doc_id") / 5).cast("long") % 2
-    incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
-        f"{src}/a"
-    )
-    incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
-        f"{src}/b"
-    )
     stream = (
         spark.readStream.schema(incoming.select(cols).schema)
         .option("maxFilesPerTrigger", 1)
@@ -10067,18 +10131,23 @@ def q_stream_clean_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_clean_src_{run}"
+
+    def _stage(p: str) -> None:
+        half = (F.col("doc_id") / _INCR_MOD).cast("long") % 2
+        incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
+            f"{p}/a"
+        )
+        incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
+            f"{p}/b"
+        )
+
+    # _INCR_MOD == 5: byte-identical staging to stream_phash_admit's,
+    # so both witnesses share one staged copy
+    src = _session_stream_src(spark, sf_dir, "docs_mod5_halves", _stage)
     out_dir = f"{base}/stream_clean_out_{run}"
     ckpt_dir = f"{base}/stream_clean_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    half = (F.col("doc_id") / _INCR_MOD).cast("long") % 2
-    incoming.filter(half == 0).select(cols).coalesce(1).write.parquet(
-        f"{src}/a"
-    )
-    incoming.filter(half == 1).select(cols).coalesce(1).write.parquet(
-        f"{src}/b"
-    )
     stream = (
         spark.readStream.schema(incoming.select(cols).schema)
         .option("maxFilesPerTrigger", 1)
@@ -10176,13 +10245,16 @@ def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_topk_src_{run}"
+
+    def _stage(p: str) -> None:
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{p}/a")
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{p}/b")
+
+    src = _session_stream_src(spark, sf_dir, "docs_mod2_idtext", _stage)
     out_dir = f"{base}/stream_topk_out_{run}"
     ckpt_dir = f"{base}/stream_topk_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
-    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -10496,13 +10568,17 @@ def q_stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_cms_src_{run}"
+
+    def _stage(p: str) -> None:
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{p}/a")
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{p}/b")
+
+    # identical staging to stream_top_tokens' — one shared copy
+    src = _session_stream_src(spark, sf_dir, "docs_mod2_idtext", _stage)
     out_dir = f"{base}/stream_cms_out_{run}"
     ckpt_dir = f"{base}/stream_cms_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
-    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -10844,25 +10920,30 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     basedir = tempfile.gettempdir()
     table = f"{basedir}/stream_cdc_tbl_{run}"
-    src = f"{basedir}/stream_cdc_src_{run}"
     ckpt_dir = f"{basedir}/stream_cdc_ckpt_{run}"
-    for dpath in (table, src, ckpt_dir):
+    for dpath in (table, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
+    # the TABLE is mutated per run (upsert target) and stays private;
+    # the change feed is immutable and session-shared
     base.write.partitionBy("c_mktsegment").parquet(table)
-    for v in (1, 2):
-        (
-            c.filter(F.col("c_custkey") % 7 == 0)
-            .select(
-                "c_custkey",
-                "c_name",
-                "c_nationkey",
-                (F.col("c_acctbal") + F.lit(100.0) * v).alias("c_acctbal"),
-                "c_mktsegment",
-                F.lit(v).alias("ver"),
+
+    def _stage(p: str) -> None:
+        for v in (1, 2):
+            (
+                c.filter(F.col("c_custkey") % 7 == 0)
+                .select(
+                    "c_custkey",
+                    "c_name",
+                    "c_nationkey",
+                    (F.col("c_acctbal") + F.lit(100.0) * v).alias("c_acctbal"),
+                    "c_mktsegment",
+                    F.lit(v).alias("ver"),
+                )
+                .coalesce(1)
+                .write.parquet(f"{p}/v{v}")
             )
-            .coalesce(1)
-            .write.parquet(f"{src}/v{v}")
-        )
+
+    src = _session_stream_src(spark, sf_dir, "cdc_changes", _stage)
     changes = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)
@@ -10947,18 +11028,21 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_attr_src_{run}"
+
+    def _stage(p: str) -> None:
+        purchases.coalesce(1).write.parquet(f"{p}/p/a")
+        clicks.filter(F.col("click_id") % 2 == 0).coalesce(1).write.parquet(
+            f"{p}/c/a"
+        )
+        clicks.filter(F.col("click_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{p}/c/b"
+        )
+
+    src = _session_stream_src(spark, sf_dir, "attr_pc", _stage)
     out_dir = f"{base}/stream_attr_out_{run}"
     ckpt_dir = f"{base}/stream_attr_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    purchases.coalesce(1).write.parquet(f"{src}/p/a")
-    clicks.filter(F.col("click_id") % 2 == 0).coalesce(1).write.parquet(
-        f"{src}/c/a"
-    )
-    clicks.filter(F.col("click_id") % 2 == 1).coalesce(1).write.parquet(
-        f"{src}/c/b"
-    )
     p_stream = (
         spark.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", 1)
@@ -11441,13 +11525,20 @@ def q_stream_fk_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = uuid.uuid4().hex[:8]
     base = tempfile.gettempdir()
-    src = f"{base}/stream_fkq_src_{run}"
+
+    def _stage(p: str) -> None:
+        o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+            f"{p}/a"
+        )
+        o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+            f"{p}/b"
+        )
+
+    src = _session_stream_src(spark, sf_dir, "orders_mod2", _stage)
     out_dir = f"{base}/stream_fkq_out_{run}"
     ckpt_dir = f"{base}/stream_fkq_ckpt_{run}"
-    for dpath in (src, out_dir, ckpt_dir):
+    for dpath in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, dpath, ignore_errors=True)
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
     stream = (
         spark.readStream.schema(o.schema)
         .option("maxFilesPerTrigger", 1)
