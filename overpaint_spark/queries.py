@@ -7862,12 +7862,30 @@ _LM_SAMPLE_MOD, _LM_PPM = 10, 1_000_000
 
 def _char_trigrams(text_col) -> F.Column:
     """array<string> of overlapping character 3-grams, [] under 3 chars
-    (guarded: Spark's sequence(1, 0) would count DOWN, not empty)."""
+    (guarded: Spark's sequence(1, 0) would count DOWN, not empty).
+
+    Built by zipping three shifted slices of the chars ARRAY, never by
+    per-index string ``substr``: UTF8String has no random access, so
+    ``substr(i, 3)`` scans from the string head and the gram fold goes
+    O(L²) per document — invisible on 300-char fixtures, found at the
+    r11 100× scale run (SCALE.md r11), and fatal on the 100 KB
+    documents a real corpus contains. The slices are zip_with COLLECTION
+    arguments, evaluated once per row — a lambda-body reference to a
+    non-column expression would re-inline it PER ELEMENT (Spark does no
+    common-subexpression elimination across lambda boundaries; the
+    naive split-inside-transform form measured 9× slower than even the
+    quadratic substr). Same output bytes: split('') yields exactly the
+    characters (no empty edges) for any charset — pinned equal to the
+    substr form in tests/test_text.py."""
+    chars = F.split(text_col, "")
     n = F.length(text_col) - 2
-    return F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: text_col.substr(i, F.lit(3))),
-    ).otherwise(F.array().cast("array<string>"))
+    tail2 = F.zip_with(
+        F.slice(chars, 2, n), F.slice(chars, 3, n), lambda b, c: F.concat(b, c)
+    )
+    grams = F.zip_with(
+        F.slice(chars, 1, n), tail2, lambda a, bc: F.concat(a, bc)
+    )
+    return F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7893,7 +7911,13 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overpaint_spark.operators import lm as LM
 
     d = _t(spark, sf_dir, "documents")
-    model = LM.build_lm_model(d, sample_mod=_LM_SAMPLE_MOD)
+    # eager materialization of the BOUNDED model relation (≤ charset³
+    # rows): without it the model-build subtree is re-executed for the
+    # broadcast AND for the totals row — three corpus-sized gram
+    # explodes per invocation instead of ~1.2 (SCALE.md r11 100× run)
+    model = LM.build_lm_model(d, sample_mod=_LM_SAMPLE_MOD).localCheckpoint(
+        eager=True
+    )
     return LM.lm_score(d, model)
 
 

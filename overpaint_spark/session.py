@@ -47,7 +47,17 @@ def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode shares ONE heap between driver and all executor
+        # threads: size it to the machine, not to a cluster driver. The
+        # old 8g default was the r11 100x scale run's root cause — 32
+        # threads exploding char-trigram arrays in 8 GB thrashed GC and
+        # turned linear passes super-linear (SCALE.md r11). 64g leaves
+        # half the 128 GiB sandbox for Python workers + page cache; on
+        # a real cluster spark-submit overrides this per-executor.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -106,6 +106,11 @@ def write_clean_stream(
 ):
     """Append only gate-admitted documents to ``out_dir``; one
     foreachBatch per micro-batch running :func:`clean_gate_flags`."""
+    # the frozen model is BOUNDED (≤ charset³ rows) but arrives as a
+    # lazy plan over the corpus: materialize once at sink construction
+    # (the fk-gate pk idiom) so each micro-batch broadcasts the stored
+    # rows instead of re-aggregating a corpus-sized gram explode
+    model = model.localCheckpoint(eager=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

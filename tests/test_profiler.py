@@ -567,3 +567,60 @@ def test_fk_edge_summary_counts_planted_orphans(spark):
         child.filter(F.col("fk").isin(10, 20)), parent, "c", "fk", "p", "pk"
     ).collect()[0]
     assert intact.n_orphan_rows == 0 and intact.n_orphan_keys == 0
+
+
+def test_fk_col_stem_and_name_candidates():
+    from overpaint_spark.queries import fk_col_stem, fk_name_candidates
+
+    assert fk_col_stem("c_nationkey") == "nationkey"
+    assert fk_col_stem("ps_partkey") == "partkey"
+    assert fk_col_stem("user_id") == "user_id"  # 4-letter prefix: no strip
+    assert fk_col_stem("n_chars") == "chars"
+
+    schemas = {
+        "t_fact": [("f_widgetkey", "bigint"), ("f_note", "string")],
+        "t_dim": [("d_widgetkey", "int"), ("d_name", "string")],
+        "t_other": [("o_total", "double")],
+    }
+    cand = fk_name_candidates(schemas)
+    # both directions of the stem pair, nothing for strings/doubles
+    assert cand == [
+        ("t_dim", "d_widgetkey", "t_fact", "f_widgetkey"),
+        ("t_fact", "f_widgetkey", "t_dim", "d_widgetkey"),
+    ]
+
+
+def test_fk_candidate_summary_gates(spark):
+    """Planted data: a non-unique parent fails the uniqueness gate, and
+    partial containment lands at the exact integer ppm."""
+    from overpaint_spark.queries import fk_candidate_summary
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (4,), (None,)], "fk bigint"
+    )
+    uniq_parent = spark.createDataFrame([(1,), (2,), (9,)], "pk bigint")
+    dup_parent = spark.createDataFrame([(1,), (1,), (2,)], "pk bigint")
+
+    row = fk_candidate_summary(
+        child, uniq_parent, "c", "fk", "p", "pk", declared=False
+    ).collect()[0]
+    assert (row.declared, row.parent_unique) == (0, 1)
+    assert (row.n_child_rows, row.n_child_keys) == (5, 4)  # NULL excluded
+    assert row.n_parent_keys == 3
+    # keys 1,2 contained of 4 distinct -> 500000 ppm exactly
+    assert (row.n_contained_keys, row.containment_ppm) == (2, 500_000)
+
+    row2 = fk_candidate_summary(
+        child, dup_parent, "c", "fk", "p", "pk", declared=True
+    ).collect()[0]
+    assert (row2.declared, row2.parent_unique) == (1, 0)
+    assert row2.n_parent_keys == 2
+
+    # empty child: zero counts, ppm 0, no division error
+    empty = spark.createDataFrame([], "fk bigint")
+    row3 = fk_candidate_summary(
+        empty, uniq_parent, "c", "fk", "p", "pk", declared=False
+    ).collect()[0]
+    assert (row3.n_child_rows, row3.n_child_keys, row3.containment_ppm) == (
+        0, 0, 0,
+    )

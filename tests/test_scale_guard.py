@@ -118,6 +118,10 @@ GUARD_QUERIES = [
     # so the witness must scale with one corpus pass + the increment,
     # never corpus × increment
     "stream_clean_admit",
+    # r11: FK discovery — 16 keys-only candidate audits; per-candidate
+    # cost must be bounded by distinct-key cardinality (pre-aggregated
+    # projections + semi joins), never a row-sized shuffle
+    "profile_fk_discovery",
 ]
 ALPHA_MAX = 1.0
 

@@ -233,3 +233,32 @@ def test_zipf_fit_recovers_planted_slope_and_flags_fixture(spark, sf_dir):
 
     fixture = q_text_zipf_fit(spark, sf_dir).collect()[0]
     assert abs(fixture.slope_ppm) < 500_000  # near-uniform, not Zipfian
+
+
+def test_char_trigrams_zip_form_equals_substr_form(spark):
+    """SCALE.md r11: _char_trigrams is built from zipped slices (O(L))
+    — pinned byte-identical to the naive substr form (O(L^2)) it
+    replaced, over fixture texts plus multi-byte and edge cases."""
+    import pyspark.sql.functions as F
+
+    from overpaint_spark.queries import _char_trigrams
+
+    def substr_form(text_col):
+        n = F.length(text_col) - 2
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: text_col.substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    edge = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("héllo wörld",), ("日本語テキスト",)],
+        "text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (edge, docs.select("text")):
+        got = df.select(_char_trigrams(F.col("text")).alias("g")).collect()
+        want = df.select(substr_form(F.col("text")).alias("g")).collect()
+        assert [r.g for r in got] == [r.g for r in want]

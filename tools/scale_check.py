@@ -11,6 +11,14 @@ upper-confidence signal only for queries whose 1× time is well above
 the ~0.3 s codegen floor).
 
 Usage: python tools/scale_check.py [ten_x_dir] [--json out.json]
+                                   [--base DIR] [--queries a,b,c]
+
+``--base`` re-points the 1× side (default sf0.1): the r11 two-decade
+run measures 10× → 100× with ``--base /tmp/scale_sf1
+/tmp/scale_sf2``, giving a SECOND alpha point per heavy family (alpha
+is per-decade, so the two runs compose: t(100×)/t(1×) =
+10^(alpha1 + alpha2)). ``--queries`` restricts to a comma-separated
+subset (the heavy families; the full list at 100× would run hours).
 """
 
 from __future__ import annotations
@@ -100,14 +108,20 @@ def main() -> None:
 
     ten_x = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else "/tmp/scale_sf1"
+    base = sys.argv[sys.argv.index("--base") + 1] if "--base" in sys.argv else BASE
+    queries = (
+        sys.argv[sys.argv.index("--queries") + 1].split(",")
+        if "--queries" in sys.argv
+        else QUERIES
+    )
     spark = get_spark()
     # session warm-up (JVM/Arrow init), same as bench.py
-    spark.read.parquet(f"{BASE}/region.parquet").selectExpr(
+    spark.read.parquet(f"{base}/region.parquet").selectExpr(
         "min(r_regionkey)"
     ).write.mode("overwrite").format("noop").save()
 
-    results = measure(spark, QUERIES, ten_x)
-    out = {"base": BASE, "ten_x": ten_x, "queries": results}
+    results = measure(spark, queries, ten_x, base=base)
+    out = {"base": base, "ten_x": ten_x, "queries": results}
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
         with open(path, "w") as f:
