@@ -24,6 +24,8 @@ north-star dedup family (BASELINE.json) to its cross-corpus twin.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -240,6 +242,53 @@ def bloom_might_contain(
     )
 
 
+def bloom_candidate_pred(
+    grams: Column, words: list[int], n_bits: int, n_hashes: int
+) -> Column:
+    """True iff ANY gram of ``grams`` (an array column) probes all-set
+    bits — the map-side candidate screen, HASH-ONCE form.
+
+    The naive ``exists(grams, g -> bloom_might_contain(g, ...))`` pays
+    2·n_hashes xxhash64 evaluations per gram: higher-order lambdas run
+    interpreted with NO common-subexpression elimination, so the h1/h2
+    subtrees inside the position array re-evaluate per element (the
+    r11 100× scale run measured the screen at ~360 µs/doc from exactly
+    this — SCALE.md r11). Here an inner ``transform`` computes the two
+    hashes once per gram (lambda bodies run once per ELEMENT, and the
+    hash pair IS the element), and the probe loop does arithmetic +
+    bit_get only. Identical verdicts by construction — pinned against
+    ``bloom_might_contain`` in tests/test_decontaminate.py."""
+    import numpy as np
+
+    wl = F.lit(np.asarray([int(w) for w in words], dtype=np.int64))
+    m = F.lit(n_bits)
+    hashed = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.pmod(F.xxhash64(g), m).alias("h1"),
+            (F.pmod(F.xxhash64(g, F.lit(1)), F.lit(n_bits - 1)) + F.lit(1))
+            .alias("h2"),
+        ),
+    )
+
+    def _probe(h, i):
+        p = F.pmod(h["h1"] + F.lit(i) * h["h2"], m)
+        return (
+            F.bit_get(
+                F.element_at(wl, (p / F.lit(64)).cast("int") + F.lit(1)),
+                p % F.lit(64),
+            )
+            == F.lit(1)
+        )
+
+    return F.exists(
+        hashed,
+        lambda h: reduce(
+            lambda acc, i: acc & _probe(h, i), range(1, n_hashes), _probe(h, 0)
+        ),
+    )
+
+
 def decontaminated_bloom(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -283,9 +332,7 @@ def decontaminated_bloom(
         n_bits = bloom_geometry(ev_exact.count())
     words = build_gram_bloom(ev_exact, n_bits, n_hashes)
     grams = TX.shingles(F.col(text_col), k)
-    is_candidate = F.exists(
-        grams, lambda g: bloom_might_contain(g, words, n_bits, n_hashes)
-    )
+    is_candidate = bloom_candidate_pred(grams, words, n_bits, n_hashes)
     candidates = train.filter(is_candidate)
 
     confirmed = (

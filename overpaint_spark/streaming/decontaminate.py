@@ -30,8 +30,8 @@ from overpaint_spark.functions import text as TX
 from overpaint_spark.operators.decontaminate import (
     BLOOM_BITS_DEFAULT,
     BLOOM_HASHES_DEFAULT,
+    bloom_candidate_pred,
     bloom_geometry,
-    bloom_might_contain,
     build_gram_bloom,
 )
 from overpaint_spark.operators.dedup import distinct_shingles
@@ -56,9 +56,11 @@ def contamination_gate_flags(
     grams = TX.shingles(F.col(text_col), k)
     screened = batch.select(
         F.col(id_col),
-        F.exists(
-            grams, lambda g: bloom_might_contain(g, words, n_bits, n_hashes)
-        ).alias("candidate"),
+        # hash-once screen (SCALE.md r11): 2 xxhash64 per gram, not
+        # 2*n_hashes — identical verdicts to bloom_might_contain
+        bloom_candidate_pred(grams, words, n_bits, n_hashes).alias(
+            "candidate"
+        ),
     )
     confirmed = (
         batch.join(

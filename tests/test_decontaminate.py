@@ -245,3 +245,42 @@ def test_bloom_derived_geometry_stays_selective_where_fixed_saturates(spark):
     assert candidate_fraction(derived_bits) <= 0.10
     assert candidate_fraction(BLOOM_BITS_DEFAULT) >= 0.50
     grams_rel.unpersist()
+
+
+def test_bloom_candidate_pred_equals_per_gram_screen(spark):
+    """SCALE.md r11: the hash-once candidate screen must yield the
+    IDENTICAL verdict as exists(bloom_might_contain) for every doc —
+    same double-hash probe sequence, restructured only so each gram
+    hashes twice instead of 2*n_hashes times."""
+    import pyspark.sql.functions as F
+
+    from overpaint_spark.functions import text as TX
+    from overpaint_spark.operators.decontaminate import (
+        bloom_candidate_pred,
+        bloom_geometry,
+        bloom_might_contain,
+        build_gram_bloom,
+    )
+    from overpaint_spark.operators.dedup import distinct_shingles
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = (
+        distinct_shingles(d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", 5)
+        .select("shingle")
+        .distinct()
+    )
+    n_bits = bloom_geometry(ev.count())
+    words = build_gram_bloom(ev, n_bits, 5)
+    grams = TX.shingles(F.col("text"), 5)
+    both = d.select(
+        "doc_id",
+        bloom_candidate_pred(grams, words, n_bits, 5).alias("fast"),
+        F.exists(
+            grams, lambda g: bloom_might_contain(g, words, n_bits, 5)
+        ).alias("slow"),
+    )
+    assert both.filter(
+        F.coalesce(F.col("fast"), F.lit(False))
+        != F.coalesce(F.col("slow"), F.lit(False))
+    ).count() == 0
+    assert both.filter("fast").count() > 0  # the planted leaks screen in
