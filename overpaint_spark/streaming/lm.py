@@ -100,11 +100,15 @@ def lm_score_stream(
     )
 
 
-# Map-literal size cap for write_lm_score_stream's path dispatch. ~50k
-# entries is a few MB of serialized plan — already generous; anything
-# larger belongs on the broadcast-join path (a broadcast relation is
-# shipped once per executor, a plan literal once per TASK).
-MAX_MAP_ENTRIES = 50_000
+# Map-literal size cap for write_lm_score_stream's path dispatch.
+# The old 50k cap counted plan BYTES and missed the real cost: Spark map
+# lookup is a LINEAR SCAN of ArrayBasedMapData, so the stateless path
+# pays O(map_entries) comparisons PER GRAM — the r11 10x guard measured
+# the witness at alpha 1.41 purely from model-vocabulary growth
+# (SCALE.md r11). 512 entries keeps the scan cheaper than a per-batch
+# broadcast-join setup; every real corpus model (vocab -> charset^3)
+# belongs on the broadcast path, which is linear in batch size.
+MAX_MAP_ENTRIES = 512
 
 
 def write_lm_score_stream(
@@ -140,6 +144,9 @@ def write_lm_score_stream(
             "(gram, c) — build one with operators/lm.build_lm_model; "
             f"got columns {sorted(model.columns)}"
         )
+    # materialize the bounded model once: BOTH paths otherwise re-run
+    # its build plan (the count here, the totals + broadcast per batch)
+    model = model.localCheckpoint(eager=True)
     n_entries = model.count()
     if n_entries <= max_map_entries:
         grams, counts, total, v = frozen_model(model)
