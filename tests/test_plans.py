@@ -228,6 +228,10 @@ _CROSS_OK = {
     # FK audit: per edge, the two 1-row summary aggregates (totals ×
     # orphan totals) cross into the edge's report row
     "profile_referential_integrity",
+    # FK discovery (r11): per candidate, the three 1-row gate
+    # aggregates (child keys × parent uniqueness × containment) cross
+    # into the candidate's report row — bounded by construction
+    "profile_fk_discovery",
     # near-dup leakage: the 1-row pair fold crossed with the 1-row
     # test-doc count (the split_dedup_leakage fold over pairs)
     "split_neardup_leakage",
