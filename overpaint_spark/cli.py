@@ -217,6 +217,24 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--stream-gate requires --stream-source and --stream-out")
         if args.stream_gate == "fk" and not args.stream_fk:
             parser.error("--stream-gate fk requires --stream-fk FKCOL=PARENT.KEY")
+        # the gate reads --stream-source with recursiveFileLookup, so a
+        # sink or checkpoint nested under it would be re-ingested as
+        # input on the next incremental re-run (silent duplicate
+        # admissions) — refuse the layout up front
+        src_abs = os.path.abspath(args.stream_source)
+        for label, path in (
+            ("--stream-out", args.stream_out),
+            ("--stream-checkpoint", args.stream_checkpoint),
+        ):
+            if path is None:
+                continue
+            p_abs = os.path.abspath(path)
+            if os.path.commonpath([src_abs, p_abs]) == src_abs:
+                parser.error(
+                    f"{label} ({path}) is inside --stream-source "
+                    f"({args.stream_source}); the gate would re-ingest "
+                    "its own output on the next incremental run"
+                )
     elif args.stream_source or args.stream_out or args.stream_fk:
         parser.error("--stream-source/--stream-out/--stream-fk require --stream-gate")
     standalone = ("--rules" if args.rules else

@@ -339,6 +339,33 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
 
     from overpaint_spark.streaming.sink import BATCH_COL
 
+    # crash recovery (ADVICE r11): a crash between move(codes →
+    # codes_old) and move(codes_compacted → codes) leaves the store
+    # with no codes/ directory. Roll BACK to the pre-fold state:
+    # codes_old plus the still-staged generations is a complete copy,
+    # whereas codes_compacted may predate generations staged by a
+    # LATER crashed run (each run stages before reading), so rolling
+    # forward could silently drop those. The discarded fold is re-done
+    # by this run from the restored inputs.
+    if not os.path.isdir(f"{path}/codes"):
+        if os.path.isdir(f"{path}/codes_old"):
+            if os.path.isdir(f"{path}/codes_compacted"):
+                shutil.rmtree(f"{path}/codes_compacted")
+            for rel in ("codes_delta", "tombstones"):
+                old = f"{path}/{rel}_old"
+                if os.path.isdir(old):
+                    stage = f"{path}/{rel}_compacting"
+                    os.makedirs(stage, exist_ok=True)
+                    for g in os.listdir(old):
+                        shutil.move(f"{old}/{g}", f"{stage}/{g}")
+                    shutil.rmtree(old)
+            shutil.move(f"{path}/codes_old", f"{path}/codes")
+        elif os.path.isdir(f"{path}/codes_compacted"):
+            # unreachable under atomic POSIX rename (codes_old exists
+            # whenever codes is gone), but the compacted copy is the
+            # only full one left — promote it rather than fail
+            shutil.move(f"{path}/codes_compacted", f"{path}/codes")
+
     # entry-time cleanup: *_old leftovers exist only if a prior run
     # crashed AFTER its codes swap landed (codes/ present ⇒ the swap
     # completed, so the leftovers are dead copies)

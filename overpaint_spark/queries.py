@@ -10172,9 +10172,13 @@ def q_stream_clean_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{p}/b"
         )
 
-    # _INCR_MOD == 5: byte-identical staging to stream_phash_admit's,
-    # so both witnesses share one staged copy
-    src = _session_stream_src(spark, sf_dir, "docs_mod5_halves", _stage)
+    # when _INCR_MOD == 5 the staging is byte-identical to
+    # stream_phash_admit's, so both witnesses share one staged copy;
+    # the recipe encodes the modulus so a future _INCR_MOD change
+    # splits the cache instead of silently reusing the wrong source
+    src = _session_stream_src(
+        spark, sf_dir, f"docs_mod{_INCR_MOD}_halves", _stage
+    )
     out_dir = f"{base}/stream_clean_out_{run}"
     ckpt_dir = f"{base}/stream_clean_ckpt_{run}"
     for dpath in (out_dir, ckpt_dir):

@@ -19,6 +19,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap_gb() -> int:
+    """Half the machine's RAM in GiB, clamped to [2, 64].
+
+    Reads total memory via ``os.sysconf`` (POSIX); if that is
+    unavailable (exotic platform), falls back to 8 — the conservative
+    pre-r11 default rather than the sandbox-sized 64.
+    """
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return 8
+    half_gb = total // (2 * 1024**3)
+    return max(2, min(64, int(half_gb)))
+
+
 def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
@@ -51,12 +66,16 @@ def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
         # threads: size it to the machine, not to a cluster driver. The
         # old 8g default was the r11 100x scale run's root cause — 32
         # threads exploding char-trigram arrays in 8 GB thrashed GC and
-        # turned linear passes super-linear (SCALE.md r11). 64g leaves
-        # half the 128 GiB sandbox for Python workers + page cache; on
-        # a real cluster spark-submit overrides this per-executor.
+        # turned linear passes super-linear (SCALE.md r11). Default to
+        # half the detected RAM capped at 64g, so a 128 GiB box gets
+        # the full 64g while a 16 GiB laptop gets 8g instead of an OS
+        # OOM kill; SPARK_GRAFT_DRIVER_MEM overrides either way, and on
+        # a real cluster spark-submit sets per-executor memory itself.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", f"{_default_heap_gb()}g"
+            ),
         )
         .config("spark.ui.enabled", "false")
     )

@@ -427,3 +427,71 @@ def test_fresh_store_copy_walks_every_relation(spark, tmp_path):
         os.listdir(clone)
     )
     assert load_ann_index(spark, clone).indexed.count() == n
+
+
+def test_compaction_recovers_interrupted_swap(spark, tmp_path):
+    """Crash recovery (ADVICE r11): a fold that died between
+    move(codes -> codes_old) and move(codes_compacted -> codes) leaves
+    the store with no codes/ directory. The next compact_ann_index must
+    roll the swap BACK (codes_old + still-staged generations are a
+    complete pre-fold copy) and then complete the fold itself — not
+    early-return or crash reading a missing codes/."""
+    import os
+    import shutil
+
+    from overpaint_spark.operators.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ann_index(e, dim=64, n_centroids=16, n_subspaces=8, n_codes=16)
+    path = str(tmp_path / "crash_index")
+    persist_ann_index(idx, path)
+    n_all = spark.read.parquet(f"{path}/codes").count()
+    dead = e.filter(F.col("vec_id") % 11 == 1).select("vec_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    delete_from_ann_index(load_ann_index(spark, path), dead, persist_path=path)
+
+    # reconstruct the exact mid-swap crash state: staged generations in
+    # *_compacting, a fully-written codes_compacted, codes renamed aside
+    os.makedirs(f"{path}/tombstones_compacting")
+    shutil.move(
+        f"{path}/tombstones", f"{path}/tombstones_compacting/deadbeef"
+    )
+    shutil.copytree(f"{path}/codes", f"{path}/codes_compacted")
+    shutil.move(f"{path}/codes", f"{path}/codes_old")
+    assert not os.path.isdir(f"{path}/codes")
+
+    compact_ann_index(spark, path)
+    # fold completed from the rolled-back inputs: tombstones applied,
+    # store back to a clean single-generation layout
+    assert spark.read.parquet(f"{path}/codes").count() == n_all - n_dead
+    for leftover in (
+        "codes_old", "codes_compacted", "codes_delta_old",
+        "tombstones_old", "tombstones_compacting", "tombstones",
+    ):
+        assert not os.path.isdir(f"{path}/{leftover}"), leftover
+    dead_ids = {r.vec_id for r in dead.collect()}
+    live = {
+        r.vec_id
+        for r in load_ann_index(spark, path)
+        .indexed.select("vec_id")
+        .collect()
+    }
+    assert live & dead_ids == set()
+
+    # degenerate variant: only codes_compacted survives (no codes_old);
+    # the entry recovery must promote it rather than fail
+    victim = e.limit(1)
+    add_to_ann_index(load_ann_index(spark, path), victim, persist_path=path)
+    shutil.move(f"{path}/codes", f"{path}/codes_compacted")
+    compact_ann_index(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/codes").count() == n_all - n_dead + 1
+    )

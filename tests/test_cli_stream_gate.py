@@ -101,7 +101,7 @@ def test_fk_gate_verdicts_and_error_contract(spark, tmp_path, capsys):
         "--stream-source", drop, "--stream-out", out,
         "--stream-fk", "o_custkey=customer.c_custkey",
     ]) == 0
-    assert "(2 quarantined)" not in capsys.readouterr().out or True
+    assert "(2 quarantined)" in capsys.readouterr().out
     landed = spark.read.parquet(out)
     assert landed.filter(~F.col("fk_ok")).count() == 2
 
@@ -114,3 +114,25 @@ def test_fk_gate_verdicts_and_error_contract(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert err.startswith("Stream gate error: ")
     assert "\n" == err[err.index("\n"):]
+
+
+def test_nested_sink_or_checkpoint_is_refused(tmp_path, capsys):
+    """The gate reads --stream-source recursively, so a sink or
+    checkpoint nested under it would be re-ingested as input on the
+    next incremental run — the CLI must refuse the layout up front
+    (argparse contract: usage error, exit 2, no Spark session)."""
+    import pytest
+
+    drop = str(tmp_path / "drop")
+    for bad in (
+        ["--stream-out", f"{drop}/out"],
+        [
+            "--stream-out", str(tmp_path / "ok_out"),
+            "--stream-checkpoint", f"{drop}/ckpt",
+        ],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            cli.main([SF, "--stream-gate", "clean", "--stream-source", drop]
+                     + bad)
+        assert exc.value.code == 2
+        assert "re-ingest" in capsys.readouterr().err
