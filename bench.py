@@ -168,7 +168,19 @@ def main() -> int:
     from overpaint_spark import queries as Q
     from overpaint_spark.session import get_spark
 
-    spark = get_spark("overpaint-bench")
+    # Session-heat fix (r12, VERDICT r11 #1): over ~650 query
+    # executions the default ContextCleaner only fires on driver GC —
+    # which a 64 GiB heap almost never needs — so shuffle files,
+    # broadcast blocks, and localCheckpoint RDD blocks from finished
+    # queries pile up in the block manager and local dirs, and
+    # late-suite queries pay the accumulated GC/IO pressure (the
+    # 2-3× in-suite-vs-solo medians of r10/r11). A 90 s periodic
+    # driver GC drives the cleaner at bench cadence; _settle() below
+    # adds explicit sweeps between query families.
+    spark = get_spark(
+        "overpaint-bench",
+        extra_conf={"spark.cleaner.periodicGC.interval": "90s"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM + codegen, the noop sink's one-time init, and the
@@ -229,9 +241,31 @@ def main() -> int:
     only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
     only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
 
-    for name in bench_query_names(Q):
+    def _settle() -> None:
+        """Between-family hygiene (r12, VERDICT r11 #1): drop every
+        block the finished queries left behind — cached relations, then
+        a Python GC (releases the DataFrame/RDD handles that pin
+        localCheckpoint blocks and shuffle dependencies) and one driver
+        JVM GC (what actually triggers ContextCleaner to delete the
+        now-unreferenced shuffle files, broadcasts, and checkpoint
+        blocks). Runs OUTSIDE any timed region; each sweep costs well
+        under a second on a mostly-dead heap and keeps the session's
+        storage footprint flat across the suite instead of letting ~650
+        executions of state accumulate onto the late families."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    settle_every = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_EVERY", "16"))
+    )
+    for i, name in enumerate(bench_query_names(Q)):
         if only is not None and name not in only:
             continue
+        if i and i % settle_every == 0:
+            _settle()
         fn = Q.QUERIES[name]
         time_runs(
             name,
@@ -331,11 +365,25 @@ def main() -> int:
                     )
                     solo_remeasured[name] = None
 
+    # Heat-corrected total (r12, VERDICT r11 #7): wherever the triage
+    # re-measured a flagged query solo and the settled session ran it
+    # FASTER, substitute the solo median — value_settled is the suite
+    # total with session-order heat removed, the number plan-vs-plan
+    # round comparisons should read. value stays the raw in-suite sum
+    # (both are recorded; a solo median that stayed high changes
+    # nothing, which is exactly the real-regression signal).
+    settled = dict(timings)
+    for n, solo in solo_remeasured.items():
+        if solo is not None and n in settled:
+            settled[n] = min(settled[n], solo)
+    value_settled = round(sum(settled.values()), 3)
+
     # Full per-query map: BENCH_DETAIL.json + stderr (driver keeps only a
     # bounded stdout tail, so the stdout line must stay compact).
     detail = {
         "metric": "overpaint_spark headline queries wall time",
         "value": total,
+        "value_settled": value_settled,
         "unit": "sec",
         "queries": timings,
         "runs": runs_map,
@@ -376,6 +424,7 @@ def main() -> int:
             {
                 "metric": "overpaint_spark headline queries wall time",
                 "value": total,
+                "value_settled": value_settled,
                 "unit": "sec",
                 "queries": top,
                 "sf": sf_val,

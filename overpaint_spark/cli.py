@@ -143,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
         "beyond the fetch)",
     )
     parser.add_argument(
-        "--stream-gate", choices=["clean", "dedup", "phash", "fk"],
+        "--stream-gate",
+        choices=["clean", "dedup", "phash", "fk", "cdc", "ann-ingest"],
         help="run a streaming ingest gate from the shell: consume "
         "--stream-source as a file stream (availableNow — process "
         "everything present, then stop; re-run with the same "
@@ -153,7 +154,11 @@ def main(argv: list[str] | None = None) -> int:
         "clean = quality + frozen-LM band + cross-corpus dedup over "
         "`documents`; dedup = exact+LSH admission vs `documents`; "
         "phash = near-dup image screen vs `documents`; fk = verdict "
-        "stamp vs a parent key (--stream-fk)",
+        "stamp vs a parent key (--stream-fk); cdc = apply a change "
+        "feed to the partitioned table at --stream-out, latest-wins "
+        "per key (--stream-cdc); ann-ingest = encode arriving vectors "
+        "against the frozen geometry of the persisted ANN index at "
+        "--stream-out and append their code rows",
     )
     parser.add_argument(
         "--stream-source", metavar="DIR",
@@ -172,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--stream-fk", metavar="FKCOL=PARENT.KEY",
         help="fk gate edge, e.g. o_custkey=customer.c_custkey",
+    )
+    parser.add_argument(
+        "--stream-cdc", metavar="KEYS:PART:ORDER",
+        help="cdc gate merge spec: comma-separated key column(s), the "
+        "partition column, and the version/order column, e.g. "
+        "o_orderkey:o_orderstatus:o_version — latest order_col per key "
+        "wins, only touched partitions rewrite",
     )
     parser.add_argument(
         "--dataset-card", action="store_true",
@@ -217,6 +229,8 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--stream-gate requires --stream-source and --stream-out")
         if args.stream_gate == "fk" and not args.stream_fk:
             parser.error("--stream-gate fk requires --stream-fk FKCOL=PARENT.KEY")
+        if args.stream_gate == "cdc" and not args.stream_cdc:
+            parser.error("--stream-gate cdc requires --stream-cdc KEYS:PART:ORDER")
         # the gate reads --stream-source with recursiveFileLookup, so a
         # sink or checkpoint nested under it would be re-ingested as
         # input on the next incremental re-run (silent duplicate
@@ -235,8 +249,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"({args.stream_source}); the gate would re-ingest "
                     "its own output on the next incremental run"
                 )
-    elif args.stream_source or args.stream_out or args.stream_fk:
-        parser.error("--stream-source/--stream-out/--stream-fk require --stream-gate")
+    elif (args.stream_source or args.stream_out or args.stream_fk
+          or args.stream_cdc):
+        parser.error(
+            "--stream-source/--stream-out/--stream-fk/--stream-cdc "
+            "require --stream-gate"
+        )
     standalone = ("--rules" if args.rules else
                   "--dataset-card" if args.dataset_card else
                   "--stream-gate" if args.stream_gate else
@@ -277,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.data_root, args.stream_gate,
                     args.stream_source, args.stream_out,
                     args.stream_checkpoint, args.stream_fk,
+                    args.stream_cdc,
                 )
             if args.dataset_card:
                 return _run_dataset_card(spark, args.data_root)
@@ -471,7 +490,7 @@ def _render_json(profiles) -> str:
 
 def _run_stream_gate(
     spark, data_root: str, gate: str, source: str, out_dir: str,
-    ckpt_dir: str | None, fk_spec: str | None,
+    ckpt_dir: str | None, fk_spec: str | None, cdc_spec: str | None = None,
 ) -> int:
     """Shell-reachable streaming ingest gates (VERDICT r10 #5): the
     foreachBatch sink families the library exposes, wired to a file
@@ -546,7 +565,7 @@ def _run_stream_gate(
                 stream, image_phash(corpus()), out_dir, ckpt,
                 trigger_available_now=True,
             )
-        else:  # fk
+        elif gate == "fk":
             from overpaint_spark.streaming.integrity import (
                 write_fk_gate_stream,
             )
@@ -564,11 +583,67 @@ def _run_stream_gate(
                 stream, pk, out_dir, ckpt, fk_col,
                 trigger_available_now=True,
             )
+        elif gate == "cdc":
+            from overpaint_spark.streaming.upsert import write_upsert_stream
+
+            try:
+                keys_s, part_col, order_col = cdc_spec.split(":", 2)
+                key_cols = [k for k in keys_s.split(",") if k]
+                if not (key_cols and part_col and order_col):
+                    raise ValueError
+            except ValueError:
+                raise ValueError(
+                    f"--stream-cdc must be KEYS:PART:ORDER, got {cdc_spec!r}"
+                ) from None
+            missing = [
+                col
+                for col in [*key_cols, part_col, order_col]
+                if col not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"--stream-cdc column(s) not in the change feed: "
+                    f"{', '.join(missing)}"
+                )
+            sq = write_upsert_stream(
+                stream, out_dir, key_cols, part_col, order_col, ckpt,
+                trigger_available_now=True,
+            )
+        else:  # ann-ingest
+            from overpaint_spark.streaming.ann_ingest import (
+                write_ann_ingest_stream,
+            )
+
+            for rel in ("codes", "centroids", "codebook"):
+                if not os.path.isdir(os.path.join(out_dir, rel)):
+                    raise FileNotFoundError(
+                        f"--stream-out is not a persisted ANN index "
+                        f"(missing {rel}/): {out_dir}"
+                    )
+            sq = write_ann_ingest_stream(
+                stream, out_dir, ckpt, trigger_available_now=True
+            )
         if not sq.awaitTermination(3600):
             sq.stop()
             raise RuntimeError(
                 "availableNow trigger did not complete within 3600 s"
             )
+        if gate == "cdc":
+            n = spark.read.parquet(out_dir).count()
+            sys.stdout.write(
+                f"Stream gate [cdc]: table now {n} current row(s) "
+                f"-> {out_dir}\n"
+            )
+            return 0
+        if gate == "ann-ingest":
+            from overpaint_spark.operators.ann_index import load_ann_index
+
+            n = load_ann_index(spark, out_dir).indexed.count()
+            sys.stdout.write(
+                f"Stream gate [ann-ingest]: index now {n} live vector(s) "
+                f"-> {out_dir}\n"
+            )
+            return 0
         landed = read_sink(spark, out_dir, schema=sink_ddl)
         if gate == "fk":
             from pyspark.sql import functions as F

@@ -76,8 +76,22 @@ def upsert_partitioned(
     ]
     if not affected:
         return []
-    existing = spark.read.parquet(table_path).filter(
-        F.col(partition_col).isin(affected)
+    # bootstrap: the first batch of a change feed may CREATE the table
+    # (the CLI cdc gate's cold start) — merge against an empty relation
+    # instead of failing on the missing path. Underscore/dot entries
+    # (checkpoints, markers) don't count as data. Local-fs listing, the
+    # same deployment assumption the dynamic-overwrite staging makes.
+    import os
+
+    has_data = os.path.isdir(table_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(table_path)
+    )
+    existing = (
+        spark.read.parquet(table_path).filter(
+            F.col(partition_col).isin(affected)
+        )
+        if has_data
+        else spark.createDataFrame([], updates.schema)
     )
     merged = merge_latest(existing, updates, key_cols, order_col)
     (

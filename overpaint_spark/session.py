@@ -35,11 +35,14 @@ def _default_heap_gb() -> int:
 
 
 def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
-    cluster leave it unset and let spark-submit decide.
+    cluster leave it unset and let spark-submit decide. ``extra_conf``
+    lets a harness layer add session-scoped settings (e.g. the bench's
+    aggressive ContextCleaner cadence) without forking the builder.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -79,4 +82,6 @@ def get_spark(app_name: str = "overpaint-spark", master: str | None = None,
         )
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

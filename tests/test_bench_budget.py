@@ -88,6 +88,17 @@ def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
     # session-heat triage map exists (possibly empty on a quiet round)
     assert isinstance(detail["solo_remeasured"], dict)
 
+    # heat-corrected total (r12, VERDICT r11 #7): value_settled is the
+    # suite sum with each triage-flagged query's solo median substituted
+    # when the solo ran faster — so it can never exceed the raw value,
+    # equals it when the triage map is empty, and both land in the
+    # detail AND the stdout line
+    assert "value_settled" in detail and "value_settled" in out
+    assert detail["value_settled"] == out["value_settled"]
+    assert detail["value_settled"] <= detail["value"] + 1e-9
+    if not any(v is not None for v in detail["solo_remeasured"].values()):
+        assert detail["value_settled"] == detail["value"]
+
     # phase-split extra (VERDICT r6 #6): the persisted-index
     # steady-state search is timed with setup outside the clock, and
     # must cost well under the full-lifecycle declared row
