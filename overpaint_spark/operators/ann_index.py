@@ -129,10 +129,11 @@ def build_ann_index(
 ) -> AnnIndex:
     """One assignment GEMM + one encode pass over the corpus; centroid/
     codebook training is bounded (seeded rows or the train sample)."""
+    import numpy as np
+
     from overpaint_spark.operators.quantization import pq_codebooks, pq_encode
     from overpaint_spark.operators.similarity import (
         assign_to_centroids,
-        seeded_centroids,
         train_kmeans_centroids,
     )
 
@@ -140,12 +141,31 @@ def build_ann_index(
         coarse = train_kmeans_centroids(
             vectors, n_centroids, train_iters, id_col, vec_col
         )
+        cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col)
     else:
-        coarse = seeded_centroids(vectors, n_centroids, id_col, vec_col)
-    assigned = assign_to_centroids(vectors, coarse, 1, id_col, vec_col).select(
-        id_col, "cluster_id"
+        # one seed collect serves BOTH the coarse centroids (the
+        # n_centroids lowest-id vectors — seeded_centroids' contract)
+        # and the PQ codebooks (the n_codes lowest-id vectors resliced
+        # per subspace — pq_codebooks' train_iters=0 contract): the two
+        # helpers ran the same ordered-limit job back to back (r12,
+        # guide §1.2 — don't compute things twice)
+        assert dim % n_subspaces == 0, "subspaces must divide dim"
+        m = max(n_centroids, n_codes)
+        rows = (
+            vectors.orderBy(id_col).limit(m).select(id_col, vec_col).collect()
+        )
+        seed = np.array([r[1] for r in rows], dtype=np.float64)
+        coarse = seed[:n_centroids]
+        dsub = dim // n_subspaces
+        cb = (
+            seed[:n_codes]
+            .reshape(n_codes, n_subspaces, dsub)
+            .transpose(1, 0, 2)
+            .copy()
+        )
+    assigned = assign_to_centroids(
+        vectors, coarse, 1, id_col, vec_col, include_vec=False
     )
-    cb = pq_codebooks(vectors, dim, n_subspaces, n_codes, id_col, vec_col)
     codes = pq_encode(
         vectors, dim, n_subspaces, n_codes, id_col, vec_col, codebook=cb
     )
@@ -154,44 +174,71 @@ def build_ann_index(
 
 def persist_ann_index(index: AnnIndex, path: str) -> None:
     """codes repartitioned by cluster_id (the write-side twin of the
-    probe access pattern); centroid/codebook relations are tiny."""
+    probe access pattern); centroid/codebook relations are tiny. The
+    three writes touch disjoint directories and share no lineage, so
+    they run from a small thread pool (guide §2.6) — the wall cost is
+    the codes write, with the two bounded-relation writes riding its
+    tail instead of queueing three sequential jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = index.indexed.sparkSession
-    (
-        index.indexed.repartition(F.col("cluster_id"))
-        .sortWithinPartitions("cluster_id", index.id_col)
-        .write.mode("overwrite")
-        .parquet(f"{path}/codes")
-    )
-    cent_rows = [
-        (int(i), [float(x) for x in index.coarse[i]])
-        for i in range(len(index.coarse))
-    ]
-    spark.createDataFrame(
-        cent_rows, "cluster_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    cb_rows = [
-        (int(mi), int(ki), [float(x) for x in index.codebook[mi][ki]])
-        for mi in range(len(index.codebook))
-        for ki in range(index.codebook[mi].shape[0])
-    ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, code int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+    def _write_codes() -> None:
+        (
+            index.indexed.repartition(F.col("cluster_id"))
+            .sortWithinPartitions("cluster_id", index.id_col)
+            .write.mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+
+    def _write_centroids() -> None:
+        cent_rows = [
+            (int(i), [float(x) for x in index.coarse[i]])
+            for i in range(len(index.coarse))
+        ]
+        spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    def _write_codebook() -> None:
+        cb_rows = [
+            (int(mi), int(ki), [float(x) for x in index.codebook[mi][ki]])
+            for mi in range(len(index.codebook))
+            for ki in range(index.codebook[mi].shape[0])
+        ]
+        spark.createDataFrame(
+            cb_rows, "subspace int, code int, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(fn)
+            for fn in (_write_codes, _write_centroids, _write_codebook)
+        ]
+        for fut in futs:
+            fut.result()
 
 
 def load_ann_index(
     spark: SparkSession, path: str, id_col: str = "vec_id"
 ) -> AnnIndex:
     """Bounded relations (centroids, codebook) collect back to numpy;
-    the data-sized codes relation stays a lazy DataFrame."""
+    the data-sized codes relation stays a lazy DataFrame. The two tiny
+    collects are independent jobs — run concurrently (guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
-    cent = sorted(
-        (r.cluster_id, r.centroid)
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_fut = pool.submit(
+            lambda: spark.read.parquet(f"{path}/centroids").collect()
+        )
+        cb_fut = pool.submit(
+            lambda: spark.read.parquet(f"{path}/codebook").collect()
+        )
+        cent = sorted((r.cluster_id, r.centroid) for r in cent_fut.result())
+        cbr = cb_fut.result()
     coarse = np.array([c for _, c in cent], dtype=np.float64)
-    cbr = spark.read.parquet(f"{path}/codebook").collect()
     n_sub = max(r.subspace for r in cbr) + 1
     n_codes = max(r.code for r in cbr) + 1
     dsub = len(cbr[0].center)
@@ -224,8 +271,9 @@ def encode_delta(
     n_sub = len(index.codebook)
     n_codes = index.codebook[0].shape[0]
     assigned = assign_to_centroids(
-        new_vectors, index.coarse, 1, index.id_col, vec_col
-    ).select(index.id_col, "cluster_id")
+        new_vectors, index.coarse, 1, index.id_col, vec_col,
+        include_vec=False,
+    )
     codes = pq_encode(
         new_vectors, index.dim, n_sub, n_codes, index.id_col, vec_col,
         codebook=index.codebook,

@@ -833,6 +833,57 @@ def phash_perturbed(
     )
 
 
+def phash_with_perturbed(
+    assets: DataFrame,
+    kinds: tuple = PERTURB_KINDS,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Original + perturbed aHash from ONE decode pass (r12): per asset
+    the payload is decoded once, the pristine raster hashed once, and
+    every perturbation hashed from the same in-memory array. Output
+    (asset_id, perturbation, w0, w1, p_w0, p_w1) is bit-identical to
+    ``phash_perturbed(assets) ⋈ image_phash_bytes(assets)`` on
+    asset_id, but pays one decoder pass instead of two and no join —
+    the per-class robustness card's whole input in a single
+    ``mapInPandas`` scan, payload bytes never shuffled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ks, w0s, w1s, pw0s, pw1s = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(p))
+                if arr is None:
+                    continue
+                w0, w1 = ahash_words(arr)
+                for kind in kinds:
+                    pw0, pw1 = ahash_words(perturb_raster(arr, kind))
+                    ids.append(int(i))
+                    ks.append(kind)
+                    w0s.append(w0)
+                    w1s.append(w1)
+                    pw0s.append(pw0)
+                    pw1s.append(pw1)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "perturbation": pd.Series(ks, dtype="object"),
+                    "w0": pd.Series(w0s, dtype="int64"),
+                    "w1": pd.Series(w1s, dtype="int64"),
+                    "p_w0": pd.Series(pw0s, dtype="int64"),
+                    "p_w1": pd.Series(pw1s, dtype="int64"),
+                }
+            )
+
+    return assets.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(
+        run,
+        "asset_id long, perturbation string, w0 long, w1 long, "
+        "p_w0 long, p_w1 long",
+    )
+
+
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs by signature Hamming distance ≤
     ``max_hamming``, WITHOUT an all-pairs join: the 64-bit signature is

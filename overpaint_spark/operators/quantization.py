@@ -502,8 +502,8 @@ def ivf_pq_topk(
     coarse = seeded_centroids(candidates, n_centroids, id_col, vec_col)
     dsub = dim // n_subspaces
 
-    c_assigned = assign_to_centroids(candidates, coarse, 1, id_col, vec_col).select(
-        id_col, "cluster_id"
+    c_assigned = assign_to_centroids(
+        candidates, coarse, 1, id_col, vec_col, include_vec=False
     )
     if by_residual:
         # (id, cluster_id, residual vector): one broadcast join against

@@ -322,6 +322,7 @@ def assign_to_centroids(
     n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = True,
 ) -> DataFrame:
     """Arrow-batched nearest-centroid assignment: one GEMM per batch
     against the small (broadcast-by-closure) centroid matrix; emits each
@@ -330,14 +331,23 @@ def assign_to_centroids(
     the 100 TB path — every vector is scored against C centroids, never
     against other vectors. Past ``_TWO_LEVEL_MIN_C`` centroids the call
     dispatches to :func:`assign_to_centroids_two_level` (N·~2√C flops
-    instead of N·C)."""
+    instead of N·C).
+
+    ``include_vec=False`` (r12) drops the vector column from the OUTPUT
+    for callers that immediately ``.select(id, cluster_id)``: a
+    ``mapInPandas`` body is opaque to column pruning (guide §4.1), so
+    the old form re-built every embedding as a Python float list and
+    shipped it back through Arrow only for Spark to discard it."""
     if cmat.shape[0] >= _TWO_LEVEL_MIN_C:
-        return assign_to_centroids_two_level(df, cmat, n_assign, id_col, vec_col)
+        return assign_to_centroids_two_level(
+            df, cmat, n_assign, id_col, vec_col, include_vec=include_vec
+        )
     import numpy as np
     import pandas as pd
 
     cnorm = np.linalg.norm(cmat, axis=1)
-    out_schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
+    vec_field = f"{vec_col} array<double>, " if include_vec else ""
+    out_schema = f"{id_col} long, {vec_field}cluster_id int"
 
     def fn(batches):
         for pdf in batches:
@@ -349,13 +359,15 @@ def assign_to_centroids(
             np.nan_to_num(sims, nan=-1.0, copy=False)  # zero-norm rows
             # stable top-n_assign centroid ids per row
             top = np.argsort(-sims, kind="stable", axis=1)[:, :n_assign]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(n_assign),
-                    vec_col: [list(map(float, v)) for v in pdf[vec_col] for _ in range(n_assign)],
-                    "cluster_id": top.ravel().astype("int32"),
-                }
-            )
+            cols = {id_col: pdf[id_col].to_numpy().repeat(n_assign)}
+            if include_vec:
+                cols[vec_col] = [
+                    list(map(float, v))
+                    for v in pdf[vec_col]
+                    for _ in range(n_assign)
+                ]
+            cols["cluster_id"] = top.ravel().astype("int32")
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
@@ -437,6 +449,7 @@ def assign_to_centroids_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_probe: int | None = None,
+    include_vec: bool = True,
 ) -> DataFrame:
     """Two-level (coarse → fine) centroid assignment — the named fix for
     the N·C GEMM asymptote (SCALE.md; VERDICT r4 task #4): the C
@@ -487,7 +500,8 @@ def assign_to_centroids_two_level(
         p = max(8, need)
     p = min(p, G)
     cnorm = np.linalg.norm(cmat, axis=1)
-    out_schema = f"{id_col} long, {vec_col} array<double>, cluster_id int"
+    vec_field = f"{vec_col} array<double>, " if include_vec else ""
+    out_schema = f"{id_col} long, {vec_field}cluster_id int"
 
     def fn(batches):
         for pdf in batches:
@@ -498,17 +512,15 @@ def assign_to_centroids_two_level(
             best_c = _two_level_topk_batch(
                 mat, vnorm, cmat, cnorm, reps, rnorm, members, p, n_assign
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(n_assign),
-                    vec_col: [
-                        list(map(float, v))
-                        for v in pdf[vec_col]
-                        for _ in range(n_assign)
-                    ],
-                    "cluster_id": best_c.ravel().astype("int32"),
-                }
-            )
+            cols = {id_col: pdf[id_col].to_numpy().repeat(n_assign)}
+            if include_vec:
+                cols[vec_col] = [
+                    list(map(float, v))
+                    for v in pdf[vec_col]
+                    for _ in range(n_assign)
+                ]
+            cols["cluster_id"] = best_c.ravel().astype("int32")
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
 

@@ -101,7 +101,10 @@ def test_fk_gate_verdicts_and_error_contract(spark, tmp_path, capsys):
         "--stream-source", drop, "--stream-out", out,
         "--stream-fk", "o_custkey=customer.c_custkey",
     ]) == 0
-    assert "(2 quarantined)" in capsys.readouterr().out
+    # the gate prints "N row(s) landed (M fk_ok, K quarantined)" — pin
+    # the quarantine count positively (the r11-advisor dead assertion,
+    # now matching the real format)
+    assert "2 quarantined)" in capsys.readouterr().out
     landed = spark.read.parquet(out)
     assert landed.filter(~F.col("fk_ok")).count() == 2
 

@@ -799,3 +799,28 @@ def test_multimodal_pipeline_survivors_match_independent_union_find(spark):
     # clusters AND at least one surviving loser-free singleton
     assert any(not s for _, s in want.values())
     assert any(c == a and s for a, (c, s) in want.items())
+
+
+def test_phash_with_perturbed_equals_two_pass_join(spark):
+    """The r12 fused single-decode operator must be row-identical to
+    the two-pass form it replaced (image_phash_bytes ⋈ phash_perturbed
+    on asset_id) — the optimization changed the decode count and plan
+    shape, never a signature bit."""
+    from pyspark.sql import functions as F
+
+    from overpaint_spark import queries as Q
+
+    assets = spark.read.parquet(Q._PHOTO_FIXTURE)
+    fused = {
+        (r.asset_id, r.perturbation): (r.w0, r.w1, r.p_w0, r.p_w1)
+        for r in MM.phash_with_perturbed(assets).collect()
+    }
+    joined = {
+        (r.asset_id, r.perturbation): (r.w0, r.w1, r.p_w0, r.p_w1)
+        for r in MM.phash_perturbed(assets)
+        .join(MM.image_phash_bytes(assets), "asset_id")
+        .select("asset_id", "perturbation", "w0", "w1", "p_w0", "p_w1")
+        .collect()
+    }
+    assert fused == joined
+    assert len(fused) == 16 * len(MM.PERTURB_KINDS)

@@ -262,3 +262,66 @@ def test_char_trigrams_zip_form_equals_substr_form(spark):
         got = df.select(_char_trigrams(F.col("text")).alias("g")).collect()
         want = df.select(substr_form(F.col("text")).alias("g")).collect()
         assert [r.g for r in got] == [r.g for r in want]
+
+
+def test_bind_once_rewrites_match_python_reference(spark):
+    """The r12 bind-once HOF rewrites (TX.shingles, _span_hashes,
+    _char_trigrams) changed how often split() evaluates, never a byte
+    of output — pin each against a plain python reference on edge-case
+    texts (empty, short, exact-boundary, repeated tokens)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from overpaint_spark import queries as Q
+
+    texts = [
+        "",
+        "a",
+        "ab",
+        "abc",
+        "one",
+        "one two",
+        "one two three",
+        " ".join(f"t{i % 7}" for i in range(25)),
+        " ".join("x" for _ in range(10)),      # exactly _SPAN_L tokens
+        " ".join("y" for _ in range(9)),       # one short of _SPAN_L
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+    def py_shingles(t, k):
+        w = t.split(" ")
+        return (
+            [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+            if len(w) >= k
+            else []
+        )
+
+    def py_spans(t):
+        L = Q._SPAN_L
+        w = t.split(" ")
+        return [
+            hashlib.md5(" ".join(w[i : i + L]).encode()).hexdigest()
+            for i in range(len(w) - L + 1)
+        ] if len(w) >= L else []
+
+    def py_trigrams(t):
+        return [t[i : i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else []
+
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.shingles(F.col("text"), 3).alias("sh3"),
+            TX.shingles(F.col("text"), 5).alias("sh5"),
+            Q._span_hashes().alias("sp"),
+            Q._char_trigrams(F.col("text")).alias("tg"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i].sh3 == py_shingles(t, 3), (i, t)
+        assert got[i].sh5 == py_shingles(t, 5), (i, t)
+        assert got[i].sp == py_spans(t), (i, t)
+        assert got[i].tg == py_trigrams(t), (i, t)
