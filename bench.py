@@ -225,21 +225,43 @@ def main() -> int:
     spreads: dict[str, float] = {}
     runs_map: dict[str, list[float]] = {}
     warmups: dict[str, float] = {}
+    steal_map: dict[str, list[float]] = {}
+
+    # Hypervisor-steal accounting (r12): this sandbox's host steals CPU
+    # in multi-second bursts (single runs of untouched, plan-identical
+    # queries inflate 3-30x and drop back — the r11/r12 "session noise"
+    # diagnosed by interleaved A/B). Record the stolen core-seconds
+    # overlapping each timed run so an inflated median is attributable
+    # to the machine, not misread as a plan regression. Observability
+    # only — timings are untouched.
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, ValueError, IndexError):
+            return 0
 
     def time_runs(name: str, thunk) -> None:
+        s0 = _steal_jiffies()
         t0 = time.perf_counter()
         thunk()
         first = round(time.perf_counter() - t0, 3)
+        first_steal = round((_steal_jiffies() - s0) / 100.0, 2)
         runs: list[float] = []
+        steals: list[float] = []
         if first >= warmup_cut:
             warmups[name] = first  # recorded, not counted
         else:
             runs.append(first)
+            steals.append(first_steal)
         while len(runs) < n_runs:
+            s0 = _steal_jiffies()
             t0 = time.perf_counter()
             thunk()
             runs.append(round(time.perf_counter() - t0, 3))
+            steals.append(round((_steal_jiffies() - s0) / 100.0, 2))
         runs_map[name] = runs
+        steal_map[name] = steals  # stolen core-seconds per counted run
         timings[name] = sorted(runs)[len(runs) // 2]  # median (upper for even n)
         spreads[name] = round(max(runs) - min(runs), 3)
 
@@ -349,7 +371,11 @@ def main() -> int:
             ),
             key=lambda n: timings[n] - trailing[n],
             reverse=True,
-        )[:8]
+            # cap raised 8 -> 12 (r12, env-tunable): the hypervisor's
+            # steal storms routinely inflate more than 8 queries in one
+            # suite pass, and an un-remeasured inflated row pollutes
+            # value_settled AND the next round's trailing baseline
+        )[: max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_CAP", "12")))]
         for name in flagged:
             if name in Q.QUERIES:
                 # one flaky re-measure (e.g. a streaming awaitTermination
@@ -397,6 +423,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "runs": runs_map,
+        "steal_core_s": steal_map,  # stolen core-s overlapping each run
         "spread": spreads,  # ABSOLUTE seconds: max-min over counted runs
         "rel_spread": rel_spreads,  # the same spreads / median
         "max_rel_spread": round(worst_rel, 2),  # == the stdout field

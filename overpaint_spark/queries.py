@@ -2270,6 +2270,55 @@ def _fresh_ann_store_copy(
 _STREAM_SRC_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+def _skip_no_data_batches(fn):
+    """Disable Spark's trailing no-data micro-batch for a streaming
+    witness whose OUTPUT cannot depend on it (r12, guide §1.2: remove
+    work the result never needs).
+
+    After availableNow drains the staged files, Spark schedules one
+    more EMPTY batch purely to advance the watermark and run state
+    eviction (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    default true). That batch still pays the full per-batch machinery
+    — 2.2-2.6 s measured here: query planning, a 32-partition shuffle
+    of zero rows, 4 state-store commits per partition for a
+    stream-stream join, offset/commit log fsyncs — and for these
+    witnesses emits NOTHING:
+
+    - inner stream-stream joins emit matches as data arrives; the
+      no-data batch only evicts state (stream_attribution);
+    - foreachBatch / stateless sinks receive an empty frame and the
+      idempotent upsert writes nothing (clean/phash/fk gates, cdc,
+      psi, lm, cms, rule alerts, ann ingest);
+    - complete-mode aggregates re-emit the identical final state
+      (corpus_stats, length_histogram);
+    - applyInPandasWithState witnesses configure NO timeout, so the
+      no-data batch cannot fire timeout emission (sessionize, topk).
+
+    q_stream_events_hourly is the one witness that MUST keep it:
+    append-mode windows flush in the batch AFTER the sentinel advances
+    the watermark — that batch IS the no-data batch. It is therefore
+    not decorated. Every decorated witness stays value-checked against
+    its DuckDB oracle at all three SFs (the r12 flip was verified
+    row-identical before landing)."""
+    import functools
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            old = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 - conf key absent: Spark default
+            old = "true"
+        spark.conf.set(key, "false")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(key, old)
+
+    return wrapper
+
+
 def _session_stream_src(
     spark: SparkSession, sf_dir: str, recipe: str, build
 ) -> str:
@@ -5052,6 +5101,7 @@ def q_ann_topk_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_skip_no_data_batches
 def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted index grown by STRUCTURED STREAMING — eighth
     oracle-verified streaming query, and ann_topk_ivfpq_incremental's
@@ -8096,6 +8146,7 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_skip_no_data_batches
 def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus composition report computed by STRUCTURED STREAMING:
     the same per-source aggregation as corpus_source_stats, run as a
@@ -9666,6 +9717,7 @@ def _oracle_corpus_length_histogram() -> str:
     )
 
 
+@_skip_no_data_batches
 def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The length histogram computed by STRUCTURED STREAMING — second
     oracle-verified streaming query next to stream_corpus_stats, with a
@@ -9703,6 +9755,7 @@ def q_stream_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, sink)
 
 
+@_skip_no_data_batches
 def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM quality scoring by STRUCTURED STREAMING — third oracle-
     verified streaming query, with a third state shape: ZERO state (a
@@ -9768,6 +9821,7 @@ def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_skip_no_data_batches
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization by the CUSTOM STATEFUL streaming operator
     (streaming/sessionize.py — applyInPandasWithState, per-user O(1)
@@ -9846,6 +9900,7 @@ def _oracle_stream_sessionize() -> str:
 _PSI_LO, _PSI_HI, _PSI_BINS = 0.0, 200.0, 10
 
 
+@_skip_no_data_batches
 def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitoring by STRUCTURED STREAMING — sixth
     oracle-verified streaming query: each arriving micro-batch of
@@ -9981,6 +10036,7 @@ def _alert_rules():
     ]
 
 
+@_skip_no_data_batches
 def q_stream_rule_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VALIDATION/ALERTING sink declared — fourteenth
     oracle-verified streaming witness, covering the one foreachBatch
@@ -10087,6 +10143,7 @@ def _oracle_stream_rule_alerts() -> str:
 # --- streaming image-ingest gate (r10) -----------------------------------------
 
 
+@_skip_no_data_batches
 def q_stream_phash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-ingest gate's SINK declared — sixteenth
     oracle-verified streaming witness (multimodal_phash_gate's shared
@@ -10183,6 +10240,7 @@ _CLEAN_LM_SAMPLE_MOD = 3
 _CLEAN_BAND_LO, _CLEAN_BAND_HI = 5700, 6100
 
 
+@_skip_no_data_batches
 def q_stream_clean_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED ingest-cleaning sink declared — fifteenth
     oracle-verified streaming witness, and the streaming twin of the
@@ -10311,6 +10369,7 @@ def _oracle_stream_clean_admit() -> str:
     )
 
 
+@_skip_no_data_batches
 def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running corpus-frequency leaderboard by STRUCTURED STREAMING —
     seventh oracle-verified streaming query, and the bounded-state
@@ -10372,6 +10431,7 @@ def q_stream_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_snapshot(spark.read.parquet(out_dir), k=25)
 
 
+@_skip_no_data_batches
 def q_stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NB classification by STRUCTURED STREAMING — fourth oracle-
     verified streaming query: a stateless per-row ARGMAX against the
@@ -10640,6 +10700,7 @@ def _oracle_text_token_cms() -> str:
     )
 
 
+@_skip_no_data_batches
 def q_stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch by STRUCTURED STREAMING — ninth oracle-verified
     streaming query (streaming/cms.py): each micro-batch appends its
@@ -11039,6 +11100,7 @@ def _oracle_profile_fk_discovery() -> str:
 # --- CDC apply by streaming (r9) ------------------------------------------------
 
 
+@_skip_no_data_batches
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply as STRUCTURED STREAMING — thirteenth oracle-verified
     streaming query, witnessing the mutable-table sink
@@ -11133,6 +11195,7 @@ def _oracle_stream_cdc_apply() -> str:
 # --- stream-stream interval attribution by streaming (r9) ----------------------
 
 
+@_skip_no_data_batches
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution as a STREAM-STREAM interval join —
     twelfth oracle-verified streaming query, and the first to witness
@@ -11680,6 +11743,7 @@ def _oracle_orders_fk_quarantine() -> str:
     )
 
 
+@_skip_no_data_batches
 def q_stream_fk_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FK gate by STRUCTURED STREAMING — tenth oracle-verified
     streaming query (streaming/integrity.py): facts arrive as TWO files

@@ -1150,3 +1150,27 @@ def test_windowed_rollup_append_mode_drops_late_beyond_horizon(spark, tmp_path):
     assert rows[("2024-03-01 10:00:00", "view")] == 1  # late 10:30 row DROPPED
     assert rows[("2024-03-01 12:00:00", "view")] == 1
     assert ("2024-03-01 20:00:00", "__flush__") not in rows  # never closed
+
+
+# --- r12: trailing no-data micro-batch skipped where output-neutral -------
+
+
+def test_skip_no_data_batches_restores_conf_and_output(spark):
+    """The _skip_no_data_batches decorator (r12) must (a) restore the
+    session conf whatever it was, and (b) not change a decorated
+    witness's emitted relation — pinned by running stream_attribution
+    with the wrapper (no-data batch skipped) and via its undecorated
+    body (``__wrapped__`` — Spark default, trailing no-data batch
+    runs) and comparing row sets."""
+    from overpaint_spark import queries as Q
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    fn = Q.QUERIES["stream_attribution"]
+    assert hasattr(fn, "__wrapped__"), "witness should be decorated"
+
+    spark.conf.set(key, "true")
+    fast = sorted(map(tuple, fn(spark, SF).collect()))
+    assert spark.conf.get(key) == "true"  # restored
+
+    slow = sorted(map(tuple, fn.__wrapped__(spark, SF).collect()))
+    assert fast == slow and len(fast) > 0
