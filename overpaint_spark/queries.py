@@ -8952,8 +8952,21 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     surv = q_corpus_clean_v3(spark, sf_dir).select("doc_id")
     scrubbed = scrub_duplicated_spans(docs.join(surv, "doc_id", "left_semi"))
-    alive = scrubbed.filter(F.col("n_kept") > 0).select(
-        "doc_id", "n_kept", "text_clean"
+    # eager materialization of the surviving scrubbed subcorpus (r12,
+    # guide §1.2/§5): THREE downstream consumers reference this
+    # relation — the OOV token explode, seeded_shuffle's key pass, and
+    # the pack-offset join — and without a lineage cut each one
+    # re-executes the ENTIRE clean_v3 + span-scrub subtree (the r12
+    # plan dump showed 148 parquet scans / 12 gram explodes in one
+    # query). The checkpoint runs that subtree once and the three
+    # consumers read the materialized rows (the q_text_lm_score model
+    # idiom, applied to the survivors). On a cluster the same cut is a
+    # persist/checkpoint to executor storage — strictly cheaper than
+    # re-running a corpus-sized scrub three times.
+    alive = (
+        scrubbed.filter(F.col("n_kept") > 0)
+        .select("doc_id", "n_kept", "text_clean")
+        .localCheckpoint(eager=True)
     )
     vocab = q_corpus_vocabulary(spark, sf_dir).select("token", "token_id")
     ct = alive.select(

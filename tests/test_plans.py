@@ -344,3 +344,18 @@ def test_multiquery_rank_windows_use_group_limit(spark):
         plan = plan_of(spark, name)
         hits = plan.count("WindowGroupLimit")
         assert hits >= min_hits, f"{name}: {hits} WindowGroupLimit in plan"
+
+
+def test_corpus_pipeline_scrub_subtree_runs_once(spark):
+    """r12: corpus_pipeline's surviving-scrubbed relation (``alive``)
+    has THREE consumers (OOV explode, seeded_shuffle, pack join);
+    without the eager localCheckpoint each consumer re-executed the
+    entire clean_v3 + span-scrub subtree — 148 parquet scans / 12 gram
+    explodes in one physical plan at r11. The lineage cut bounds the
+    final plan to the post-checkpoint work: a handful of scans (the
+    vocabulary CTE's documents scan) and ZERO gram explodes."""
+    plan = plan_of(spark, "corpus_pipeline")
+    assert plan.count("Scan parquet") <= 8, plan.count("Scan parquet")
+    # the clean/scrub gram machinery must not appear downstream of the
+    # checkpoint (it ran exactly once, at DataFrame build)
+    assert "zip_with" not in plan
