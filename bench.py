@@ -214,6 +214,10 @@ def main() -> int:
     ).write.mode("overwrite").format("noop").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # parsed up front with the other knobs so a malformed value fails
+    # fast instead of raising AFTER the whole timed suite has run and
+    # discarding its results (ADVICE r12)
+    solo_cap = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_CAP", "12")))
     # Adaptive warm-up discard (r8, VERDICT r7 #7): a query whose FIRST
     # run costs ≥ this much is a headline query whose cold run (codegen,
     # shuffle-file allocation, Python-worker fan-out) would pollute the
@@ -336,9 +340,11 @@ def main() -> int:
         sf_val = sf
 
     # session-heat triage: solo re-measure of queries that drifted
-    # >1.3x and >0.5 s vs the trailing committed detail (bounded at 8
-    # so a pathological round cannot double the suite wall)
+    # >1.3x and >0.5 s vs the trailing committed detail (bounded at
+    # ``solo_cap``, default 12, so a pathological round cannot double
+    # the suite wall)
     solo_remeasured: dict[str, float | None] = {}
+    solo_steal: dict[str, list[float]] = {}
     trailing_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -375,7 +381,7 @@ def main() -> int:
             # steal storms routinely inflate more than 8 queries in one
             # suite pass, and an un-remeasured inflated row pollutes
             # value_settled AND the next round's trailing baseline
-        )[: max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_CAP", "12")))]
+        )[:solo_cap]
         for name in flagged:
             if name in Q.QUERIES:
                 # one flaky re-measure (e.g. a streaming awaitTermination
@@ -384,12 +390,20 @@ def main() -> int:
                 try:
                     fn = Q.QUERIES[name]
                     solo_runs = []
+                    steals = []
                     for _ in range(n_runs):
+                        s0 = _steal_jiffies()
                         t0 = time.perf_counter()
                         fn(spark, sf_dir).write.mode("overwrite").format(
                             "noop"
                         ).save()
                         solo_runs.append(round(time.perf_counter() - t0, 3))
+                        steals.append(
+                            round((_steal_jiffies() - s0) / 100.0, 2)
+                        )
+                    # the solo runs are exactly the rows most suspected of
+                    # steal inflation — bracket them too (ADVICE r12)
+                    solo_steal[name] = steals
                     solo_remeasured[name] = sorted(solo_runs)[
                         len(solo_runs) // 2
                     ]
@@ -424,6 +438,13 @@ def main() -> int:
         "queries": timings,
         "runs": runs_map,
         "steal_core_s": steal_map,  # stolen core-s overlapping each run
+        "solo_steal_core_s": solo_steal,  # same, for the solo re-measures
+        # run-quality-at-a-glance: total stolen core-s across counted
+        # suite runs (VERDICT r12 #2 — ~0 means a calm window; hundreds
+        # mean per-query medians carry storm rows)
+        "steal_total_core_s": round(
+            sum(s for runs in steal_map.values() for s in runs), 1
+        ),
         "spread": spreads,  # ABSOLUTE seconds: max-min over counted runs
         "rel_spread": rel_spreads,  # the same spreads / median
         "max_rel_spread": round(worst_rel, 2),  # == the stdout field
@@ -469,6 +490,7 @@ def main() -> int:
                 "n_runs": n_runs,
                 "max_rel_spread": round(worst_rel, 2),
                 "noisiest": worst_name,
+                "steal_total_core_s": detail["steal_total_core_s"],
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from overpaint_spark.functions import text as TX
 from overpaint_spark.functions import typeclass
+from overpaint_spark.materialize import materialize
 
 # CMS geometry: single source of truth is the library default — a
 # drifted local copy would silently diverge the declared relations
@@ -2299,7 +2300,17 @@ def _skip_no_data_batches(fn):
     the watermark — that batch IS the no-data batch. It is therefore
     not decorated. Every decorated witness stays value-checked against
     its DuckDB oracle at all three SFs (the r12 flip was verified
-    row-identical before landing)."""
+    row-identical before landing).
+
+    CONCURRENCY ASSUMPTION (ADVICE r12): the flag is session-global
+    conf, set for the duration of the wrapped call and restored in the
+    ``finally``. That is safe only while witnesses run strictly
+    sequentially on the session — which the bench, the oracle checker,
+    and the CLI all do. A q_stream_events_hourly started CONCURRENTLY
+    with a decorated witness could observe the flag off and silently
+    lose its append-mode flush rows. If a concurrent harness is ever
+    needed, scope the flag via a cloned session
+    (``spark.newSession()``) for the decorated witnesses instead."""
     import functools
 
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -3399,13 +3410,12 @@ def q_multimodal_photo_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py). The oracle re-derives the pair set
     brute-force from the signature literals, so both the decoder stack
     AND the pigeonhole-banding logic are value-checked."""
-    # eager localCheckpoint (the decontaminate idiom): the 16-row
+    # eager materialization (the decontaminate idiom): the 16-row
     # signature relation materializes ONCE, so the pure-python decode
     # of the raw payloads doesn't re-run for each side of the banded
-    # self-join (it dominated this row's bench cost)
-    hashes = MM.image_phash_bytes(_photo_assets(spark)).localCheckpoint(
-        eager=True
-    )
+    # self-join (it dominated this row's bench cost); durability tier
+    # per deployment via materialize() (VERDICT r12 #5)
+    hashes = materialize(MM.image_phash_bytes(_photo_assets(spark)))
     return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
 
 
@@ -3643,12 +3653,10 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled with its payloads)."""
     from overpaint_spark.operators.components import connected_components
 
-    # eager localCheckpoint: decode all 16 payloads exactly once —
+    # eager materialization: decode all 16 payloads exactly once —
     # pairs (self-join), the components collect, and the final join
     # all reuse the materialized 16-row signature relation
-    hashes = MM.image_phash_bytes(_photo_assets(spark)).localCheckpoint(
-        eager=True
-    )
+    hashes = materialize(MM.image_phash_bytes(_photo_assets(spark)))
     pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
     comp = connected_components(pairs.select("a_id", "b_id"))
     members = comp.select(F.col("id").alias("asset_id"), "component")
@@ -7985,9 +7993,9 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows): without it the model-build subtree is re-executed for the
     # broadcast AND for the totals row — three corpus-sized gram
     # explodes per invocation instead of ~1.2 (SCALE.md r11 100× run)
-    model = LM.build_lm_model(d, sample_mod=_LM_SAMPLE_MOD).localCheckpoint(
-        eager=True
-    )
+    # durability tier per deployment via materialize() (VERDICT r12 #5:
+    # local -> localCheckpoint; cluster -> persist or reliable checkpoint)
+    model = materialize(LM.build_lm_model(d, sample_mod=_LM_SAMPLE_MOD))
     return LM.lm_score(d, model)
 
 
@@ -8962,11 +8970,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers read the materialized rows (the q_text_lm_score model
     # idiom, applied to the survivors). On a cluster the same cut is a
     # persist/checkpoint to executor storage — strictly cheaper than
-    # re-running a corpus-sized scrub three times.
-    alive = (
+    # re-running a corpus-sized scrub three times; the durability tier
+    # is deployment-selected via materialize() (VERDICT r12 #5).
+    alive = materialize(
         scrubbed.filter(F.col("n_kept") > 0)
         .select("doc_id", "n_kept", "text_clean")
-        .localCheckpoint(eager=True)
     )
     vocab = q_corpus_vocabulary(spark, sf_dir).select("token", "token_id")
     ct = alive.select(
