@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from overpaint_spark.localrel import local_df
+
 
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
     """Read an OPTIONAL relation (None when never written) — but ONLY
@@ -196,9 +198,13 @@ def persist_ann_index(index: AnnIndex, path: str) -> None:
             (int(i), [float(x) for x in index.coarse[i]])
             for i in range(len(index.coarse))
         ]
-        spark.createDataFrame(
-            cent_rows, "cluster_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # local_df: one slice, no coalesce — a coalesce(1) over a
+        # default-parallelism local relation serializes 32 per-partition
+        # ScalaReflection tolls into one task (~5 s per write on the
+        # bench box; overpaint_spark/localrel.py)
+        local_df(
+            spark, cent_rows, "cluster_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
 
     def _write_codebook() -> None:
         cb_rows = [
@@ -206,9 +212,9 @@ def persist_ann_index(index: AnnIndex, path: str) -> None:
             for mi in range(len(index.codebook))
             for ki in range(index.codebook[mi].shape[0])
         ]
-        spark.createDataFrame(
-            cb_rows, "subspace int, code int, center array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+        local_df(
+            spark, cb_rows, "subspace int, code int, center array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebook")
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
@@ -339,7 +345,11 @@ def delete_from_ann_index(
     deletion changes the CANDIDATE set only."""
     tomb = ids.select(F.col(ids.columns[0]).alias(index.id_col))
     if persist_path is not None:
-        tomb.coalesce(1).write.mode("append").parquet(
+        # repartition(1), not coalesce(1): the ids relation is usually a
+        # driver-local list whose coalesce pays the serialized
+        # ScalaReflection toll (localrel.py); the tombstone SET is
+        # order-independent so the round-robin shuffle is safe
+        tomb.repartition(1).write.mode("append").parquet(
             f"{persist_path}/tombstones"
         )
     return AnnIndex(

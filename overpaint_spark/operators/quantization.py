@@ -123,6 +123,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     train_iters: int = 0,
     train_sample: int = 4096,
+    sample=None,
 ):
     """Deterministic PQ codebooks (numpy, subspaces × codes × sub-dim).
 
@@ -135,18 +136,33 @@ def pq_codebooks(
     SQL-expressible, so the trained variant stays undeclared; the
     encode/search plans are identical either way. The sample collect is
     bounded (train_sample × dim doubles) and independent of corpus
-    size — the standard PQ training recipe."""
+    size — the standard PQ training recipe.
+
+    ``sample``: a numpy matrix of the lowest-id vectors IN id ORDER
+    (≥ max(n_codes, train_sample) rows, or the whole table if smaller)
+    — callers that already collected the id-ordered prefix (the
+    trained-recall report builds five tiers from one collect, guide
+    §1.2) pass it here so no Spark job runs at all; prefixes of it are
+    exactly what the two collects below would have fetched."""
     import numpy as np
 
     assert dim % n_subspaces == 0, "subspaces must divide dim"
     dsub = dim // n_subspaces
-    rows = vectors.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    mat = np.array([r[0] for r in rows], dtype=np.float64)  # (codes, dim)
+    if sample is not None:
+        mat = np.asarray(sample, dtype=np.float64)[:n_codes]
+    else:
+        rows = vectors.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)  # (codes, dim)
     cb = mat.reshape(n_codes, n_subspaces, dsub).transpose(1, 0, 2).copy()
     if train_iters <= 0:
         return cb
-    srows = vectors.orderBy(id_col).limit(train_sample).select(vec_col).collect()
-    smat = np.array([r[0] for r in srows], dtype=np.float64)
+    if sample is not None:
+        smat = np.asarray(sample, dtype=np.float64)[:train_sample]
+    else:
+        srows = (
+            vectors.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+        )
+        smat = np.array([r[0] for r in srows], dtype=np.float64)
     for mi in range(n_subspaces):
         sub = smat[:, mi * dsub : (mi + 1) * dsub]
         cents = cb[mi]
@@ -234,6 +250,8 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    codebook=None,
+    q_rows=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half
     of the PQ tier: queries stay exact, every candidate is represented
@@ -247,13 +265,20 @@ def pq_adc_topk(
     shuffle: the final per-query top-k window over k·|Q| surviving
     rows. Ranking ties break on neighbor id. The left-to-right add
     chain keeps the distance bit-reproducible in SQL.
+
+    ``codebook`` / ``q_rows``: precomputed :func:`pq_codebooks` result
+    and pre-collected ``(id, vec)`` query rows — callers building
+    several tiers over the same inputs (the trained-recall report)
+    dedupe the seeding/collect jobs this way (guide §1.2/§2.6).
     """
     spark = candidates.sparkSession
-    cb = pq_codebooks(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
-                      train_iters=train_iters)
+    cb = codebook if codebook is not None else pq_codebooks(
+        candidates, dim, n_subspaces, n_codes, id_col, vec_col,
+        train_iters=train_iters)
     codes = pq_encode(candidates, dim, n_subspaces, n_codes, id_col, vec_col,
                       codebook=cb)
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col).collect()
     return _adc_search(
         spark, codes, cb, q_rows, dim, n_subspaces, n_codes, k, id_col
     )
@@ -338,6 +363,7 @@ def opq_train(
     train_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample=None,
 ):
     """(R, codebook): an orthogonal rotation + per-subspace codebooks —
     OPQ (Ge et al. 2013, Optimized Product Quantization; FAISS's
@@ -356,15 +382,22 @@ def opq_train(
     the same LAPACK everywhere a session runs — same-platform re-runs
     are bit-identical (cross-platform bit-parity is NOT claimed, which
     is one reason the declared query is rows-only; the other is the
-    iterative loop)."""
+    iterative loop).
+
+    ``sample``: the id-ordered lowest-id vector matrix, if the caller
+    already collected it (same contract as :func:`pq_codebooks`) —
+    skips this function's own collect job."""
     import numpy as np
 
     assert dim % n_subspaces == 0, "subspaces must divide dim"
     dsub = dim // n_subspaces
-    rows = (
-        vectors.orderBy(id_col).limit(train_sample).select(vec_col).collect()
-    )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if sample is not None:
+        X = np.asarray(sample, dtype=np.float64)[:train_sample]
+    else:
+        rows = (
+            vectors.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+        )
+        X = np.array([r[0] for r in rows], dtype=np.float64)
     R = np.eye(dim)
     # codebooks seed ONCE (first n_codes rows in the initial space) and
     # PERSIST across alternations — each round refines the PREVIOUS
@@ -436,6 +469,8 @@ def opq_adc_topk(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained=None,
+    q_rows=None,
 ) -> DataFrame:
     """ADC top-k in the OPQ-rotated space: rotation is orthogonal, so
     L2 distances are preserved exactly — rotating the query then
@@ -443,14 +478,19 @@ def opq_adc_topk(
     space, just with less quantization error per code byte. Same scale
     shape as pq_adc_topk: |Q|·M·K LUTs broadcast, candidates read code
     bytes only, one final top-k window — the search body is the SHARED
-    :func:`_adc_search` with the rotation applied to queries."""
+    :func:`_adc_search` with the rotation applied to queries.
+
+    ``trained``: a precomputed ``(R, codebook)`` from :func:`opq_train`;
+    ``q_rows``: pre-collected query rows — same dedupe contract as
+    :func:`pq_adc_topk`."""
     spark = candidates.sparkSession
-    R, cb = opq_train(
+    R, cb = trained if trained is not None else opq_train(
         candidates, dim, n_subspaces, n_codes, n_iter=n_iter,
         id_col=id_col, vec_col=vec_col,
     )
     codes = opq_encode(candidates, R, cb, id_col, vec_col)
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col).collect()
     return _adc_search(
         spark, codes, cb, q_rows, dim, n_subspaces, n_codes, k, id_col,
         rotation=R,
@@ -469,6 +509,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool = False,
+    q_rows=None,
+    seed_rows=None,
 ) -> DataFrame:
     """IVF-PQ — the production FAISS index shape, composed from the
     verified pieces: candidates live in coarse centroid lists
@@ -493,13 +535,28 @@ def ivf_pq_topk(
     (query side broadcast); plus the final top-k window."""
     import numpy as np
 
-    from overpaint_spark.operators.similarity import (
-        assign_to_centroids,
-        seeded_centroids,
-    )
+    from overpaint_spark.operators.similarity import assign_to_centroids
 
     spark = candidates.sparkSession
-    coarse = seeded_centroids(candidates, n_centroids, id_col, vec_col)
+    # ONE ordered-limit collect seeds everything driver-side (guide
+    # §1.2): the coarse centroids (n_centroids lowest ids), the raw-path
+    # PQ codebook (n_codes lowest ids — a prefix of the same ordered
+    # rows), and the residual path's seed_max boundary (the max of the
+    # n_centroids lowest ids IS the last seed row's id). Previously
+    # these were two to three separate ordered-limit jobs over the same
+    # relation. Callers holding a longer id-ordered (id, vec) prefix
+    # (``seed_rows``) or pre-collected query rows (``q_rows``) pass
+    # them in — the recall report shares one collect across its tiers.
+    if seed_rows is None:
+        seed_rows = (
+            candidates.orderBy(id_col)
+            .limit(max(n_centroids, n_codes))
+            .select(id_col, vec_col)
+            .collect()
+        )
+    coarse = np.array(
+        [r[1] for r in seed_rows[:n_centroids]], dtype=np.float64
+    )
     dsub = dim // n_subspaces
 
     c_assigned = assign_to_centroids(
@@ -534,24 +591,23 @@ def ivf_pq_topk(
         # would embed C literals in the plan (C = N/125 now that the
         # geometry scales; r5 review finding), and only the boundary
         # value crosses to the driver.
-        seed_max = (
-            candidates.select(id_col)
-            .orderBy(id_col)
-            .limit(n_centroids)
-            .agg(F.max(id_col).alias("m"))
-            .collect()[0]
-            .m
-        )
+        seed_max = seed_rows[: n_centroids][-1][0]
         cb_source = to_code.filter(F.col(id_col) > seed_max)
+        cb = pq_codebooks(cb_source, dim, n_subspaces, n_codes, id_col, vec_col)
     else:
         to_code = candidates
-        cb_source = candidates
-    cb = pq_codebooks(cb_source, dim, n_subspaces, n_codes, id_col, vec_col)
+        cb = pq_codebooks(
+            candidates, dim, n_subspaces, n_codes, id_col, vec_col,
+            sample=np.array(
+                [r[1] for r in seed_rows[:n_codes]], dtype=np.float64
+            ),
+        )
     codes = pq_encode(to_code, dim, n_subspaces, n_codes, id_col, vec_col,
                       codebook=cb)
     indexed = codes.join(c_assigned, id_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col).collect()
     return _ivfpq_search(
         spark, indexed, coarse, cb, q_rows, dim, n_subspaces, n_codes,
         n_probe, k, id_col, by_residual,

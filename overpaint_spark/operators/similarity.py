@@ -201,9 +201,15 @@ def train_kmeans_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init=None,
 ):
     """Distributed Lloyd's k-means (cosine assignment, mean update) for
     IVF centroid training; returns the centroid matrix (numpy, C×dim).
+
+    ``init``: a precomputed C×dim init matrix (the ``n_centroids``
+    lowest-id vectors in id order — exactly what the collect below
+    fetches); callers that already hold the id-ordered sample pass it
+    to skip the init collect job (guide §1.2).
 
     Communication-optimal shape: each Arrow batch assigns its vectors
     with one GEMM against the (small, broadcast-by-closure) centroid
@@ -226,10 +232,13 @@ def train_kmeans_centroids(
     import numpy as np
     import pandas as pd
 
-    init_rows = (
-        vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )
-    cmat = np.array([r[0] for r in init_rows], dtype=np.float64)
+    if init is not None:
+        cmat = np.asarray(init, dtype=np.float64)[:n_centroids].copy()
+    else:
+        init_rows = (
+            vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+        cmat = np.array([r[0] for r in init_rows], dtype=np.float64)
     src = vectors.select(vec_col)
 
     for _ in range(n_iter):
@@ -676,10 +685,15 @@ def ivf_topk(
     train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: vectors are bucketed by their
     nearest centroid, queries probe only their ``n_probe`` closest
     centroid lists.
+
+    ``centroids``: a precomputed C×dim centroid matrix — callers that
+    already seeded or trained one (the trained-recall report) pass it
+    so no seeding/training job runs here (guide §1.2).
 
     - Centroids: ``train_iters=0`` takes the ``n_centroids`` lowest-id
       vectors (deterministic, no training job); ``train_iters>0`` runs
@@ -693,7 +707,9 @@ def ivf_topk(
       (equi-join, broadcastable query side) — expected pair count is
       |Q| · n_probe · N/C instead of |Q| · N.
     """
-    if train_iters > 0:
+    if centroids is not None:
+        cmat = centroids
+    elif train_iters > 0:
         cmat = train_kmeans_centroids(
             candidates, n_centroids, train_iters, id_col, vec_col
         )

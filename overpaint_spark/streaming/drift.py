@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from overpaint_spark.localrel import local_df
 from overpaint_spark.streaming.sink import idempotent_append
 
 from overpaint_spark.rules.psi import (
@@ -71,7 +72,8 @@ def write_drift_monitor_stream(
         value = psi_from_histograms(base_hist, cur, spec.n_bins)
         n_rows = sum(n for _, n in cur)
         idempotent_append(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(batch_id, spec.column, n_rows, value, psi_band(value))],
                 "batch_id long, column_name string, n_rows long, psi double, band string",
             ),
@@ -166,10 +168,16 @@ def write_psi_stream(
         )
         if row is None:
             return
+        # local_df: ONE slice up front — the old createDataFrame +
+        # coalesce(1) serialized 32 partition evaluations (each paying
+        # the ScalaReflection toll) into one task: ~5 s per 1-row batch
+        # append on the bench box (overpaint_spark/localrel.py)
         idempotent_append(
-            batch_df.sparkSession.createDataFrame(
-                [row], "split_id long, n_rows long, psi_ppm long, band string"
-            ).coalesce(1),
+            local_df(
+                batch_df.sparkSession,
+                [row],
+                "split_id long, n_rows long, psi_ppm long, band string",
+            ),
             batch_id,
             out_dir,
         )
