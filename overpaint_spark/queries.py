@@ -7701,28 +7701,33 @@ def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper ∧ near-dup cluster survivor. The LM band joins as one more
     doc_id semi-join, so the payload is still scanned once; every
     predicate reuses its verified building block."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from overpaint_spark.operators.components import dedup_survivors
 
     docs = _t(spark, sf_dir, "documents")
     quality_ok = docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
     ).filter(F.col("quality_score") >= 0.5)
-    lm_ok = (
-        q_text_lm_score(spark, sf_dir)
-        .filter(
-            (F.col("lm_score_ppm") >= _LM_BAND_LO)
-            & (F.col("lm_score_ppm") <= _LM_BAND_HI)
-        )
-        .select("doc_id", "lm_score_ppm")
-    )
     keepers = DD.exact_dedup_groups(docs).select(
         F.col("keeper_id").alias("doc_id")
     )
     pairs = DD.lsh_near_dup_pairs(
         docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
     )
+    # overlap the two independent build-time driver actions — the LM
+    # model materialization and the union-find pair collect (guide
+    # §2.6): wall = max of the two jobs instead of their sum
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lm = pool.submit(q_text_lm_score, spark, sf_dir)
+        f_surv = pool.submit(dedup_survivors, docs, pairs)
+        lm_scored, surv = f_lm.result(), f_surv.result()
+    lm_ok = lm_scored.filter(
+        (F.col("lm_score_ppm") >= _LM_BAND_LO)
+        & (F.col("lm_score_ppm") <= _LM_BAND_HI)
+    ).select("doc_id", "lm_score_ppm")
     return (
-        dedup_survivors(docs, pairs)
+        surv
         .join(keepers, "doc_id", "left_semi")
         .join(quality_ok, "doc_id")
         .join(lm_ok, "doc_id")
@@ -7747,18 +7752,12 @@ def q_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines. Payload still scanned once per predicate family."""
     from overpaint_spark.operators.components import dedup_survivors
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _t(spark, sf_dir, "documents")
     quality_ok = docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
     ).filter(F.col("quality_score") >= 0.5)
-    lm_ok = (
-        q_text_lm_score(spark, sf_dir)
-        .filter(
-            (F.col("lm_score_ppm") >= _LM_BAND_LO)
-            & (F.col("lm_score_ppm") <= _LM_BAND_HI)
-        )
-        .select("doc_id", "lm_score_ppm")
-    )
     keepers = DD.exact_dedup_groups(docs).select(
         F.col("keeper_id").alias("doc_id")
     )
@@ -7766,8 +7765,18 @@ def q_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
     )
     spans = substring_span_stats(docs).select("doc_id", "dup_frac_ppm")
+    # overlap the LM-model materialization with the union-find pair
+    # collect (guide §2.6) — same idiom as corpus_clean_v2
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lm = pool.submit(q_text_lm_score, spark, sf_dir)
+        f_surv = pool.submit(dedup_survivors, docs, pairs)
+        lm_scored, surv = f_lm.result(), f_surv.result()
+    lm_ok = lm_scored.filter(
+        (F.col("lm_score_ppm") >= _LM_BAND_LO)
+        & (F.col("lm_score_ppm") <= _LM_BAND_HI)
+    ).select("doc_id", "lm_score_ppm")
     return (
-        dedup_survivors(docs, pairs)
+        surv
         .join(keepers, "doc_id", "left_semi")
         .join(quality_ok, "doc_id")
         .join(lm_ok, "doc_id")
@@ -7819,6 +7828,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a single joined relation, the six cumulative counts fold in one
     aggregate (no per-stage rescans), and stack() explodes the 1-row
     aggregate into the 6-row report."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from overpaint_spark.operators.components import dedup_survivors
 
     docs = _t(spark, sf_dir, "documents")
@@ -7828,12 +7839,20 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.lsh_near_dup_pairs(
         docs, k=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
     )
-    surv = dedup_survivors(docs, pairs).select("doc_id", F.lit(1).alias("s"))
+    # the two BUILD-TIME driver actions — the union-find pair collect
+    # inside dedup_survivors and the LM-model materialization inside
+    # q_text_lm_score — are independent jobs; overlap them so the wall
+    # is max(pairs, model) instead of their sum (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_surv = pool.submit(dedup_survivors, docs, pairs)
+        f_lm = pool.submit(q_text_lm_score, spark, sf_dir)
+        surv = f_surv.result().select("doc_id", F.lit(1).alias("s"))
+        lm_scored = f_lm.result()
     quality = docs.select(
         "doc_id",
         (TX.quality_score(F.col("text")) >= 0.5).cast("int").alias("q"),
     )
-    lm = q_text_lm_score(spark, sf_dir).select(
+    lm = lm_scored.select(
         "doc_id",
         (
             (F.col("lm_score_ppm") >= _LM_BAND_LO)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.materialize import materialize
 from overpaint_spark.streaming.sink import idempotent_append
 
 
@@ -110,7 +111,25 @@ def write_clean_stream(
     # lazy plan over the corpus: materialize once at sink construction
     # (the fk-gate pk idiom) so each micro-batch broadcasts the stored
     # rows instead of re-aggregating a corpus-sized gram explode
-    model = model.localCheckpoint(eager=True)
+    model = materialize(model)
+    # same treatment for the dedup gate's existing-corpus index (r13,
+    # guide §1.2): when the caller didn't pass a prebuilt/persisted
+    # index, EVERY micro-batch's incremental_dedup_flags re-derived the
+    # content hashes AND re-shingled the whole existing corpus for the
+    # LSH band keys — per batch. Build it once here instead; both
+    # relations are tiny next to the corpus (16 B/doc + bands/doc
+    # rows), and left-semi probes make the distinct()s semantically
+    # invisible (equivalence pinned in tests/test_dedup.py).
+    if existing_hashes is None or existing_bands is None:
+        from overpaint_spark.operators.dedup import build_dedup_index
+
+        built_h, built_b = build_dedup_index(
+            existing, id_col=id_col, text_col=text_col
+        )
+        if existing_hashes is None:
+            existing_hashes = materialize(built_h)
+        if existing_bands is None:
+            existing_bands = materialize(built_b)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from overpaint_spark.materialize import materialize
 from overpaint_spark.streaming.sink import idempotent_append
 
 
@@ -100,7 +101,24 @@ def write_incremental_dedup_stream(
     job of streaming_content_dedup upstream; this gate only checks
     against the static corpus.
     """
-    from overpaint_spark.operators.dedup import incremental_dedup_flags
+    from overpaint_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_flags,
+    )
+
+    # index built ONCE at sink construction when not supplied (r13,
+    # guide §1.2): the inline fallback inside incremental_dedup_flags
+    # would otherwise re-hash and re-shingle the whole existing corpus
+    # per micro-batch. Left-semi probe semantics make the built index
+    # interchangeable with the inline relations (tests/test_dedup.py).
+    if existing_hashes is None or existing_bands is None:
+        built_h, built_b = build_dedup_index(
+            existing, id_col, text_col, k, num_hashes, bands
+        )
+        if existing_hashes is None:
+            existing_hashes = materialize(built_h)
+        if existing_bands is None:
+            existing_bands = materialize(built_b)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
