@@ -113,7 +113,13 @@ def prepare_extra_timers(Q, spark, sf_dir) -> dict:
 
     d = _t(spark, sf_dir, "documents")
     qids = sorted(_BM25_QUERIES)
-    terms_rel = spark.createDataFrame(
+    # one-slice local relation (localrel.local_df): a default
+    # createDataFrame splits 5 rows into 32 slices and pays the
+    # per-parent-partition reflection toll on EVERY timed execution
+    from overpaint_spark.localrel import local_df
+
+    terms_rel = local_df(
+        spark,
         [(qid, list(_BM25_QUERIES[qid])) for qid in qids],
         "query_id long, terms array<string>",
     )

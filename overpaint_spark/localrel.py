@@ -26,9 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """``rows`` (list of tuples) as a ONE-partition DataFrame with
-    ``schema`` (DDL string). Row order is preserved exactly."""
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """``rows`` (list of tuples, possibly empty) as a ONE-partition
+    DataFrame with ``schema`` (DDL string or StructType). Row order is
+    preserved exactly. An empty list still benefits: the default path
+    parallelizes [] into defaultParallelism empty slices, each paying
+    the per-partition toll."""
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )

@@ -535,8 +535,8 @@ def ann_index_stats(
         (int(c), lut_for(np.asarray(idx.coarse[c], dtype=np.float64)))
         for c in range(len(idx.coarse))
     ]
-    lut_df = spark.createDataFrame(
-        lut_rows, "cluster_id int, lut array<array<double>>"
+    lut_df = local_df(
+        spark, lut_rows, "cluster_id int, lut array<array<double>>"
     )
     if tomb is not None:
         flagged = raw.join(

@@ -45,6 +45,7 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from overpaint_spark.localrel import local_df
 
 # Vocabularies up to this many distinct words run the merge loop in
 # driver memory (a (word, n) row is tens of bytes; 4M rows ≈ a few
@@ -282,8 +283,8 @@ def bpe_train(
             _initial_symbols(vocab), n_merges, min_count
         )
         state.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_n long"
+    return local_df(
+        spark, merges, "merge_rank int, left string, right string, pair_n long"
     )
 
 
@@ -331,7 +332,7 @@ def bpe_vocabulary(
         )
         rows = [(r.symbol, r.n_words, r.freq) for r in out.collect()]
         state.unpersist()
-    return spark.createDataFrame(rows, "symbol string, n_words long, freq long")
+    return local_df(spark, rows, "symbol string, n_words long, freq long")
 
 
 def bpe_segment(

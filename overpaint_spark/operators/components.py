@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from overpaint_spark.localrel import local_df
 
 
 def connected_components(
@@ -265,7 +266,7 @@ def _driver_union_find(spark, edges: DataFrame, rows) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("component", id_type)]
     )
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 
 
 def dedup_survivors(

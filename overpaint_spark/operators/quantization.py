@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from overpaint_spark.localrel import local_df
 
 
 # Above this dimensionality the flat aggregate's 2·dim channels strain
@@ -317,8 +318,8 @@ def _adc_search(
             for mi in range(n_subspaces)
         ]
         lut_rows.append((int(r[0]), lut))
-    lut_df = spark.createDataFrame(
-        lut_rows, "q_id long, lut array<array<double>>"
+    lut_df = local_df(
+        spark, lut_rows, "q_id long, lut array<array<double>>"
     )
 
     from pyspark.sql.window import Window
@@ -566,7 +567,8 @@ def ivf_pq_topk(
         # (id, cluster_id, residual vector): one broadcast join against
         # the C-row centroid relation + a zip_with — no extra shuffle
         # beyond the assignment join the raw path also pays at encode.
-        cent_df = spark.createDataFrame(
+        cent_df = local_df(
+            spark,
             [(int(i), [float(x) for x in coarse[i]]) for i in range(len(coarse))],
             "cluster_id int, centroid array<double>",
         )
@@ -661,8 +663,8 @@ def _ivfpq_search(
         for cid in probes:
             lut = lut_for(qv - coarse[cid]) if by_residual else shared
             lut_rows.append((int(r[0]), int(cid), lut))
-    lut_df = spark.createDataFrame(
-        lut_rows, "q_id long, cluster_id int, lut array<array<double>>"
+    lut_df = local_df(
+        spark, lut_rows, "q_id long, cluster_id int, lut array<array<double>>"
     )
 
     from pyspark.sql.window import Window
@@ -761,6 +763,6 @@ def pca_variance_report(vectors: DataFrame, dim: int, vec_col: str = "embedding"
         cum += p
         out.append((i + 1, p, cum))
     spark = vectors.sparkSession
-    return spark.createDataFrame(
-        out, "component int, var_ppm long, cum_var_ppm long"
+    return local_df(
+        spark, out, "component int, var_ppm long, cum_var_ppm long"
     )

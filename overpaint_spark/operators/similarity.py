@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from overpaint_spark.localrel import local_df
 
 from overpaint_spark.functions import vectors as V
 
@@ -871,8 +872,8 @@ def mmr_select(
     mat = np.array([r["vec"] for r in pool], dtype=np.float64)
     rel = np.array([r["rel"] for r in pool], dtype=np.float64)
     out = mmr_greedy_trace(ids, mat, rel, k)
-    return spark.createDataFrame(
-        out, "select_rank int, item_id long, rel_ppm long, maxsim_ppm long"
+    return local_df(
+        spark, out, "select_rank int, item_id long, rel_ppm long, maxsim_ppm long"
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from overpaint_spark.localrel import local_df
 
 
 def merge_latest(
@@ -91,7 +92,7 @@ def upsert_partitioned(
             F.col(partition_col).isin(affected)
         )
         if has_data
-        else spark.createDataFrame([], updates.schema)
+        else local_df(spark, [], updates.schema)
     )
     merged = merge_latest(existing, updates, key_cols, order_col)
     (

@@ -42,6 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from overpaint_spark.localrel import local_df
 
 from overpaint_spark.functions import typeclass
 
@@ -162,7 +163,7 @@ def profile_files_df(
     if files is None:
         files = [p for p, _sz in listed]
     if not files:
-        return spark.createDataFrame([], STATE_SCHEMA)
+        return local_df(spark, [], STATE_SCHEMA)
     sizes = dict(listed)
     # input_file_name() percent-encodes; the map must answer for both
     # the raw OS path and its encoded form (they differ iff the path
@@ -324,7 +325,7 @@ def incremental_update(
     elif not have_state:
         # first run over an empty table: nothing written, no state dir
         # to read — an empty state relation, not PATH_NOT_FOUND
-        return IncrementalResult([], spark.createDataFrame([], STATE_SCHEMA))
+        return IncrementalResult([], local_df(spark, [], STATE_SCHEMA))
     return IncrementalResult(new, spark.read.parquet(state_dir))
 
 

@@ -31,6 +31,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from overpaint_spark.localrel import local_df
 
 from overpaint_spark.functions import typeclass
 from overpaint_spark.sources.catalog import TableHandle, discover_tables, footer_row_count, load_table
@@ -372,8 +373,9 @@ def profile_minmax_df(
         )
         parts.append(long)
     if not parts:
-        return spark.createDataFrame(
-            [], f"table_name string, column_name string, min_value {out_type}, max_value {out_type}"
+        return local_df(
+            spark, [],
+            f"table_name string, column_name string, min_value {out_type}, max_value {out_type}",
         )
     out = parts[0]
     for p in parts[1:]:

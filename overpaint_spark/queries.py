@@ -675,18 +675,17 @@ def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the noise and far below any analytical use of r
         return F.round(num / den, 12)
 
-    rows = [
-        wide.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            r_expr(a, b).alias("pearson_r"),
+    # one stack over the single aggregate row instead of a 6-branch
+    # union: Spark does no CSE across union branches, so each branch
+    # re-ran the full scan+fold (6 scans of lineitem for 6 pair rows)
+    stack_args: list = []
+    for a, b in pairs:
+        stack_args += [F.lit(a), F.lit(b), r_expr(a, b)]
+    return wide.select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias(
+            "col_a", "col_b", "pearson_r"
         )
-        for a, b in pairs
-    ]
-    out = rows[0]
-    for p in rows[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def _oracle_profile_correlations() -> str:
@@ -746,10 +745,25 @@ def q_profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for tname, det, dep in _FD_CHECKS:
         t = _t(spark, sf_dir, tname)
+        # distinct (det, dep) pairs first (map-side partial aggregation
+        # shrinks the shuffle to the distinct pairs), then both counts
+        # fold over that small relation — the two-countDistinct form
+        # planned an Expand that doubled every input row before the
+        # first hash aggregate. dep-NULL groups are kept so n_det still
+        # sees determinants whose dependent is always NULL; count(dep)
+        # skips them for n_pairs, matching composite-distinct semantics.
+        pairs_rel = (
+            t.select(F.col(det).alias("det"), F.col(dep).alias("dep"))
+            .filter(F.col("det").isNotNull())
+            .distinct()
+        )
+        per_det = pairs_rel.groupBy("det").agg(
+            F.count(F.col("dep")).alias("k")
+        )
         parts.append(
-            t.agg(
-                F.countDistinct(F.col(det)).alias("n_det"),
-                F.countDistinct(F.col(det), F.col(dep)).alias("n_pairs"),
+            per_det.agg(
+                F.count(F.lit(1)).alias("n_det"),
+                F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_pairs"),
             ).select(
                 F.lit(tname).alias("table_name"),
                 F.lit(det).alias("determinant"),
@@ -3108,7 +3122,10 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups form its rows."""
     from overpaint_spark.operators.components import connected_components
 
-    hashes = MM.image_phash(_t(spark, sf_dir, "documents"))
+    # the signature relation is referenced 4× by the banded pair plan
+    # (bands a/b + exact-confirm a/b); materialize it once so the pure
+    # Python decode pass runs once, not four times (r13)
+    hashes = materialize(MM.image_phash(_t(spark, sf_dir, "documents")))
     pairs = MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
     return connected_components(pairs.select("a_id", "b_id")).select(
         F.col("id").alias("asset_id"), "component"
@@ -3313,7 +3330,8 @@ def q_multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pigeonhole guarantee (4 bands, distance ≤ 3 ⇒ one band equal)
     makes the banded plan EXACTLY equal to the oracle's brute-force
     all-pairs scan — the decontaminate_bloom proof shape."""
-    hashes = MM.image_phash(_t(spark, sf_dir, "documents"))
+    # 4 plan references to the signature relation → decode once (r13)
+    hashes = materialize(MM.image_phash(_t(spark, sf_dir, "documents")))
     return MM.phash_neardup_pairs(hashes, max_hamming=_PHASH_MAX_HAMMING)
 
 
@@ -3334,8 +3352,11 @@ def q_multimodal_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
     existing = docs.filter(F.col("doc_id") % 5 != 0)
+    # the gate body references the existing index twice (band postings
+    # + exact confirm) — decode the existing corpus once (r13)
     flags = phash_gate_flags(
-        incoming, MM.image_phash(existing), max_hamming=_PHASH_MAX_HAMMING
+        incoming, materialize(MM.image_phash(existing)),
+        max_hamming=_PHASH_MAX_HAMMING,
     )
     return flags.select(
         "asset_id", "w0", "w1", F.col("admitted").cast("int").alias("admitted")

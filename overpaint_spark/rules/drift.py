@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from overpaint_spark.localrel import local_df
 
 from overpaint_spark.functions import typeclass
 from overpaint_spark.profiler.profile import TableProfile, profile_data_root
@@ -72,7 +73,7 @@ def write_profile_snapshot(
             spark, data_root, exact=exact, merge_schema=merge_schema
         )
     rows = [(run_id, *r) for r in profiles_to_rows(profiles)]
-    df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+    df = local_df(spark, rows, SNAPSHOT_SCHEMA)
     df.write.mode("append").partitionBy("run_id").parquet(out_path)
     return df
 

@@ -20,6 +20,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from overpaint_spark.localrel import local_df
 
 
 @dataclass(frozen=True)
@@ -191,7 +192,7 @@ def evaluate_rules(
     if not parts:
         # an empty suite evaluates to an empty metrics relation, not an
         # IndexError — the on-call's '{}' config edit must not crash
-        return spark.createDataFrame([], empty_schema)
+        return local_df(spark, [], empty_schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

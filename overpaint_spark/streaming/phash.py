@@ -70,11 +70,15 @@ def phash_gate_flags(
     drops them) get NO flags row here; the streaming sink admits them
     by rejecting only explicitly-flagged duplicates, matching the
     batch composition (an asset with no hash forms no cross-pair)."""
+    from overpaint_spark.materialize import materialize
     from overpaint_spark.operators.multimodal import image_phash
 
     if max_hamming > 3:
         raise ValueError("4 bands guarantee recall only for max_hamming <= 3")
-    hashes = image_phash(batch, id_col=id_col, text_col=text_col)
+    # the batch signature relation is referenced three times below
+    # (band postings, exact confirm, final flag join) — decode the
+    # batch once instead of three times (r13)
+    hashes = materialize(image_phash(batch, id_col=id_col, text_col=text_col))
     b = _bands(hashes, "asset_id")
     ex = _bands(existing_hashes, "ex_id").select(
         "ex_id",
@@ -130,7 +134,16 @@ def write_phash_dedup_stream(
     for hashable and unhashable docs alike. Replay is exactly-once:
     the append goes through the batch-id-keyed idempotent sink
     (streaming/sink.py), so a crash-replayed batch replaces its own
-    partition instead of duplicating files."""
+    partition instead of duplicating files.
+
+    ``existing_hashes`` is materialized ONCE at sink construction: the
+    gate references it twice per micro-batch (band postings + exact
+    popcount confirm), and when callers pass a lazy ``image_phash``
+    plan each reference would re-decode the whole existing corpus in
+    Python, per batch (the write_clean_stream finding, r13)."""
+    from overpaint_spark.materialize import materialize
+
+    existing_hashes = materialize(existing_hashes)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

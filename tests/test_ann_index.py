@@ -5,10 +5,12 @@ search body), and the stored artifact is self-describing (meta derived
 from the bounded relations, no sidecar to go stale)."""
 
 from pyspark.sql import functions as F
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_ann_index_roundtrip_matches_live_search(spark, tmp_path):
     from overpaint_spark.operators.ann_index import (
         build_ann_index,

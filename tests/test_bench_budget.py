@@ -17,6 +17,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # r5: median-of-3 — ~3× the single-run wall inside the subprocess, but
@@ -27,6 +28,7 @@ BUDGET_S = 420.0
 STDOUT_LIMIT = 1500  # driver tail retention is ~2000 chars
 
 
+@pytest.mark.slow
 def test_bench_suite_under_budget_and_stdout_compact(tmp_path):
     detail_path = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(

@@ -147,6 +147,7 @@ def test_star_matches_min_label_on_fixture_graph(spark):
     assert _star_labels(spark, pairs) == want and want
 
 
+@pytest.mark.slow
 def test_star_converges_on_long_chain_where_min_label_refuses(spark):
     """A 60-vertex path has diameter 59: with the fallback disabled the
     distributed min-label loop (driver_threshold=0 forces it) raises

@@ -262,6 +262,7 @@ def test_simhash_pairs_band_equijoin(spark):
     assert "half_idx" in plan and "half" in plan  # the band join keys
 
 
+@pytest.mark.slow
 def test_no_query_plans_a_cartesian_product(spark):
     """Plan hygiene across the ENTIRE declared manifest: an accidental
     cross product is the classic silent 100 TB killer — a refactor that
@@ -359,3 +360,26 @@ def test_corpus_pipeline_scrub_subtree_runs_once(spark):
     # the clean/scrub gram machinery must not appear downstream of the
     # checkpoint (it ran exactly once, at DataFrame build)
     assert "zip_with" not in plan
+
+
+def test_profile_correlations_single_scan(spark):
+    """r13: the 6 pair rows come from one stack over ONE aggregate row —
+    the previous 6-branch union re-ran the full lineitem scan + moment
+    fold per branch (Spark does no CSE across union branches), 6 scans
+    for 6 rows at any scale."""
+    plan = plan_of(spark, "profile_correlations")
+    # formatted explain lists every node twice (tree + details)
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_profile_functional_deps_no_expand(spark):
+    """r13: each FD branch pre-aggregates to distinct (det, dep) pairs
+    and folds counts over that small relation. The two-countDistinct
+    form planned an Expand that doubled every input row before the
+    first hash aggregate; mixing distinct+regular aggregates over the
+    pair relation re-scanned the table twice per branch."""
+    plan = plan_of(spark, "profile_functional_deps")
+    assert "Expand" not in plan
+    # formatted explain lists every node twice (tree + details): 4 scans
+    assert plan.count("Scan parquet") == 8, plan.count("Scan parquet")

@@ -281,6 +281,7 @@ def test_ivfpq_residual_recall_and_exact_distances(spark):
         assert abs(expect - r.adc_dist) < 1e-9, (r.query_id, r.neighbor_id)
 
 
+@pytest.mark.slow
 def test_dimension_stats_chunked_path_matches_flat(spark, monkeypatch):
     """Past _FLAT_STATS_MAX_DIM the stats aggregate switches to
     posexplode → groupBy(pos); both paths must agree exactly with each

@@ -402,6 +402,7 @@ def test_declared_rrf_queries_q0_equals_single_query_row(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_rrf_indexed_all_probes_equals_bruteforce_twin(spark, sf_dir):
     """With EVERY inverted list probed and depth >= N, the indexed dense
     path degenerates to exact search: the ADC shortlist holds every

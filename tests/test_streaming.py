@@ -71,6 +71,7 @@ def test_streaming_rules(spark, events_dir):
     assert all(r.passed for r in rows if r.rule_name == "in_range")
 
 
+@pytest.mark.slow
 def test_streaming_sessionize_closed_sessions(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     _run_stream(streaming_sessionize(stream), "sess")
@@ -84,6 +85,7 @@ def test_streaming_sessionize_closed_sessions(spark, events_dir):
     assert all(r.session_end >= r.session_start and r.n_events > 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark):
     """Three file drops processed as separate micro-batches: once the
     09:00 window is finalized (emitted + evicted), a later drop's row
@@ -342,6 +344,7 @@ def test_streaming_drift_monitor(spark, events_dir, tmp_path):
     assert all(r.band == "action" and r.psi > 0.25 for r in shifted)
 
 
+@pytest.mark.slow
 def test_streaming_top_tokens_matches_batch(spark, tmp_path):
     """Stateful streaming top-k: documents arrive in TWO micro-batches
     (maxFilesPerTrigger=1), per-bucket Misra-Gries state merges across
@@ -455,6 +458,7 @@ def test_corpus_intake_gate(spark, tmp_path):
     assert r.quality_score >= 0.4
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     """foreachBatch admission gate vs the batch twin: fixture docs with
     doc_id % 5 == 0 arrive as a TWO-micro-batch stream and are gated
@@ -497,6 +501,7 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert len(got) < incoming.count()
 
 
+@pytest.mark.slow
 def test_streaming_quantize_matches_batch(spark, tmp_path):
     """Stateless streaming SQ8 encode against FROZEN reference bounds:
     fixture embeddings arrive as a two-micro-batch stream; codes must
@@ -601,6 +606,7 @@ def test_sessionize_late_event_never_moves_session_backwards():
     assert row.n_events == 3
 
 
+@pytest.mark.slow
 def test_streaming_lm_score_matches_batch(spark, tmp_path):
     """Stateless streaming LM scoring against a FROZEN trigram model:
     fixture documents arrive as a two-micro-batch stream; scores must
@@ -653,6 +659,7 @@ def test_streaming_lm_score_matches_batch(spark, tmp_path):
         assert rows[did].n_grams == 0 and rows[did].lm_score_ppm is None
 
 
+@pytest.mark.slow
 def test_write_lm_score_stream_both_paths_match_batch(spark, tmp_path):
     """The sink-level scorer's two paths — map-literal projection
     (model under max_map_entries) and the foreachBatch broadcast-join
@@ -696,6 +703,7 @@ def test_write_lm_score_stream_both_paths_match_batch(spark, tmp_path):
     model.unpersist()
 
 
+@pytest.mark.slow
 def test_write_clean_stream_matches_batch_predicates(spark, tmp_path):
     """The streaming ingest gate must admit EXACTLY the docs the batch
     predicate conjunction admits on the same rows (quality floor, LM
@@ -754,6 +762,7 @@ def test_write_clean_stream_matches_batch_predicates(spark, tmp_path):
     model.unpersist()
 
 
+@pytest.mark.slow
 def test_write_decontaminate_stream_matches_batch(spark, tmp_path):
     """The streaming contamination gate must admit EXACTLY the docs the
     batch bloom path keeps on the same rows — micro-batch boundaries
@@ -809,6 +818,7 @@ def test_write_lm_score_stream_rejects_docs_relation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_phash_gate_matches_batch(spark, tmp_path):
     """Streaming image near-dup gate: incoming assets (fresh docs plus
     re-ingested COPIES of existing docs under new ids) arrive as a
@@ -873,6 +883,7 @@ def test_streaming_phash_gate_matches_batch(spark, tmp_path):
     assert len(got) < incoming.count()
 
 
+@pytest.mark.slow
 def test_streaming_psi_ppm_matches_batch_and_float_psi(spark, events_dir, tmp_path):
     """The oracle-checkable integer-ppm PSI stream (write_psi_stream):
     each micro-batch's row equals the shared predicate body applied to
@@ -949,6 +960,7 @@ def test_streaming_psi_empty_and_null_batches_skipped(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_ann_ingest_bit_identical_to_batch(spark, tmp_path):
     """The foreachBatch ANN-ingest gate must grow the persisted index
     into EXACTLY the artifact a one-shot build over the union produces:
@@ -1006,6 +1018,7 @@ def test_streaming_ann_ingest_bit_identical_to_batch(spark, tmp_path):
     assert got == want and len(got) == n
 
 
+@pytest.mark.slow
 def test_streaming_cms_bit_identical_to_batch(spark, tmp_path):
     """Cell-wise sums commute, so the streamed sketch must equal the
     batch cms_cells over the union EXACTLY — any batch chopping. Three
@@ -1048,6 +1061,7 @@ def test_streaming_cms_bit_identical_to_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_fk_gate_bit_identical_to_batch(spark, tmp_path):
     """The gate is per-row stateless, so the streamed sink must equal
     the batch fk_gate_flags over the union row-for-row under any
@@ -1092,6 +1106,7 @@ def test_streaming_fk_gate_bit_identical_to_batch(spark, tmp_path):
     assert verdict[1] is True and verdict[6] is True
 
 
+@pytest.mark.slow
 def test_windowed_rollup_append_mode_drops_late_beyond_horizon(spark, tmp_path):
     """The append-mode rollup's honest divergence case: once the
     watermark finalized a window (it was emitted and its state
@@ -1155,6 +1170,7 @@ def test_windowed_rollup_append_mode_drops_late_beyond_horizon(spark, tmp_path):
 # --- r12: trailing no-data micro-batch skipped where output-neutral -------
 
 
+@pytest.mark.slow
 def test_skip_no_data_batches_restores_conf_and_output(spark):
     """The _skip_no_data_batches decorator (r12) must (a) restore the
     session conf whatever it was, and (b) not change a decorated

@@ -163,6 +163,7 @@ def test_lm_model_persist_roundtrip_equals_declared_query(spark, tmp_path):
     assert via_persisted == declared
 
 
+@pytest.mark.slow
 def test_span_scrub_consistent_with_span_stats(spark):
     """The scrubber and the audit must agree: a doc loses exactly as
     many tokens as its duplicated spans cover (n_kept == n_tokens iff
@@ -196,6 +197,7 @@ def test_span_scrub_consistent_with_span_stats(spark):
     assert touched > 0  # the fixture corpus really contains duplication
 
 
+@pytest.mark.slow
 def test_corpus_funnel_last_stage_equals_clean_v3(spark):
     """The funnel's span_cap row must equal COUNT(corpus_clean_v3) —
     the standing cross-check the funnel exists to provide — and the

@@ -101,6 +101,7 @@ def test_upsert_empty_batch_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+@pytest.mark.slow
 def test_streaming_upsert_applies_batches_in_order(spark, tmp_path):
     """Two change-file drops processed as separate micro-batches keep the
     table current: later batches override earlier ones per key, and only
